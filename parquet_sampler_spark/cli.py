@@ -1,0 +1,92 @@
+"""CLI mirroring the reference's two binaries (SURVEY.md §2.3).
+
+Reference usage (README.md:15-26)::
+
+    ./sample <in.parquet> <out.parquet> <ratio>
+    ./join <dim.parquet> <dim_key> <sampled_fact.parquet> <fact_key> <out.parquet>
+
+Ours (same positional order; seed made explicit — the reference is
+unseeded, sample.rs:42)::
+
+    python -m parquet_sampler_spark.cli sample IN OUT RATIO [--seed S]
+        [--key-cols k1,k2] [--method hash|rand]
+    python -m parquet_sampler_spark.cli join PROBE PROBE_KEY BUILD
+        BUILD_KEY OUT [--null-safe] [--stringly]
+
+Note the ``join`` argument order matches the reference: probe
+(to-be-reduced) table first, build (sampled) table second (join.rs:16-21).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from parquet_sampler_spark.operators.sample import sample_exact
+from parquet_sampler_spark.operators.semijoin import semi_join_reduce
+from parquet_sampler_spark.session import get_spark
+from parquet_sampler_spark.sources.io import (
+    metadata_row_count,
+    read_parquet,
+    write_parquet,
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="parquet_sampler_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_sample = sub.add_parser("sample", help="exact-count uniform sample")
+    p_sample.add_argument("input")
+    p_sample.add_argument("output")
+    p_sample.add_argument("ratio", type=float)
+    p_sample.add_argument("--seed", type=int, default=42)
+    p_sample.add_argument(
+        "--key-cols", default=None, help="comma-separated integer key columns"
+    )
+    p_sample.add_argument("--method", choices=["hash", "rand"], default=None)
+    p_sample.add_argument("--single-file", action="store_true")
+
+    p_join = sub.add_parser("join", help="left semi-join reduction")
+    p_join.add_argument("probe")
+    p_join.add_argument("probe_key")
+    p_join.add_argument("build")
+    p_join.add_argument("build_key")
+    p_join.add_argument("output")
+    p_join.add_argument("--null-safe", action="store_true")
+    p_join.add_argument("--stringly", action="store_true")
+    p_join.add_argument("--no-broadcast", action="store_true")
+    p_join.add_argument("--single-file", action="store_true")
+
+    args = parser.parse_args(argv)
+    spark = get_spark(f"psx-{args.cmd}")
+
+    if args.cmd == "sample":
+        df = read_parquet(spark, args.input)
+        key_cols = args.key_cols.split(",") if args.key_cols else None
+        method = args.method or ("hash" if key_cols else "rand")
+        n = metadata_row_count(args.input)
+        out = sample_exact(
+            df, args.ratio, seed=args.seed, key_cols=key_cols,
+            method=method, total_rows=n,
+        )
+        write_parquet(out, args.output, single_file=args.single_file)
+        print(f"sampled {int(n * args.ratio)} of {n} rows -> {args.output}")
+    else:
+        probe = read_parquet(spark, args.probe)
+        build = read_parquet(spark, args.build)
+        out = semi_join_reduce(
+            probe, args.probe_key, build, args.build_key,
+            null_safe=args.null_safe, stringly=args.stringly,
+            broadcast=not args.no_broadcast,
+        )
+        write_parquet(out, args.output, single_file=args.single_file)
+        before = metadata_row_count(args.probe)
+        after = metadata_row_count(args.output)
+        # reduction statistic, as the reference reports (join.rs:131-134)
+        print(f"reduced {args.probe}: {before} -> {after} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,134 @@
+"""Exact-count uniform sampling — the reference's flagship operator.
+
+Reference semantics (src/bin/sample.rs:36-79): ``sample_size =
+floor(num_rows * ratio)`` distinct row indexes drawn uniformly without
+replacement, rows emitted in input-file order, schema preserved. The
+reference draws from an unseeded ``thread_rng`` (sample.rs:42) and spins
+forever for ratio > 1 (sample.rs:43-46); we take an explicit seed and
+validate the ratio instead (SURVEY.md §2.1 edge cases).
+
+Two samplers:
+
+* :func:`sample_exact` — exact-count, seeded, deterministic. Default
+  ``method="hash"`` ranks rows by a portable Lehmer hash of key columns
+  and keeps the k smallest. Because the hash is uniform on [0, M), the
+  scalable path prefilters with the closed-form threshold
+  ``M * ratio * margin`` — a pushed-down Parquet filter that discards
+  ~``1 - ratio*margin`` of a 100 TB input *at the scan*, so the exact
+  top-k sort only ever touches ~``k*margin`` rows. ``method="rand"``
+  uses seeded ``F.rand`` the same way for key-less tables (deterministic
+  per seed *and partitioning*, not portable to other engines).
+* :func:`sample_fraction` — Bernoulli ``df.sample`` passthrough
+  (approximate count) for when exactness isn't required; zero shuffle.
+
+Scale notes: the only shuffle is the final top-k sort over ~k*margin
+candidate rows (AQE-coalesced). k is the *output* size — if k itself
+exceeds single-stage sort comfort (billions), exactness is the wrong
+tool; use ``sample_fraction``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.functions.hashing import MODULUS, lehmer_hash
+
+_PR = "__psx_pr"
+_RN = "__psx_rn"
+_ORD = "__psx_ord"
+# Prefilter margin: candidates ≈ k * margin; P(candidates < k) is
+# negligible by Chernoff for k ≳ 50. We verify and fall back anyway.
+_MARGIN = 1.6
+_PREFILTER_MIN_ROWS = 200_000
+
+
+def _validate_ratio(ratio: float) -> None:
+    if not (0.0 <= ratio <= 1.0):
+        # the reference loops forever on ratio > 1 (sample.rs:43-46)
+        raise ValueError(f"sampling ratio must be in [0, 1], got {ratio}")
+
+
+def sample_exact(
+    df: DataFrame,
+    ratio: float,
+    seed: int = 42,
+    key_cols: list[str] | None = None,
+    method: str = "hash",
+    tie_cols: list[str] | None = None,
+    order_by: list[str] | None = None,
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Sample exactly ``floor(count(df) * ratio)`` rows, without
+    replacement, deterministically for a fixed seed.
+
+    ``method="hash"`` (default): rank rows by ``lehmer_hash(key_cols,
+    seed)`` with ``key_cols`` as tie-breaker; keep the k smallest. Fully
+    reproducible across engines — the DuckDB oracle runs the same
+    arithmetic. If ``key_cols`` do not jointly identify rows, pass
+    ``tie_cols`` that do — otherwise rank ties at the k-th-rank boundary
+    are broken arbitrarily, losing cross-engine determinism.
+
+    ``method="rand"``: rank by seeded ``F.rand`` — for tables without
+    integer keys. Deterministic for a fixed seed and input partitioning.
+
+    ``order_by``: optional columns to sort the output by (the reference
+    preserves input-file order, sample.rs:49-50; pass the table's natural
+    key for the analogous stable order — cheap, since only k rows sort).
+
+    ``total_rows``: pass a known count to skip the counting job (e.g.
+    from :func:`~parquet_sampler_spark.sources.io.metadata_row_count`).
+    """
+    _validate_ratio(ratio)
+    n = total_rows if total_rows is not None else df.count()
+    k = int(math.floor(n * ratio))
+    if k <= 0:
+        return df.limit(0)
+    if k >= n:
+        return df
+
+    if method == "hash":
+        if not key_cols:
+            raise ValueError("method='hash' requires key_cols")
+        pr: Column = lehmer_hash(key_cols, seed)
+        ties = [F.col(c) for c in (tie_cols or key_cols)]
+    elif method == "rand":
+        pr = (F.rand(seed) * MODULUS).cast("bigint")
+        ties = []
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    tagged = df.withColumn(_PR, pr)
+
+    candidates = tagged
+    if n >= _PREFILTER_MIN_ROWS and ratio * _MARGIN < 0.9:
+        # closed-form threshold: hash is uniform on [0, M), so
+        # E[|pr < t|] = n * t / M. Catalyst pushes this filter into the
+        # Parquet scan for method='hash' over plain key columns.
+        threshold = int(MODULUS * ratio * _MARGIN) + 1
+        pre = tagged.filter(F.col(_PR) < threshold)
+        if pre.count() >= k:
+            candidates = pre
+        # else: astronomically unlikely; scan everything
+
+    w = Window.orderBy(F.col(_PR), *ties)
+    out = (
+        candidates.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) <= k)
+        .drop(_PR, _RN)
+    )
+    if order_by:
+        out = out.orderBy(*order_by)
+    return out
+
+
+def sample_fraction(
+    df: DataFrame, ratio: float, seed: int = 42
+) -> DataFrame:
+    """Bernoulli sample: each row kept independently with probability
+    ``ratio``. Count is approximate (binomial); no shuffle at all — the
+    right tool when k is huge and ±sqrt(k) wobble is acceptable."""
+    _validate_ratio(ratio)
+    return df.sample(withReplacement=False, fraction=ratio, seed=seed)

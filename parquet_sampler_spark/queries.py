@@ -1,0 +1,242 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracles.
+
+Every operator from SURVEY.md §2 gets a named entry here: a Spark
+callable ``(spark, sf_dir) -> DataFrame`` and (where SQL-expressible) an
+equivalent ANSI-SQL oracle string for DuckDB. The sampler is
+deterministic (seeded Lehmer hash — see functions/hashing.py), so both
+engines compute the *identical* sample and the whole reference workflow
+(sample → semi-join chain, reference README.md:15-26) is oracle-checked
+end to end.
+
+Column aliases match between Spark and SQL exactly (driver compares by
+sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+from parquet_sampler_spark.operators.sample import sample_exact
+from parquet_sampler_spark.operators.semijoin import semi_join_reduce
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SAMPLE_RATIO = 0.01
+SAMPLE_SEED = 42
+
+_LINEITEM_COLS = (
+    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
+    "l_shipdate"
+)
+# (l_orderkey, l_linenumber) is NOT unique in the testdata (up to 6 rows
+# per pair); this wider set is verified unique at every sf — it makes the
+# sampler's rank a total order, so Spark and DuckDB select identical rows
+# at the k-th-rank boundary.
+_LINEITEM_TIE = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity"]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side building blocks
+# ---------------------------------------------------------------------------
+
+def lineitem_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-count sample of lineitem (reference `sample`
+    binary, sample.rs:36-79, seeded + reproducible per SURVEY.md §7.2.1)."""
+    li = table(spark, sf_dir, "lineitem")
+    return sample_exact(
+        li, SAMPLE_RATIO, seed=SAMPLE_SEED,
+        key_cols=["l_orderkey", "l_linenumber"], tie_cols=_LINEITEM_TIE,
+    )
+
+
+def orders_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `join` binary: reduce orders by the sampled fact
+    (join.rs:39-129) — broadcast left semi-join."""
+    s = lineitem_sample(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "orders"), "o_orderkey", s, "l_orderkey"
+    )
+
+
+def customer_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = orders_reduced(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "customer"), "c_custkey", o, "o_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL building blocks (DuckDB dialect-compatible ANSI SQL)
+# ---------------------------------------------------------------------------
+
+def _sample_cte(ratio: float = SAMPLE_RATIO, seed: int = SAMPLE_SEED) -> str:
+    """CTE computing the exact same lineitem sample as
+    :func:`lineitem_sample` — same Lehmer hash, same tie-break, same k."""
+    pr = lehmer_hash_sql(["l_orderkey", "l_linenumber"], seed)
+    tie = ", ".join(_LINEITEM_TIE)
+    return f"""lineitem_sample AS (
+  SELECT {_LINEITEM_COLS} FROM (
+    SELECT *,
+           row_number() OVER (ORDER BY {pr}, {tie}) AS psx_rn
+    FROM lineitem
+  ) t
+  WHERE psx_rn <= (SELECT CAST(floor(count(*) * {ratio}) AS BIGINT) FROM lineitem)
+)"""
+
+
+_ORDERS_RED_CTE = """orders_red AS (
+  SELECT o.* FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem_sample s WHERE s.l_orderkey = o.o_orderkey)
+)"""
+
+_CUSTOMER_RED_CTE = """customer_red AS (
+  SELECT c.* FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders_red o WHERE o.o_custkey = c.c_custkey)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def _q_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lineitem_sample(spark, sf_dir)
+
+
+def _q_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orders_reduced(spark, sf_dir)
+
+
+def _q_semijoin_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_reduced(spark, sf_dir)
+
+
+def _q_semijoin_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = customer_reduced(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "nation"), "n_nationkey", c, "c_nationkey"
+    )
+
+
+def _q_semijoin_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _q_semijoin_nation(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "region"), "r_regionkey", n, "n_regionkey"
+    )
+
+
+def _q_semijoin_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = lineitem_sample(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "part"), "p_partkey", s, "l_partkey"
+    )
+
+
+def _q_semijoin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = lineitem_sample(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "supplier"), "s_suppkey", s, "l_suppkey"
+    )
+
+
+def _q_semijoin_orders_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful mode: string-rendered keys + NULL matches NULL
+    (join.rs:66-70,115-119; SURVEY.md §2.1 join-key semantics note)."""
+    s = lineitem_sample(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "orders"), "o_orderkey", s, "l_orderkey",
+        null_safe=True, stringly=True,
+    )
+
+
+def _q_projection_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected scan + hash-set build = DISTINCT of one column
+    (reference join.rs:42-77: one-column schema projection into a
+    HashSet). Catalyst prunes the scan to the single column."""
+    return table(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-metadata row counts, no data scan (sample.rs:31-34) —
+    computed via pyarrow footers, surfaced as a 1-row DataFrame."""
+    from parquet_sampler_spark.sources.io import metadata_row_count
+
+    counts = {
+        f"{t}_rows": metadata_row_count(f"{sf_dir}/{t}.parquet")
+        for t in TABLES
+    }
+    schema = ", ".join(f"{c} long" for c in counts)
+    return spark.createDataFrame([tuple(counts.values())], schema=schema)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "sample_lineitem": _q_sample_lineitem,
+        "semijoin_orders": _q_semijoin_orders,
+        "semijoin_customer": _q_semijoin_customer,
+        "semijoin_nation": _q_semijoin_nation,
+        "semijoin_region": _q_semijoin_region,
+        "semijoin_part": _q_semijoin_part,
+        "semijoin_supplier": _q_semijoin_supplier,
+        "semijoin_orders_nullsafe": _q_semijoin_orders_nullsafe,
+        "projection_distinct": _q_projection_distinct,
+        "metadata_counts": _q_metadata_counts,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    sample = _sample_cte()
+    counts_cols = ", ".join(
+        f"(SELECT count(*) FROM {t}) AS {t}_rows" for t in TABLES
+    )
+    return {
+        "sample_lineitem": f"WITH {sample} SELECT * FROM lineitem_sample",
+        "semijoin_orders": (
+            f"WITH {sample}, {_ORDERS_RED_CTE} SELECT * FROM orders_red"
+        ),
+        "semijoin_customer": (
+            f"WITH {sample}, {_ORDERS_RED_CTE}, {_CUSTOMER_RED_CTE} "
+            "SELECT * FROM customer_red"
+        ),
+        "semijoin_nation": (
+            f"WITH {sample}, {_ORDERS_RED_CTE}, {_CUSTOMER_RED_CTE} "
+            "SELECT n.* FROM nation n WHERE EXISTS "
+            "(SELECT 1 FROM customer_red c WHERE c.c_nationkey = n.n_nationkey)"
+        ),
+        "semijoin_region": (
+            f"WITH {sample}, {_ORDERS_RED_CTE}, {_CUSTOMER_RED_CTE}, "
+            "nation_red AS (SELECT n.* FROM nation n WHERE EXISTS "
+            "(SELECT 1 FROM customer_red c WHERE c.c_nationkey = n.n_nationkey)) "
+            "SELECT r.* FROM region r WHERE EXISTS "
+            "(SELECT 1 FROM nation_red n WHERE n.n_regionkey = r.r_regionkey)"
+        ),
+        "semijoin_part": (
+            f"WITH {sample} SELECT p.* FROM part p WHERE EXISTS "
+            "(SELECT 1 FROM lineitem_sample s WHERE s.l_partkey = p.p_partkey)"
+        ),
+        "semijoin_supplier": (
+            f"WITH {sample} SELECT su.* FROM supplier su WHERE EXISTS "
+            "(SELECT 1 FROM lineitem_sample s WHERE s.l_suppkey = su.s_suppkey)"
+        ),
+        "semijoin_orders_nullsafe": (
+            f"WITH {sample} SELECT o.* FROM orders o WHERE EXISTS "
+            "(SELECT 1 FROM lineitem_sample s WHERE "
+            "CAST(s.l_orderkey AS VARCHAR) IS NOT DISTINCT FROM "
+            "CAST(o.o_orderkey AS VARCHAR))"
+        ),
+        "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
+        "metadata_counts": f"SELECT {counts_cols}",
+    }

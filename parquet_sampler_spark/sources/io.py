@@ -1,0 +1,56 @@
+"""Parquet source/sink helpers.
+
+The reference reads whole files through the parquet crate's row iterator
+(sample.rs:59, join.rs:105) and writes a single row group from a fully
+materialized row buffer (lib.rs:27). Spark subsumes both: vectorized
+Parquet scan with column pruning + predicate pushdown, and a distributed
+multi-file writer supporting every Spark type (the reference panics on
+INT96 / decimals / nested, lib.rs:122-124).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Scan a Parquet path; optional projection (reference: join.rs:42-56
+    builds a one-column schema projection by hand — Catalyst's
+    ColumnPruning pushes ``select`` into the reader for free)."""
+    df = spark.read.parquet(path)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def metadata_row_count(path: str) -> int:
+    """Footer-only row count, no data scan (reference: sample.rs:31-34
+    reads ``num_rows`` from the file metadata). Uses pyarrow to read
+    footers directly — O(files), zero Spark jobs."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Overwrite-mode Parquet sink (the reference overwrites too —
+    ``File::create``, lib.rs:16). ``single_file=True`` coalesces to one
+    output file for byte-level parity with the reference's single-row-
+    group output — only sane for *reduced* outputs (samples, reduced
+    dims), never for 100 TB writes."""
+    out = df.coalesce(1) if single_file else df
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,119 @@
+"""Statistical + semantic tests for the exact-count sampler
+(SURVEY.md §5.3: cardinality, no duplicates, determinism, uniformity,
+edge ratios — golden outputs are impossible for a randomized operator)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.operators.sample import sample_exact, sample_fraction
+
+KEYS = ["l_orderkey", "l_linenumber"]
+
+
+def test_exact_cardinality(lineitem):
+    n = lineitem.count()
+    for ratio in (0.01, 0.1, 0.5):
+        s = sample_exact(lineitem, ratio, seed=1, key_cols=KEYS)
+        assert s.count() == math.floor(n * ratio)
+
+
+def test_without_replacement(lineitem):
+    # without replacement = no physical row sampled twice (full rows are
+    # distinct in the testdata; (l_orderkey, l_linenumber) is not unique)
+    s = sample_exact(lineitem, 0.1, seed=7, key_cols=KEYS)
+    assert s.count() == s.dropDuplicates().count()
+
+
+def test_deterministic_per_seed(lineitem):
+    a = sorted(sample_exact(lineitem, 0.05, seed=3, key_cols=KEYS)
+               .select(*KEYS).collect())
+    b = sorted(sample_exact(lineitem, 0.05, seed=3, key_cols=KEYS)
+               .select(*KEYS).collect())
+    assert a == b
+
+
+def test_seed_changes_sample(lineitem):
+    a = set(map(tuple, sample_exact(lineitem, 0.05, seed=1, key_cols=KEYS)
+                .select(*KEYS).collect()))
+    b = set(map(tuple, sample_exact(lineitem, 0.05, seed=2, key_cols=KEYS)
+                .select(*KEYS).collect()))
+    assert a != b
+
+
+def test_schema_preserved(lineitem):
+    s = sample_exact(lineitem, 0.1, seed=1, key_cols=KEYS)
+    assert s.schema == lineitem.schema
+
+
+def test_ratio_edges(lineitem):
+    n = lineitem.count()
+    assert sample_exact(lineitem, 0.0, seed=1, key_cols=KEYS).count() == 0
+    assert sample_exact(lineitem, 1.0, seed=1, key_cols=KEYS).count() == n
+    # the reference hangs on ratio > 1 (sample.rs:43-46); we error
+    with pytest.raises(ValueError):
+        sample_exact(lineitem, 1.5, seed=1, key_cols=KEYS)
+    with pytest.raises(ValueError):
+        sample_exact(lineitem, -0.1, seed=1, key_cols=KEYS)
+
+
+def test_tiny_ratio_floors_to_zero(spark):
+    tiny = spark.range(7).withColumnRenamed("id", "k")
+    assert sample_exact(tiny, 0.001, seed=1, key_cols=["k"]).count() == 0
+
+
+def test_empty_input(spark, lineitem):
+    empty = lineitem.limit(0)
+    s = sample_exact(empty, 0.5, seed=1, key_cols=KEYS)
+    assert s.count() == 0
+    assert s.schema == lineitem.schema
+
+
+def test_uniformity_chi_square(spark):
+    """Sample indexes should be ~uniform across value buckets: chi-square
+    over 10 buckets of the key range, aggregated across 5 seeds."""
+    n, ratio, buckets = 20_000, 0.1, 10
+    df = spark.range(n).withColumnRenamed("id", "k")
+    k = int(n * ratio)
+    expected = k / buckets
+    for seed in range(5):
+        s = sample_exact(df, ratio, seed=seed, key_cols=["k"])
+        counts = (
+            s.groupBy((F.col("k") * buckets / n).cast("int").alias("b"))
+            .count().collect()
+        )
+        chi2 = sum((c["count"] - expected) ** 2 / expected for c in counts)
+        # df=9, p=0.001 critical value ≈ 27.9
+        assert chi2 < 27.9, f"seed={seed} chi2={chi2}"
+
+
+def test_rand_method_exact_count(lineitem):
+    n = lineitem.count()
+    s = sample_exact(lineitem, 0.05, seed=11, method="rand")
+    assert s.count() == math.floor(n * 0.05)
+
+
+def test_prefilter_path_matches_full_path(spark):
+    """Above _PREFILTER_MIN_ROWS the threshold prefilter must not change
+    the result vs the unfiltered top-k."""
+    from parquet_sampler_spark.operators import sample as mod
+
+    df = spark.range(300_000).withColumnRenamed("id", "k")
+    s_pre = sample_exact(df, 0.001, seed=5, key_cols=["k"])
+    old = mod._PREFILTER_MIN_ROWS
+    mod._PREFILTER_MIN_ROWS = 10**12  # disable prefilter
+    try:
+        s_full = sample_exact(df, 0.001, seed=5, key_cols=["k"])
+    finally:
+        mod._PREFILTER_MIN_ROWS = old
+    assert sorted(r.k for r in s_pre.collect()) == \
+        sorted(r.k for r in s_full.collect())
+
+
+def test_sample_fraction_approximate(lineitem):
+    n = lineitem.count()
+    c = sample_fraction(lineitem, 0.1, seed=1).count()
+    assert 0.05 * n < c < 0.15 * n

@@ -1,0 +1,89 @@
+"""Semantics-pinning tests for the semi-join reducer (SURVEY.md §5.5):
+NULL-key matching, probe-duplicate preservation, build-duplicate
+collapse, at-most-once emission, missing-column error."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_sampler_spark.operators.semijoin import semi_join_reduce
+
+
+@pytest.fixture(scope="module")
+def nullkeys(spark):
+    """FIXTURES.md Group B `nullkeys`: probe with NULL + duplicate keys,
+    build with NULLs and duplicates."""
+    probe = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (None, "d"), (None, "e"), (9, "f")],
+        "k long, payload string",
+    )
+    build = spark.createDataFrame(
+        [(1,), (1,), (None,), (5,)], "k long"
+    )
+    return probe, build
+
+
+def test_idiomatic_null_never_matches(nullkeys):
+    probe, build = nullkeys
+    out = semi_join_reduce(probe, "k", build, "k")
+    got = sorted(r.payload for r in out.collect())
+    assert got == ["a", "b"]  # NULL probe rows dropped; k=9 dropped
+
+
+def test_faithful_null_matches_null(nullkeys):
+    """Reference mode: stringified NULL is a valid set key on both sides
+    (join.rs:66-70,115-119) → NULL probe rows survive."""
+    probe, build = nullkeys
+    out = semi_join_reduce(probe, "k", build, "k", null_safe=True, stringly=True)
+    got = sorted(r.payload for r in out.collect())
+    assert got == ["a", "b", "d", "e"]
+
+
+def test_probe_duplicates_preserved_build_collapse(nullkeys):
+    probe, build = nullkeys
+    out = semi_join_reduce(probe, "k", build, "k")
+    # k=1 appears twice in probe AND twice in build: emitted exactly
+    # twice (probe dups preserved, build dups collapse — at-most-once
+    # per probe row, join.rs:122-124)
+    assert out.filter("k = 1").count() == 2
+
+
+def test_output_schema_is_probe_schema(nullkeys):
+    probe, build = nullkeys
+    out = semi_join_reduce(probe, "k", build, "k")
+    assert out.schema == probe.schema
+
+
+def test_missing_column_raises(nullkeys):
+    probe, build = nullkeys
+    with pytest.raises(ValueError):
+        semi_join_reduce(probe, "nope", build, "k")
+    with pytest.raises(ValueError):
+        semi_join_reduce(probe, "k", build, "nope")
+
+
+def test_reduction_on_star_schema(spark, orders, lineitem):
+    """End-to-end reference workflow at sf0.001: every surviving order
+    key must appear in the sample; reduction must be strict."""
+    from parquet_sampler_spark.operators.sample import sample_exact
+
+    s = sample_exact(lineitem, 0.01, seed=42,
+                     key_cols=["l_orderkey", "l_linenumber"])
+    red = semi_join_reduce(orders, "o_orderkey", s, "l_orderkey")
+    n_red, n_all = red.count(), orders.count()
+    assert 0 < n_red < n_all
+    sample_keys = {r.l_orderkey for r in s.select("l_orderkey").collect()}
+    assert all(r.o_orderkey in sample_keys
+               for r in red.select("o_orderkey").collect())
+
+
+def test_broadcast_join_in_plan(spark, orders, lineitem):
+    """The physical plan must use BroadcastHashJoin (build side small —
+    reproduces the reference's build/probe asymmetry at zero shuffle)."""
+    from parquet_sampler_spark.operators.sample import sample_exact
+
+    s = sample_exact(lineitem, 0.01, seed=42,
+                     key_cols=["l_orderkey", "l_linenumber"])
+    red = semi_join_reduce(orders, "o_orderkey", s, "l_orderkey")
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
