@@ -1,0 +1,163 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (array
+lambdas, no Python UDFs) so it stays inside whole-stage codegen and
+scales linearly over a 100 TB documents table with zero shuffle — these
+are all per-row map operators.
+
+Each function has a twin ``*_sql`` fragment generator emitting the same
+formula in DuckDB-compatible SQL, used by the oracle gate. Formulas
+avoid transcendentals (exp/log) so both engines produce bit-identical
+doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.functions.hashing import MODULUS
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language classifier. Order matters: argmax ties break in list order.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "en"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "los", "y", "del", "un", "una", "es", "que"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), " ")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count (single-space tokenizer — matches
+    DuckDB ``len(string_split(trim(x), ' '))``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(_tokens(c))
+    ).cast("bigint")
+
+
+def token_count_sql(col: str) -> str:
+    return (
+        f"CAST(CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"ELSE len(string_split(trim({col}), ' ')) END AS BIGINT)"
+    )
+
+
+def _stopword_hits(col: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(
+        F.filter(_tokens(col), lambda t: t.isin(*words))
+    )
+
+
+def _stopword_hits_sql(col: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(trim({col}), ' '), "
+        f"t -> t IN ({words})))"
+    )
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords — a standard quality signal
+    (very low → gibberish/boilerplate; used by e.g. C4/Gopher rules)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        _stopword_hits(c, lang).cast("double") / n.cast("double")
+    )
+
+
+def stopword_ratio_sql(col: str, lang: str = "en") -> str:
+    n = token_count_sql(col)
+    return (
+        f"CASE WHEN {n} = 0 THEN 0.0 ELSE "
+        f"CAST({_stopword_hits_sql(col, lang)} AS DOUBLE) / "
+        f"CAST({n} AS DOUBLE) END"
+    )
+
+
+def language_id(col: str | Column) -> Column:
+    """Stopword-vote language classifier: count stopword hits per
+    language, argmax with deterministic tie-break (en > fr > de > es),
+    'und' (undetermined) when no list scores a hit."""
+    c = F.col(col) if isinstance(col, str) else col
+    hits = {lang: _stopword_hits(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    result = F.lit("und")
+    # build the CASE from last to first so earlier languages win ties
+    for lang in reversed(list(STOPWORDS)):
+        result = F.when((hits[lang] == best) & (best > 0), lang).otherwise(
+            result
+        )
+    return result
+
+
+def language_id_sql(col: str) -> str:
+    hits = {lang: _stopword_hits_sql(col, lang) for lang in STOPWORDS}
+    greatest = f"greatest({', '.join(hits.values())})"
+    whens = " ".join(
+        f"WHEN {hits[lang]} = {greatest} AND {greatest} > 0 THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0, 1] quality score from length, mean token length,
+    and stopword ratio — rational arithmetic only (cross-engine exact):
+
+    ``0.4 * min(n_tokens, 50)/50 + 0.4 * min(stop_ratio, 0.25)/0.25
+    + 0.2 * (1 if 3 <= avg_tok_len <= 8 else 0)``
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c).cast("double")
+    stop = stopword_ratio(c)
+    avg_len = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.translate(F.trim(c), " ", "")).cast("double") / n
+    )
+    return (
+        F.least(n, F.lit(50.0)) / 50.0 * 0.4
+        + F.least(stop, F.lit(0.25)) / 0.25 * 0.4
+        + F.when((avg_len >= 3.0) & (avg_len <= 8.0), 0.2).otherwise(0.0)
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    n = f"CAST({token_count_sql(col)} AS DOUBLE)"
+    stop = stopword_ratio_sql(col)
+    avg = (
+        f"CASE WHEN {n} = 0 THEN 0.0 ELSE "
+        f"CAST(length(replace(trim({col}), ' ', '')) AS DOUBLE) / {n} END"
+    )
+    return (
+        f"least({n}, 50.0) / 50.0 * 0.4 "
+        f"+ least({stop}, 0.25) / 0.25 * 0.4 "
+        f"+ CASE WHEN {avg} >= 3.0 AND {avg} <= 8.0 THEN 0.2 ELSE 0.0 END"
+    )
+
+
+def fingerprint(col: str | Column, modulus: int = MODULUS) -> Column:
+    """Rolling polynomial document fingerprint over the whitespace-
+    normalized text: ``h = (h*31 + code(ch)) % M`` — Java-hashCode-style,
+    order-sensitive, expressible identically in DuckDB."""
+    from parquet_sampler_spark.functions.hashing import polynomial_string_hash
+
+    c = F.col(col) if isinstance(col, str) else col
+    return polynomial_string_hash(F.trim(c), modulus)
+
+
+def fingerprint_sql(col: str, modulus: int = MODULUS) -> str:
+    return (
+        f"CASE WHEN length(trim({col})) = 0 THEN 0 ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length(trim({col})) + 1), "
+        f"i -> CAST(ascii(substr(trim({col}), i, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {modulus}) END"
+    )

@@ -1,0 +1,371 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all expressed as declarative DataFrame plans:
+
+* :func:`exact_dedup` — hash-groupBy exact dedup, deterministic keeper.
+* :func:`ngram_jaccard_pairs` / :func:`jaccard_dedup` — exact n-gram-set
+  Jaccard via an inverted-index self-join (no cross join: pairs are only
+  generated for docs sharing a shingle — the standard scalable plan).
+* :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH: candidate
+  generation cost is O(docs × bands), then exact-Jaccard verification on
+  the (tiny) candidate set. The 100 TB path: banding replaces the
+  inverted-index join when shingle sets are huge.
+* :func:`simhash_pairs` — 32-bit SimHash + 4-band exact-match blocking,
+  Hamming-distance verification.
+* embedding near-dup lives in ``operators/similarity.py`` (cosine).
+
+Keeper rule for all dedup variants: a row is dropped iff a *similar* row
+with a smaller id exists (greedy min-id survivor). One pass, deterministic,
+SQL-expressible — and the standard practical choice vs full
+connected-components clustering (which needs iteration; documented
+trade-off).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "__psx_rn"
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact dedup on ``cols``: keep the row with the smallest ``id_col``
+    per duplicate group (deterministic, unlike ``dropDuplicates`` which
+    keeps an arbitrary row). One shuffle on ``cols``."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Distinct word n-grams (shingles) of the single-space-tokenized
+    text as an array column; n=1 → token set."""
+    tokens = F.split(F.trim(F.col(text_col)), " ")
+    if n == 1:
+        return F.array_distinct(tokens)
+    # slide a window of n over the token array; guard size < n — Spark's
+    # sequence(0, negative) would produce a *descending* sequence.
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    return F.when(
+        F.size(tokens) < n, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(ngrams))
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 1
+) -> DataFrame:
+    """Exploded (id, shingle) inverted-index relation, shingles distinct
+    per doc. Input is spread across cores first — a small single-split
+    file would otherwise explode on one thread."""
+    from parquet_sampler_spark.plans.layout import spread
+
+    return spread(df).select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard similarity join: all pairs (id_a < id_b)
+    with ``|A∩B| / |A∪B| >= threshold``.
+
+    Plan: inverted-index self-join on shingle → per-pair intersection
+    counts → inclusion-exclusion with per-doc set sizes. Shuffles on
+    shingle then on (id_a, id_b); never materializes the doc×doc cross
+    product. Skew note: a stop-shingle appearing in every doc would
+    quadratically blow up its join group — prune ultra-high-df shingles
+    upstream if that bites (standard trick, not needed at bench scale).
+
+    Output columns: ``id_a, id_b, jaccard``.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    # join on a 64-bit hash of the shingle: fixed-width keys shuffle and
+    # compare much faster than ~n-word strings; collision probability at
+    # any realistic distinct-shingle count is negligible (< 2^-40)
+    sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dedup by exact n-gram Jaccard: drop every row that has a
+    more-senior (smaller-id) neighbor at ``jaccard >= threshold``."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# 31-bit prime hash space: h < 2^31 and a < 2^31 keep a·h + b < 2^62,
+# inside BIGINT under Spark's ANSI overflow checking (on by default in 4.x).
+_MINHASH_P = 2_147_483_647
+
+
+def _minhash_signature(base_col, num_hashes: int, seed: int):
+    """Array of ``num_hashes`` min-hash values from a materialized
+    base-hash array column, computed in a SINGLE pass: the accumulator
+    is the running elementwise minimum of the permuted hashes
+    ``(a_i·h + b_i) mod p``. One traversal of the shingle hashes total,
+    vs num_hashes traversals for the naive per-permutation formulation."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+    def step(acc, h):
+        permuted = F.array(*[
+            (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+            for a, b in coeffs
+        ])
+        return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
+
+    init = F.array_repeat(F.lit(_MINHASH_P).cast("bigint"), num_hashes)
+    return F.aggregate(base_col, init, step)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate Jaccard similarity join: MinHash signatures → banded
+    LSH blocking → exact-Jaccard verification of candidates.
+
+    With r = num_hashes/bands rows per band, a pair at similarity s is
+    a candidate with probability ``1 - (1 - s^r)^bands`` (s-curve; with
+    32/8 the 50% point is ≈ 0.44). Verification makes the output
+    precision-exact; only recall is approximate.
+
+    Scale: signatures are one map pass; blocking shuffles (doc, band)
+    tuples — O(docs × bands), independent of pair count; verification
+    joins token sets only for candidate pairs.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    from parquet_sampler_spark.plans.layout import spread
+
+    # Staged projections — each expensive alias is referenced more than
+    # once downstream, which stops CollapseProject from re-inlining (and
+    # thus re-computing) it: shingles → base hashes → signature.
+    shingled = spread(df).select(
+        F.col(id_col), _word_ngrams(text_col, n).alias("__sh")
+    )
+    based = shingled.select(
+        id_col, "__sh",
+        F.transform(
+            "__sh", lambda s: F.abs(F.xxhash64(s) % F.lit(_MINHASH_P))
+        ).alias("__base"),
+    )
+    sig = based.select(
+        id_col, "__sh",
+        _minhash_signature(F.col("__base"), num_hashes, seed).alias("__sig"),
+    )
+
+    # Band table WITHOUT the shingle arrays: the explode multiplies rows
+    # by `bands`, and carrying a large string array through that (and
+    # the join shuffle) would multiply I/O by the same factor.
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.hash(F.slice("__sig", i * r + 1, r)).alias("bh"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bh")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Exact-Jaccard verification: join the shingle sets back in for the
+    # (small) candidate set only.
+    sh = sig.select(id_col, "__sh")
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"),
+                        F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Near-dedup via MinHash-LSH candidate pairs (greedy min-id
+    survivor, same rule as :func:`jaccard_dedup`)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text_col: str, bits: int = 32) -> "F.Column":
+    """Charikar SimHash over whitespace tokens: bit j of the fingerprint
+    is the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+
+    Single-pass formulation: one traversal of the token hashes with a
+    ``bits``-wide vote accumulator (the naive per-bit version re-scans
+    the array ``bits`` times). Per-row map, no shuffle."""
+    tokens = F.array_distinct(F.split(F.trim(F.col(text_col)), " "))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def step(acc, h):
+        votes = F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            for j in range(bits)
+        ])
+        return F.zip_with(acc, votes, lambda a, v: a + v)
+
+    vote_acc = F.aggregate(
+        hashes, F.array_repeat(F.lit(0).cast("bigint"), bits), step
+    )
+    bit_vals = F.zip_with(
+        vote_acc,
+        F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)]),
+        lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        bit_vals, F.lit(0).cast("bigint"), lambda s, x: s + x
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into ``bands``
+    chunks, block on exact chunk match (any pair within Hamming distance
+    < bands shares ≥ 1 chunk — pigeonhole), verify Hamming ≤
+    ``max_hamming``. Output: ``id_a, id_b, hamming``."""
+    if bits % bands != 0:
+        raise ValueError("bits must be divisible by bands")
+    w = bits // bands
+    mask = (1 << w) - 1
+
+    from parquet_sampler_spark.plans.layout import spread
+
+    fp = spread(df).select(
+        F.col(id_col), simhash(text_col, bits).alias("__fp")
+    )
+    banded = fp.select(
+        id_col, "__fp",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("__fp", i * w).bitwiseAND(F.lit(mask)).alias("chunk"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("b"),
+    ).select(id_col, "__fp", "b.band", "b.chunk")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(
+            F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -183,7 +183,9 @@ def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from parquet_sampler_spark import queries_ext
+
+    out = {
         "sample_lineitem": _q_sample_lineitem,
         "semijoin_orders": _q_semijoin_orders,
         "semijoin_customer": _q_semijoin_customer,
@@ -195,9 +197,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
     }
+    out.update(queries_ext.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
+    from parquet_sampler_spark import queries_ext
+
     sample = _sample_cte()
     counts_cols = ", ".join(
         f"(SELECT count(*) FROM {t}) AS {t}_rows" for t in TABLES
@@ -239,4 +245,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
+        **queries_ext.oracle_sql(),
     }

@@ -1,0 +1,392 @@
+"""Extension queries: text analysis, dedup, similarity search, OLAP
+aggregates/windows, sessionization — the training-data-pipeline surface
+beyond the reference's two operators, each with a DuckDB oracle where
+SQL-expressible (non-expressible ops get rows-only entries and pytest
+statistical validation instead).
+
+Determinism notes (driver hashes values):
+* per-row arithmetic (text scores, cosine) is IEEE-exact cross-engine —
+  verified bit-identical, no rounding needed;
+* ordering-sensitive aggregates (SUM of non-integral doubles) are
+  rounded to fixed decimals in BOTH engines;
+* every rank/row_number has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.functions import text as TX
+from parquet_sampler_spark.functions.vectors import (
+    normalized_cte_sql,
+    unit_dot_sql,
+)
+from parquet_sampler_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from parquet_sampler_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long (legacy conf, runtime-settable)
+    and truncate to microsecond timestamps — matching DuckDB's
+    ``epoch_us`` truncation of the same column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.stopword_ratio("text").alias("stop_ratio"),
+        TX.language_id("text").alias("lang_pred"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+def _sql_text_stats():
+    return (
+        f"SELECT doc_id, {TX.token_count_sql('text')} AS n_tokens, "
+        f"{TX.stopword_ratio_sql('text')} AS stop_ratio, "
+        f"{TX.language_id_sql('text')} AS lang_pred, "
+        f"{TX.quality_score_sql('text')} AS quality FROM documents"
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+def _sql_doc_fingerprint():
+    return (
+        f"SELECT doc_id, {TX.fingerprint_sql('text')} AS fp FROM documents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT d.* FROM documents d
+WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+_JACCARD_N = 2
+_JACCARD_T = 0.5
+
+# DuckDB bigram-shingle relation (distinct per doc) — mirrors
+# dedup._word_ngrams(text, 2)
+_SQL_SHINGLES2 = """
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 0) + 1),
+    i -> string_split(trim(text), ' ')[i] || ' ' ||
+         string_split(trim(text), ' ')[i+1]))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+jpairs AS (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) /
+         CAST(sa.set_size + sb.set_size - common AS DOUBLE) AS jaccard
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+"""
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=_JACCARD_N, threshold=_JACCARD_T,
+    )
+
+
+_SQL_JACCARD_PAIRS = (
+    f"WITH {_SQL_SHINGLES2} SELECT id_a, id_b, jaccard FROM jpairs "
+    f"WHERE jaccard >= {_JACCARD_T}"
+)
+
+
+def _q_jaccard_dedup(spark, sf_dir):
+    return jaccard_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=_JACCARD_N, threshold=_JACCARD_T,
+    )
+
+
+_SQL_JACCARD_DEDUP = (
+    f"WITH {_SQL_SHINGLES2} SELECT d.* FROM documents d WHERE NOT EXISTS "
+    f"(SELECT 1 FROM jpairs p WHERE p.id_b = d.doc_id "
+    f"AND p.jaccard >= {_JACCARD_T})"
+)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates, exact-Jaccard verified.
+    Rows-only driver check (xxhash64 isn't portable SQL); recall vs the
+    exact join is pinned in tests/test_dedup.py."""
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-distance near-dup pairs. Rows-only check."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=32, bands=4, max_hamming=3,
+    )
+
+
+_NEARDUP_T = 0.4
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=_NEARDUP_T,
+    )
+
+
+def _sql_embedding_neardup():
+    cos = unit_dot_sql("a.v", "b.v")
+    return (
+        f"WITH {normalized_cte_sql()} "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim "
+        f"FROM normed a JOIN normed b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {_NEARDUP_T}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_K = 10
+_ANN_NQ = 5  # query set: vec_id < 5
+
+
+def _q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K,
+    )
+
+
+def _sql_ann_topk():
+    cos = unit_dot_sql("q.v", "c.v")
+    return f"""
+WITH {normalized_cte_sql()}
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {_ANN_NQ}
+) WHERE rank <= {_ANN_K}
+"""
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k. Rows-only check; recall vs
+    brute force pinned in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K, bits=4, tables=16, dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLAP: aggregation, window, time-window, sessionization
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary. Money sums rounded to 2 decimals
+    in both engines (double addition isn't associative; partial-agg
+    order differs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_topk_orders(spark, sf_dir):
+    """Top-3 orders by totalprice per priority class — windowed top-k
+    with total-order tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+_SQL_TOPK_ORDERS = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def _q_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour event rollup (batch analog of the streaming
+    windowed agg in streaming/)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: per-user session count with a 30-minute
+    inactivity gap — lag + cumulative-gap pattern, integer-exact."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_SQL_SESSIONIZE = f"""
+SELECT user_id,
+       CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+              > {_SESSION_GAP_US}
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_stats": _q_text_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_dedup": _q_jaccard_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "pricing_summary": _q_pricing_summary,
+        "topk_orders": _q_topk_orders,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    # minhash_pairs / simhash_pairs / ann_lsh intentionally absent:
+    # xxhash64 / numpy hyperplanes aren't SQL-portable → rows-only check
+    # + statistical recall tests in pytest.
+    return {
+        "text_stats": _sql_text_stats(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "jaccard_dedup": _SQL_JACCARD_DEDUP,
+        "embedding_neardup": _sql_embedding_neardup(),
+        "ann_topk": _sql_ann_topk(),
+        "pricing_summary": _SQL_PRICING,
+        "topk_orders": _SQL_TOPK_ORDERS,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "sessionize": _SQL_SESSIONIZE,
+    }

@@ -1,0 +1,66 @@
+"""Structured Streaming smoke tests: file-source stream over the events
+table, stateless hash sampling, watermarked windowed rollup. The memory
+sink + availableNow trigger drives each query to completion
+synchronously (no timing flakes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.streaming.sampling import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_hash_sample,
+    windowed_rollup,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    return read_event_stream(spark, EVENTS)
+
+
+def test_stream_passthrough_counts(spark, event_stream):
+    out = run_stream_to_memory(event_stream, "all_events")
+    static_n = spark.read.parquet(EVENTS).count()
+    assert out.count() == static_n
+
+
+def test_streaming_sample_matches_batch_filter(spark, event_stream):
+    """The hash sample is deterministic: the streaming result equals the
+    same filter applied in batch — replay-safe by construction."""
+    sampled = streaming_hash_sample(event_stream, 0.2, seed=9)
+    out = run_stream_to_memory(sampled, "sampled_events")
+
+    from parquet_sampler_spark.queries_ext import _events
+
+    batch = streaming_hash_sample(
+        _events(spark, "/root/testdata/sf0.001"), 0.2, seed=9
+    )
+    got = sorted(r.event_id for r in out.collect())
+    want = sorted(r.event_id for r in batch.collect())
+    assert got == want
+    n = spark.read.parquet(EVENTS).count()
+    assert 0.1 * n < len(got) < 0.3 * n
+
+
+def test_streaming_sample_ratio_validation(event_stream):
+    with pytest.raises(ValueError):
+        streaming_hash_sample(event_stream, 1.5)
+
+
+def test_windowed_rollup(spark, event_stream):
+    agg = windowed_rollup(event_stream, window="1 hour",
+                          watermark="2 hours")
+    out = run_stream_to_memory(agg, "rollup", output_mode="append")
+    rows = out.collect()
+    assert len(rows) > 0
+    # windows are hour-aligned and counts sum to ≤ total (append mode
+    # emits only watermark-finalized windows)
+    total = spark.read.parquet(EVENTS).count()
+    assert sum(r.n_events for r in rows) <= total
+    for r in rows:
+        assert r.window_start.minute == 0 and r.window_start.second == 0

@@ -1,0 +1,69 @@
+"""Unit tests for text-analysis functions (functions/text.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is of to in"),
+        (2, "le chat est un animal et la maison de une ville en france"),
+        (3, "der hund ist ein tier und die katze das auto nicht"),
+        (4, "el perro es un animal y los gatos del parque una casa que"),
+        (5, ""),
+        (6, "zzz qqq xxx"),
+        (7, "  padded   text  "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _one(df, doc_id, col):
+    return df.filter(F.col("doc_id") == doc_id).collect()[0][col]
+
+
+def test_token_count(docs):
+    out = docs.select("doc_id", TX.token_count("text").alias("n"))
+    assert _one(out, 1, "n") == 12
+    assert _one(out, 5, "n") == 0
+    assert _one(out, 6, "n") == 3
+
+
+def test_language_id(docs):
+    out = docs.select("doc_id", TX.language_id("text").alias("lang"))
+    assert _one(out, 1, "lang") == "en"
+    assert _one(out, 2, "lang") == "fr"
+    assert _one(out, 3, "lang") == "de"
+    assert _one(out, 4, "lang") == "es"
+    assert _one(out, 6, "lang") == "und"
+
+
+def test_stopword_ratio_bounds(docs):
+    out = docs.select("doc_id", TX.stopword_ratio("text").alias("r"))
+    for r in out.collect():
+        assert 0.0 <= r.r <= 1.0
+    assert _one(out, 6, "r") == 0.0
+    assert _one(out, 5, "r") == 0.0
+
+
+def test_quality_score_range(docs):
+    out = docs.select("doc_id", TX.quality_score("text").alias("q"))
+    for r in out.collect():
+        assert 0.0 <= r.q <= 1.0
+    # real-looking English text beats consonant soup
+    assert _one(out, 1, "q") > _one(out, 6, "q")
+
+
+def test_fingerprint_matches_java_hashcode_mod(spark):
+    """The 31-base rolling hash of 'abc' is Java's hashCode: 96354."""
+    df = spark.createDataFrame([(1, "abc"), (2, ""), (3, "abc")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r.fp for r in
+           df.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
+    assert out[1] == 96354
+    assert out[2] == 0
+    assert out[1] == out[3]  # content-determined
