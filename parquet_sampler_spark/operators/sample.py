@@ -105,13 +105,16 @@ def sample_exact(
     candidates = tagged
     if n >= _PREFILTER_MIN_ROWS and ratio * _MARGIN < 0.9:
         # closed-form threshold: hash is uniform on [0, M), so
-        # E[|pr < t|] = n * t / M. Catalyst pushes this filter into the
-        # Parquet scan for method='hash' over plain key columns.
+        # E[|pr < t|] = n * t / M — no quantile job needed. The filter
+        # evaluates right behind the scan, so only ~k·margin rows ever
+        # reach the top-k sort. Persist the (tiny) candidate set: the
+        # safety count and the final top-k then share one scan of the
+        # big input instead of two.
         threshold = int(MODULUS * ratio * _MARGIN) + 1
-        pre = tagged.filter(F.col(_PR) < threshold)
+        pre = tagged.filter(F.col(_PR) < threshold).persist()
         if pre.count() >= k:
             candidates = pre
-        # else: astronomically unlikely; scan everything
+        # else: astronomically unlikely (Chernoff); scan everything
 
     w = Window.orderBy(F.col(_PR), *ties)
     out = (
@@ -122,6 +125,43 @@ def sample_exact(
     if order_by:
         out = out.orderBy(*order_by)
     return out
+
+
+def sample_stratified(
+    df: DataFrame,
+    ratio: float,
+    strata_cols: list[str],
+    seed: int = 42,
+    key_cols: list[str] | None = None,
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact-count sampling *per stratum*: keeps ``floor(n_g · ratio)``
+    rows from every group g of ``strata_cols`` — preserving group
+    proportions exactly (plain uniform sampling only preserves them in
+    expectation, and can miss small strata entirely).
+
+    Plan shape: a single shuffle on the strata (two window functions
+    share it) — the per-group count comes from a count window, so unlike
+    :func:`sample_exact` no driver-side count job runs at all. Skewed
+    strata behave like any groupBy (AQE applies). Deterministic and
+    engine-portable: identical SQL runs in the DuckDB oracle.
+    """
+    _validate_ratio(ratio)
+    if not key_cols:
+        raise ValueError("sample_stratified requires key_cols")
+    pr = lehmer_hash(key_cols, seed)
+    ties = [F.col(c) for c in (tie_cols or key_cols)]
+    w = Window.partitionBy(*strata_cols).orderBy(pr, *ties)
+    wc = Window.partitionBy(*strata_cols)
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .withColumn("__psx_n", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col(_RN)
+            <= F.floor(F.col("__psx_n") * F.lit(ratio)).cast("bigint")
+        )
+        .drop(_RN, "__psx_n")
+    )
 
 
 def sample_fraction(

@@ -48,6 +48,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# The sampled fact is the build side of every semi-join in the workflow;
+# computing it once per (session, sf_dir) and persisting the ~ratio·n
+# rows avoids re-running the sample job for each dimension reduction —
+# the Spark analog of the reference writing the sample to disk once and
+# reusing the file (README.md:15-26).
+_SAMPLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 # ---------------------------------------------------------------------------
 # Spark-side building blocks
 # ---------------------------------------------------------------------------
@@ -55,11 +63,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def lineitem_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-count sample of lineitem (reference `sample`
     binary, sample.rs:36-79, seeded + reproducible per SURVEY.md §7.2.1)."""
+    key = (id(spark), sf_dir)
+    if key in _SAMPLE_CACHE:
+        return _SAMPLE_CACHE[key]
+    from parquet_sampler_spark.sources.io import metadata_row_count
+
     li = table(spark, sf_dir, "lineitem")
-    return sample_exact(
+    s = sample_exact(
         li, SAMPLE_RATIO, seed=SAMPLE_SEED,
         key_cols=["l_orderkey", "l_linenumber"], tie_cols=_LINEITEM_TIE,
-    )
+        # footer-only count: no scan job just to size the sample
+        total_rows=metadata_row_count(f"{sf_dir}/lineitem.parquet"),
+    ).persist()
+    _SAMPLE_CACHE[key] = s
+    return s
 
 
 def orders_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -370,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": _q_topk_orders,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
+        **EXTRA_QUERIES,
     }
 
 
@@ -389,4 +390,166 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": _SQL_TOPK_ORDERS,
         "events_hourly": _SQL_EVENTS_HOURLY,
         "sessionize": _SQL_SESSIONIZE,
+        "sample_stratified": _sql_sample_stratified(),
+        "asof_attribution": _SQL_ASOF,
+        "anti_join_orders": _sql_anti_join_orders(),
+        "rollup_pricing": _SQL_ROLLUP,
+        "revenue_per_nation": _SQL_REVENUE,
     }
+
+# ---------------------------------------------------------------------------
+# OLAP round 2: stratified sample, as-of join, anti-join, rollup, multi-join
+# ---------------------------------------------------------------------------
+
+_STRAT_RATIO = 0.01
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Exact per-stratum sampling of orders by priority class — group
+    proportions preserved exactly (operators/sample.py)."""
+    from parquet_sampler_spark.operators.sample import sample_stratified
+
+    return sample_stratified(
+        _t(spark, sf_dir, "orders"), _STRAT_RATIO,
+        strata_cols=["o_orderpriority"], seed=7, key_cols=["o_orderkey"],
+    )
+
+
+def _sql_sample_stratified():
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+
+    pr = lehmer_hash_sql(["o_orderkey"], 7)
+    return f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY {pr}, o_orderkey) AS psx_rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS psx_n
+  FROM orders
+) WHERE psx_rn <= CAST(floor(psx_n * {_STRAT_RATIO}) AS BIGINT)
+"""
+
+
+def _q_asof_attribution(spark, sf_dir):
+    """Attribute each purchase to the user's most recent click at or
+    before it (as-of join, operators/asof.py). Timestamps are compared
+    and emitted as epoch microseconds so both engines operate on the
+    identical truncated clock."""
+    from parquet_sampler_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts_us", "ts_us",
+        ["click_event_id"], how="inner",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_ts_us").alias("click_ts_us"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+    )
+
+
+_SQL_ASOF = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_event_id
+           FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us,
+       c.ts_us AS click_ts_us, c.click_event_id
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+
+def _q_anti_join_orders(spark, sf_dir):
+    """Left anti-join: orders with NO sampled lineitem — the complement
+    of the reference's semi-join reduction."""
+    from parquet_sampler_spark.queries import lineitem_sample
+    from parquet_sampler_spark.operators.semijoin import _BK
+
+    s = lineitem_sample(spark, sf_dir)
+    keys = F.broadcast(s.select(F.col("l_orderkey").alias(_BK)).distinct())
+    o = _t(spark, sf_dir, "orders")
+    return o.join(keys, o["o_orderkey"] == keys[_BK], "left_anti")
+
+
+def _sql_anti_join_orders():
+    from parquet_sampler_spark.queries import _sample_cte
+
+    return (
+        f"WITH {_sample_cte()} SELECT o.* FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM lineitem_sample s WHERE s.l_orderkey = o.o_orderkey)"
+    )
+
+
+def _q_rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregation: subtotals per returnflag and grand total.
+    grouping_id disambiguates NULL-as-subtotal from NULL data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # must be computed inside the grouping aggregate
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "n_rows", "gid")
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n_rows,
+       grouping(l_returnflag, l_linestatus) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_revenue_per_nation(spark, sf_dir):
+    """Multi-join aggregate: lineitem⋈orders⋈customer⋈nation revenue
+    rollup — dimensions broadcast, the fact table never shuffles before
+    the aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+EXTRA_QUERIES = {
+    "sample_stratified": _q_sample_stratified,
+    "asof_attribution": _q_asof_attribution,
+    "anti_join_orders": _q_anti_join_orders,
+    "rollup_pricing": _q_rollup_pricing,
+    "revenue_per_nation": _q_revenue_per_nation,
+}
