@@ -59,6 +59,7 @@ def sample_exact(
     method: str = "hash",
     tie_cols: list[str] | None = None,
     order_by: list[str] | None = None,
+    order_preserving: bool = False,
     total_rows: int | None = None,
 ) -> DataFrame:
     """Sample exactly ``floor(count(df) * ratio)`` rows, without
@@ -74,20 +75,33 @@ def sample_exact(
     ``method="rand"``: rank by seeded ``F.rand`` — for tables without
     integer keys. Deterministic for a fixed seed and input partitioning.
 
-    ``order_by``: optional columns to sort the output by (the reference
-    preserves input-file order, sample.rs:49-50; pass the table's natural
-    key for the analogous stable order — cheap, since only k rows sort).
+    ``order_by``: optional columns to sort the output by.
+
+    ``order_preserving=True`` emits rows in *input-file order*, exactly
+    as the reference does (sample.rs:49-50,73-76: sorted indexes over a
+    sequential scan). Implemented with the Parquet scan's
+    ``_metadata.file_path`` / ``_metadata.row_index`` hidden columns —
+    a scan-level tag, so no zipWithIndex pass or extra shuffle; only the
+    k sampled rows are sorted. Requires a file-based input relation.
 
     ``total_rows``: pass a known count to skip the counting job (e.g.
     from :func:`~parquet_sampler_spark.sources.io.metadata_row_count`).
     """
     _validate_ratio(ratio)
+    out_cols = list(df.columns)
+    if order_preserving:
+        # tag file order at the scan (hidden parquet metadata columns)
+        df = df.select(
+            "*",
+            F.col("_metadata.file_path").alias(_ORD + "_f"),
+            F.col("_metadata.row_index").alias(_ORD + "_i"),
+        )
     n = total_rows if total_rows is not None else df.count()
     k = int(math.floor(n * ratio))
     if k <= 0:
-        return df.limit(0)
+        return df.limit(0).select(*out_cols)
     if k >= n:
-        return df
+        return df.select(*out_cols)
 
     if method == "hash":
         if not key_cols:
@@ -120,11 +134,12 @@ def sample_exact(
     out = (
         candidates.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) <= k)
-        .drop(_PR, _RN)
     )
-    if order_by:
+    if order_preserving:
+        out = out.orderBy(_ORD + "_f", _ORD + "_i")
+    elif order_by:
         out = out.orderBy(*order_by)
-    return out
+    return out.select(*out_cols)
 
 
 def sample_stratified(

@@ -117,3 +117,22 @@ def test_sample_fraction_approximate(lineitem):
     n = lineitem.count()
     c = sample_fraction(lineitem, 0.1, seed=1).count()
     assert 0.05 * n < c < 0.15 * n
+
+
+def test_order_preserving_matches_file_order(spark):
+    """order_preserving=True emits sampled rows in input-file order
+    (reference parity: sample.rs:49-50,73-76)."""
+    from pyspark.sql import functions as F
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    df = spark.read.parquet(path)
+    s = sample_exact(df, 0.05, seed=4, key_cols=KEYS,
+                     order_preserving=True)
+    got = [tuple(r) for r in s.collect()]
+    assert s.columns == df.columns
+    # reconstruct expected order: file position of each sampled row
+    tagged = spark.read.parquet(path).select(
+        "*", F.col("_metadata.row_index").alias("__idx"))
+    pos = {tuple(r)[:-1]: r["__idx"] for r in tagged.collect()}
+    assert got == sorted(got, key=lambda t: pos[t])
+    assert len(got) == 300
