@@ -200,7 +200,7 @@ def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from parquet_sampler_spark import queries_ext
+    from parquet_sampler_spark import queries_ext, queries_olap
 
     out = {
         "sample_lineitem": _q_sample_lineitem,
@@ -215,11 +215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_counts": _q_metadata_counts,
     }
     out.update(queries_ext.queries())
+    out.update(queries_olap.queries())
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from parquet_sampler_spark import queries_ext
+    from parquet_sampler_spark import queries_ext, queries_olap
 
     sample = _sample_cte()
     counts_cols = ", ".join(
@@ -263,4 +264,5 @@ def oracle_sql() -> dict[str, str]:
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
         **queries_ext.oracle_sql(),
+        **queries_olap.oracle_sql(),
     }

@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator: online sessionization with
+``applyInPandasWithState``.
+
+Per user, events are folded into sessions separated by an inactivity
+gap; a session is EMITTED once the gap (or stream end) closes it, and
+open-session state (start, last-seen, count) persists in the state store
+between micro-batches. This is the canonical shape for any custom
+stateful operator the DataFrame API can't express (the batch analog —
+lag + cumsum — needs the whole history; this needs O(open sessions)
+state).
+
+Scale: state is keyed by user_id → distributed with the shuffle; each
+group's state is one small tuple. A production deployment adds a state
+timeout (`GroupStateTimeout.ProcessingTimeTimeout`) to evict idle users;
+the test harness uses NoTimeout + stream-end flush for determinism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start_us", T.LongType()),
+    T.StructField("session_end_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """events (streaming, with ``user_id`` and ``ts``) → closed sessions
+    (append mode). Sessions still open when the stream ends stay in
+    state (flushed only by timeout in production)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+
+        closed: list[tuple] = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pdf["ts_us"])
+        ts = pd.concat(ts_all).sort_values()
+
+        for t in ts:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((user_id, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_us",
+                         "session_end_us", "n_events"],
+            )
+
+    from pyspark.sql import functions as F
+
+    tagged = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

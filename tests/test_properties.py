@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): cross-engine portability of the
+hash formulas — the foundation the oracle determinism rests on — and
+sampler invariants over arbitrary ratios."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from parquet_sampler_spark.functions.hashing import (
+    MODULUS,
+    lehmer_hash_sql,
+    _seed_params,
+)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**7),
+                  min_size=1, max_size=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_lehmer_hash_python_vs_duckdb(keys, seed):
+    """The SQL rendering evaluated by DuckDB must equal a direct Python
+    evaluation of the same formula for arbitrary keys/seeds (both must
+    stay inside exact int64 arithmetic)."""
+    sm, sa = _seed_params(seed)
+    expr = lehmer_hash_sql(["k"], seed)
+    got = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {expr} FROM (SELECT unnest({keys}) AS k)"
+        ).fetchall()
+    ]
+    want = [((k * 48271) % MODULUS * sm + sa) % MODULUS for k in keys]
+    assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=2**40))
+@settings(max_examples=100, deadline=None)
+def test_seed_params_valid(seed):
+    sm, sa = _seed_params(seed)
+    assert 0 < sm < MODULUS
+    assert 0 <= sa < MODULUS
+
+
+@given(
+    n=st.integers(min_value=0, max_value=5000),
+    ratio=st.floats(min_value=0.0, max_value=1.0,
+                    allow_nan=False, allow_infinity=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_sample_size_formula(n, ratio):
+    """floor(n·ratio) ∈ [0, n] for every valid ratio — the size contract
+    the sampler promises (sample.rs:37 semantics, minus the hang)."""
+    k = int(math.floor(n * ratio))
+    assert 0 <= k <= n
+
+
+def test_spark_lehmer_matches_duckdb_on_data(spark):
+    """End-to-end: Spark's lehmer_hash column equals DuckDB's rendering
+    of lehmer_hash_sql over the same parquet keys."""
+    from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    sdf = spark.read.parquet(path).select(
+        "o_orderkey", lehmer_hash(["o_orderkey"], 123).alias("h")
+    )
+    got = {r.o_orderkey: r.h for r in sdf.collect()}
+    expr = lehmer_hash_sql(["o_orderkey"], 123)
+    want = dict(duckdb.sql(
+        f"SELECT o_orderkey, {expr} FROM '{path}'"
+    ).fetchall())
+    assert got == want

@@ -64,3 +64,47 @@ def test_windowed_rollup(spark, event_stream):
     assert sum(r.n_events for r in rows) <= total
     for r in rows:
         assert r.window_start.minute == 0 and r.window_start.second == 0
+
+
+def test_stateful_sessionize_stream(spark, event_stream):
+    """applyInPandasWithState sessionizer: closed sessions from the
+    stream must agree with a batch recomputation of the same rule."""
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    out = run_stream_to_memory(
+        sessionize_stream(event_stream, gap_minutes=30), "sessions"
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.session_start_us <= r.session_end_us
+        assert r.n_events >= 1
+
+    # batch recomputation: sessions whose successor gap > 30min (closed
+    # sessions only — the stream keeps the final open session in state)
+    from parquet_sampler_spark.queries_ext import _events
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = _events(spark, "/root/testdata/sf0.001").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gap_us = 30 * 60 * 1_000_000
+    sess = (e.withColumn(
+        "new", F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > gap_us, 1
+        ).otherwise(0))
+        .withColumn("sid", F.sum("new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("session_start_us"),
+             F.max("ts_us").alias("session_end_us"),
+             F.count("*").alias("n_events"))
+        .withColumn("max_sid", F.max("sid").over(
+            Window.partitionBy("user_id")))
+        .filter(F.col("sid") < F.col("max_sid"))  # drop open sessions
+        .select("user_id", "session_start_us", "session_end_us",
+                "n_events"))
+    want = sorted(map(tuple, sess.collect()))
+    got = sorted(map(tuple, out.collect()))
+    assert got == want
