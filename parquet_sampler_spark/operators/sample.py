@@ -91,11 +91,18 @@ def sample_exact(
     out_cols = list(df.columns)
     if order_preserving:
         # tag file order at the scan (hidden parquet metadata columns)
-        df = df.select(
-            "*",
-            F.col("_metadata.file_path").alias(_ORD + "_f"),
-            F.col("_metadata.row_index").alias(_ORD + "_i"),
-        )
+        try:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias(_ORD + "_f"),
+                F.col("_metadata.row_index").alias(_ORD + "_i"),
+            )
+        except Exception as exc:  # AnalysisException: no _metadata col
+            raise ValueError(
+                "order_preserving=True requires a file-based input "
+                "(parquet/orc/csv scan) — the plan has no _metadata "
+                "column to recover file order from"
+            ) from exc
     n = total_rows if total_rows is not None else df.count()
     k = int(math.floor(n * ratio))
     if k <= 0:

@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "sql_correlated_subquery": _q_sql_api,
     }
 
 
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _SQL_TPCH_Q3,
         "tpch_q5": _SQL_TPCH_Q5,
         "tpch_q6": _SQL_TPCH_Q6,
+        "sql_correlated_subquery": _SQL_API_QUERY,
     }
 
 # ---------------------------------------------------------------------------
@@ -312,4 +314,25 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """
+
+# ---------------------------------------------------------------------------
+# SQL API surface: correlated subquery via spark.sql over temp views
+# ---------------------------------------------------------------------------
+
+_SQL_API_QUERY = """
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE (SELECT count(*) FROM lineitem l
+       WHERE l.l_orderkey = o.o_orderkey) >= 5
+"""
+
+
+def _q_sql_api(spark, sf_dir):
+    """The same engine surface through pure SQL: temp views + a
+    correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join). Demonstrates that every DataFrame operator here
+    is equally reachable via spark.sql."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_API_QUERY)
 
