@@ -182,10 +182,13 @@ def _q_minhash_pairs(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-distance near-dup pairs. Rows-only check."""
+    """SimHash Hamming-distance near-dup pairs. Rows-only check.
+    max_hamming=1: this corpus's token sets are so self-similar that
+    distance ≤3 admits ~1M pairs at sf0.1 — ≤1 keeps the result a
+    near-dup list rather than a similarity matrix."""
     return simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
-        bits=32, bands=4, max_hamming=3,
+        bits=32, bands=4, max_hamming=1,
     )
 
 

@@ -90,3 +90,17 @@ def test_simhash_near_pair_low_distance(dup_docs):
                           max_hamming=8)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert (1, 3) in got and got[(1, 3)] <= 8
+
+
+def test_prefix_filter_equals_naive(documents):
+    """Prefix filtering is an exact optimization: identical pair set and
+    jaccard values vs the naive inverted-index path."""
+    naive = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(documents, "doc_id", "text",
+                                          n=2, threshold=0.5,
+                                          prefix_filter=False).collect()}
+    fast = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(documents, "doc_id", "text",
+                                         n=2, threshold=0.5,
+                                         prefix_filter=True).collect()}
+    assert naive == fast and naive
