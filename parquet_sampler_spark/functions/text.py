@@ -161,3 +161,24 @@ def fingerprint_sql(col: str, modulus: int = MODULUS) -> str:
         f"i -> CAST(ascii(substr(trim({col}), i, 1)) AS BIGINT))), "
         f"(acc, x) -> (acc * 31 + x) % {modulus}) END"
     )
+
+_BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_count_bpe(col: str | Column) -> Column:
+    """BPE-ish subword-boundary token count: alphabetic runs, digit
+    runs, and individual punctuation each count as one token (the
+    pre-tokenization split most BPE vocabularies apply before merges).
+    Regex evaluates identically in Spark (Java regex) and DuckDB (RE2)
+    for this metacharacter-free character-class pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(_BPE_ISH), F.lit(0))
+    ).cast("bigint")
+
+
+def token_count_bpe_sql(col: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({col}, '{_BPE_ISH}')) AS BIGINT)"
+    )
+

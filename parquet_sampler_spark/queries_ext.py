@@ -63,6 +63,7 @@ def _q_text_stats(spark, sf_dir):
     return d.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
+        TX.token_count_bpe("text").alias("n_tokens_bpe"),
         TX.stopword_ratio("text").alias("stop_ratio"),
         TX.language_id("text").alias("lang_pred"),
         TX.quality_score("text").alias("quality"),
@@ -72,6 +73,7 @@ def _q_text_stats(spark, sf_dir):
 def _sql_text_stats():
     return (
         f"SELECT doc_id, {TX.token_count_sql('text')} AS n_tokens, "
+        f"{TX.token_count_bpe_sql('text')} AS n_tokens_bpe, "
         f"{TX.stopword_ratio_sql('text')} AS stop_ratio, "
         f"{TX.language_id_sql('text')} AS lang_pred, "
         f"{TX.quality_score_sql('text')} AS quality FROM documents"

@@ -1,0 +1,29 @@
+"""Approximate-aggregate sanity: HLL distinct counts and approximate
+quantiles within documented error bounds of exact values (approximate
+results can't be oracle-hashed — bounds are their contract)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.06  # 3×rsd safety margin
+
+
+def test_percentile_approx_vs_exact(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = o.selectExpr(
+        "percentile(o_totalprice, 0.5) AS m"
+    ).collect()[0].m
+    approx = o.selectExpr(
+        "percentile_approx(o_totalprice, 0.5, 10000) AS m"
+    ).collect()[0].m
+    assert abs(approx - exact) / exact < 0.01

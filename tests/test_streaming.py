@@ -108,3 +108,82 @@ def test_stateful_sessionize_stream(spark, event_stream):
     want = sorted(map(tuple, sess.collect()))
     got = sorted(map(tuple, out.collect()))
     assert got == want
+
+
+def test_stream_stream_attribution(spark, event_stream):
+    """Watermarked stream-stream interval join: every emitted pair obeys
+    the interval; pair count matches the batch interval join."""
+    from parquet_sampler_spark.streaming.joins import (
+        stream_stream_attribution,
+    )
+
+    purchases = event_stream.filter(F.col("event_type") == "purchase")
+    clicks = event_stream.filter(F.col("event_type") == "click")
+    out = run_stream_to_memory(
+        stream_stream_attribution(purchases, clicks, lookback="1 hour"),
+        "attribution",
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r.c_ts <= r.p_ts
+        delta = (r.p_ts - r.c_ts).total_seconds()
+        assert delta <= 3600
+
+    from parquet_sampler_spark.queries_ext import _events
+
+    e = _events(spark, "/root/testdata/sf0.001")
+    p = e.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id pu", "event_id pid", "ts pts")
+    c = e.filter(F.col("event_type") == "click").selectExpr(
+        "user_id cu", "event_id cid", "ts cts")
+    want = p.join(c, F.expr(
+        "pu = cu AND cts <= pts AND cts >= pts - interval 1 hour")).count()
+    assert len(rows) == want
+
+
+def test_streaming_exact_sample_matches_batch(spark, event_stream, tmp_path):
+    """After consuming the whole stream, the online reservoir equals the
+    batch exact-count sample with the same seed."""
+    from parquet_sampler_spark.streaming.joins import streaming_exact_sample
+    from parquet_sampler_spark.operators.sample import sample_exact
+    from parquet_sampler_spark.queries_ext import _events
+
+    res = str(tmp_path / "reservoir")
+    q = streaming_exact_sample(
+        event_stream, k=50, reservoir_path=res, key_cols=["event_id"],
+        seed=5,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        r.event_id
+        for r in spark.read.parquet(res).select("event_id").collect()
+    )
+    e = _events(spark, "/root/testdata/sf0.001")
+    n = e.count()
+    batch = sample_exact(e, 50 / n, seed=5, key_cols=["event_id"],
+                         total_rows=n)
+    want = sorted(r.event_id for r in batch.select("event_id").collect())
+    assert len(got) == 50
+    assert got == want
+
+
+def test_streaming_exact_sample_replay_idempotent(spark, event_stream,
+                                                  tmp_path):
+    """Replaying the entire stream against an existing reservoir must be
+    a no-op (exactly-once by idempotence)."""
+    from parquet_sampler_spark.streaming.joins import streaming_exact_sample
+
+    res = str(tmp_path / "res")
+    runs = []
+    for _ in range(2):
+        q = streaming_exact_sample(
+            event_stream, k=20, reservoir_path=res,
+            key_cols=["event_id"], seed=9,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        runs.append(sorted(
+            r.event_id for r in spark.read.parquet(res).collect()))
+    assert runs[0] == runs[1]
+    assert len(set(runs[0])) == 20
