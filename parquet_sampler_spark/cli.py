@@ -58,8 +58,49 @@ def main(argv: list[str] | None = None) -> int:
     p_join.add_argument("--no-broadcast", action="store_true")
     p_join.add_argument("--single-file", action="store_true")
 
+    p_dedup = sub.add_parser(
+        "dedup", help="deduplicate a parquet table (beyond-reference)"
+    )
+    p_dedup.add_argument("input")
+    p_dedup.add_argument("output")
+    p_dedup.add_argument("--id-col", required=True)
+    p_dedup.add_argument("--method", default="exact",
+                         choices=["exact", "jaccard", "minhash"])
+    p_dedup.add_argument("--cols", default=None,
+                         help="comma-separated columns (exact mode)")
+    p_dedup.add_argument("--text-col", default=None,
+                         help="text column (jaccard/minhash modes)")
+    p_dedup.add_argument("--ngram", type=int, default=2)
+    p_dedup.add_argument("--threshold", type=float, default=0.5)
+    p_dedup.add_argument("--single-file", action="store_true")
+
     args = parser.parse_args(argv)
     spark = get_spark(f"psx-{args.cmd}")
+
+    if args.cmd == "dedup":
+        from parquet_sampler_spark.operators.dedup import (
+            exact_dedup, jaccard_dedup, minhash_dedup,
+        )
+
+        if args.method in ("jaccard", "minhash") and not args.text_col:
+            parser.error(f"--text-col is required for --method {args.method}")
+        df = read_parquet(spark, args.input)
+        if args.method == "exact":
+            cols = args.cols.split(",") if args.cols else [
+                c for c in df.columns if c != args.id_col
+            ]
+            out = exact_dedup(df, cols, args.id_col)
+        elif args.method == "jaccard":
+            out = jaccard_dedup(df, args.id_col, args.text_col,
+                                n=args.ngram, threshold=args.threshold)
+        else:
+            out = minhash_dedup(df, args.id_col, args.text_col,
+                                n=args.ngram, threshold=args.threshold)
+        write_parquet(out, args.output, single_file=args.single_file)
+        before = metadata_row_count(args.input)
+        after = metadata_row_count(args.output)
+        print(f"dedup[{args.method}] {args.input}: {before} -> {after} rows")
+        return 0
 
     if args.cmd == "sample":
         df = read_parquet(spark, args.input)

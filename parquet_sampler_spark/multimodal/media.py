@@ -132,3 +132,58 @@ def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
             5000 if kind == "video" else None,
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def resize_images(
+    media: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image resize over Arrow batches: decode → resample → re-encode.
+    With ``deterministic_fake`` the "resample" is a deterministic byte
+    subsample to ``target_w·target_h`` bytes (the real decode/resample
+    hooks are the same swap point as :func:`extract_features`). Non-image
+    rows pass through unchanged. Pure map — pipelines with the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for kind, p, w, h in zip(
+                pdf["kind"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if kind != "image" or p is None:
+                    payloads.append(p)
+                    widths.append(w)
+                    heights.append(h)
+                    continue
+                if not deterministic_fake:
+                    _decode_image_real(p)  # raises: codec unavailable
+                arr = np.frombuffer(p, dtype=np.uint8)
+                idx = (np.arange(size) * max(len(arr), 1) // size) % max(
+                    len(arr), 1
+                )
+                payloads.append(bytes(arr[idx]) if len(arr) else b"")
+                widths.append(target_w)
+                heights.append(target_h)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": payloads,
+                "width": pd.array(widths, dtype="Int32"),
+                "height": pd.array(heights, dtype="Int32"),
+            })
+
+    return media.select(
+        "media_id", "kind", "payload", "width", "height"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+

