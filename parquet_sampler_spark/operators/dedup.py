@@ -111,6 +111,9 @@ def ngram_jaccard_pairs(
     # compare much faster than ~n-word strings; collision probability at
     # any realistic distinct-shingle count is negligible (< 2^-40)
     sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    # the relation feeds three consumers (both self-join sides + sizes);
+    # persist it so tokenize/shingle/hash runs once, not three times
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     if prefix_filter:
@@ -316,6 +319,10 @@ def minhash_lsh_pairs(
             out.append(bh.tolist())
         return pd.Series(out)
 
+    # shingled feeds both the signature pipeline and the verify joins;
+    # banded feeds both sides of the candidate self-join — persist each
+    # so the expensive upstream (split/shingle/xxhash/UDF) runs once
+    shingled = shingled.persist()
     sig = based.select(
         id_col, band_hash_udf(F.col("__base")).alias("__bh")
     )
@@ -325,7 +332,7 @@ def minhash_lsh_pairs(
     # the join shuffle) would multiply I/O by the same factor.
     banded = sig.select(
         id_col, F.posexplode("__bh").alias("band", "bh")
-    )
+    ).persist()
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

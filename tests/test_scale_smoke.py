@@ -43,3 +43,23 @@ def test_50m_sample_deterministic_slice(spark):
     b = sample_exact(df, ratio, seed=7, key_cols=["k"], total_rows=n) \
         .orderBy("k").limit(5).collect()
     assert a == b
+
+
+def test_semijoin_at_50m_rows(spark):
+    """Broadcast semi-join over a 50M-row probe: BroadcastHashJoin plan
+    (zero probe shuffle) + correct reduction arithmetic."""
+    from parquet_sampler_spark.operators.sample import sample_exact
+    from parquet_sampler_spark.operators.semijoin import semi_join_reduce
+
+    n = 50_000_000
+    probe = spark.range(n).select(
+        (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("payload")
+    )
+    build_src = spark.range(1_000_000).withColumnRenamed("id", "k")
+    build = sample_exact(build_src, 0.001, seed=3, key_cols=["k"],
+                         total_rows=1_000_000)  # 1000 distinct keys
+    red = semi_join_reduce(probe, "k", build, "k")
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # each of the 1000 sampled keys appears exactly 50 times in probe
+    assert red.count() == 1000 * 50
