@@ -32,6 +32,7 @@ from parquet_sampler_spark.operators.dedup import (
 from parquet_sampler_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from parquet_sampler_spark.plans.skew import salted_join
@@ -56,6 +57,7 @@ __all__ = [
     "simhash_pairs",
     "cosine_topk",
     "embedding_neardup_pairs",
+    "ivf_topk",
     "lsh_topk",
     "salted_join",
     "read_parquet",

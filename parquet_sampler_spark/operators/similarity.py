@@ -9,6 +9,9 @@
   recall for a candidate set ~``corpus / 2^bits`` per table — the
   100 TB path where scoring everything is off the table. Recall is
   tested against the brute-force baseline (tests/test_similarity.py).
+* :func:`ivf_topk` — inverted-file ANN: KMeans coarse quantizer, probe
+  the nprobe nearest cells, exact rerank — the density-adaptive
+  alternative to LSH.
 * :func:`embedding_neardup_pairs` — all corpus pairs with cosine ≥
   threshold (brute force, oracle-checkable) — embedding-space near-dedup.
 
@@ -206,3 +209,72 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``nlist`` cells; each query scores only
+    the ``nprobe`` nearest cells' members, then exact cosine rerank.
+
+    The scale shape: centroids are tiny and broadcast; corpus cell
+    assignment is one map pass (done by the fitted model); the candidate
+    join is an equi-join on cell id touching ~``nprobe/nlist`` of the
+    corpus per query. Versus LSH: IVF adapts to the data distribution
+    (cells follow density), at the cost of a training pass. Note: on
+    isotropic gaussian embeddings (this testdata) there is no density
+    structure to exploit and recall ≈ the probed corpus fraction plus a
+    nearest-cell edge (measured 0.68 @ nprobe=6/nlist=16, 0.78 @ 8/16);
+    real embedding corpora cluster and do much better.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col)).alias("__features"),
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="__features",
+                predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select(
+        "neighbor_id", "__cv", "__cell"
+    )
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        return pd.Series(order.astype("int32").tolist())
+
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    cand = (
+        assigned.join(F.broadcast(q), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("score", cosine("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) <= k)
+        .select("query_id", "neighbor_id", "score",
+                F.col(_RN).alias("rank"))
+    )
+

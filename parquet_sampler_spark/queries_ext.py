@@ -34,6 +34,7 @@ from parquet_sampler_spark.operators.dedup import (
 from parquet_sampler_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -244,6 +245,16 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF (KMeans coarse quantizer) approximate top-k. Rows-only
+    check; recall vs brute force pinned in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K, nlist=16, nprobe=8,
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-k. Rows-only check; recall vs
     brute force pinned in tests/test_similarity.py."""
@@ -383,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "pricing_summary": _q_pricing_summary,
         "topk_orders": _q_topk_orders,
         "events_hourly": _q_events_hourly,

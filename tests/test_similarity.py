@@ -74,3 +74,28 @@ def test_neardup_pairs_threshold(embeddings):
     for r in rows:
         assert r.cos_sim >= 0.4
         assert r.id_a < r.id_b
+
+
+def test_ivf_recall(embeddings, queries):
+    from parquet_sampler_spark.operators.similarity import ivf_topk
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(embeddings, queries, "vec_id",
+                                  "embedding", k=10).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(embeddings, queries, "vec_id", "embedding",
+                             k=10, nlist=16, nprobe=8).collect()}
+    recall = len(exact & ivf) / len(exact)
+    # isotropic gaussian data = IVF's worst case (no density structure);
+    # probing half the cells recovers well above that fraction
+    assert recall >= 0.6, f"recall={recall}"
+
+
+def test_ivf_deterministic(embeddings, queries):
+    from parquet_sampler_spark.operators.similarity import ivf_topk
+
+    a = sorted(map(tuple, ivf_topk(embeddings, queries, "vec_id",
+                                   "embedding", k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(embeddings, queries, "vec_id",
+                                   "embedding", k=5).collect()))
+    assert a == b
