@@ -218,31 +218,6 @@ def jaccard_dedup(
 _MINHASH_P = 2_147_483_647
 
 
-def _minhash_signature(base_col, num_hashes: int, seed: int):
-    """Array of ``num_hashes`` min-hash values from a materialized
-    base-hash array column, computed in a SINGLE pass: the accumulator
-    is the running elementwise minimum of the permuted hashes
-    ``(a_i·h + b_i) mod p``. One traversal of the shingle hashes total,
-    vs num_hashes traversals for the naive per-permutation formulation."""
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [
-        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
-        for _ in range(num_hashes)
-    ]
-
-    def step(acc, h):
-        permuted = F.array(*[
-            (h * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
-            for a, b in coeffs
-        ])
-        return F.zip_with(acc, permuted, lambda x, y: F.least(x, y))
-
-    init = F.array_repeat(F.lit(_MINHASH_P).cast("bigint"), num_hashes)
-    return F.aggregate(base_col, init, step)
-
-
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -101,23 +101,6 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def _signature(vec_col, planes) -> Column:
-    """Sign-bit signature: bit i = 1 iff dot(vec, plane_i) > 0."""
-    acc = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in plane]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        acc = acc + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return acc
-
-
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -104,3 +104,33 @@ def test_prefix_filter_equals_naive(documents):
                                          n=2, threshold=0.5,
                                          prefix_filter=True).collect()}
     assert naive == fast and naive
+
+
+def test_simhash_udf_matches_jvm_expression(spark, dup_docs):
+    """The vectorized numpy SimHash used by simhash_pairs must equal the
+    public JVM-expression simhash() column bit-for-bit: same token
+    hashes (JVM xxhash64), same vote-and-sign math."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.operators.dedup import simhash
+
+    jvm = {r.doc_id: r.fp for r in dup_docs.select(
+        "doc_id", simhash("text", bits=32).alias("fp")).collect()}
+
+    token_hashes = {
+        r.doc_id: r.th for r in dup_docs.select(
+            "doc_id",
+            F.transform(
+                F.array_distinct(F.split(F.trim(F.col("text")), " ")),
+                lambda t: F.xxhash64(t),
+            ).alias("th"),
+        ).collect()
+    }
+    shifts = np.arange(32, dtype=np.int64)
+    for doc_id, th in token_hashes.items():
+        h = np.asarray(th, dtype=np.int64)
+        bits_m = (h[:, None] >> shifts[None, :]) & 1
+        votes = (2 * bits_m - 1).sum(axis=0)
+        fp = int(((votes > 0).astype(np.int64) << shifts).sum())
+        assert fp == jvm[doc_id], doc_id
