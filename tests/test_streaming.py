@@ -187,3 +187,72 @@ def test_streaming_exact_sample_replay_idempotent(spark, event_stream,
             r.event_id for r in spark.read.parquet(res).collect()))
     assert runs[0] == runs[1]
     assert len(set(runs[0])) == 20
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: batch 2 contains an event far older than the
+    watermark advanced by batch 1 — the late row must NOT appear in any
+    finalized window (append-mode watermark semantics)."""
+    import datetime as dt
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        })
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))  # file source orders by mtime
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch A: events across hours 0..10 (advances watermark to ~8h
+    # with a 2h watermark)
+    write_batch("a.parquet", [
+        (i, t0 + dt.timedelta(hours=i), 1, "view", 1.0)
+        for i in range(11)
+    ], mtime=1_000_000)
+    # batch B: hour-11 event — the 8h watermark (from batch A) now
+    # applies, finalizing + evicting the hour-0 window
+    write_batch("b.parquet", [(50, t0 + dt.timedelta(hours=11), 1,
+                               "view", 1.0)], mtime=2_000_000)
+    # batch C: one event in hour 0 again — its window is already
+    # finalized and evicted → must be dropped (watermark semantics note:
+    # a late row is only guaranteed-dropped once its window left the
+    # state store; eviction lags the watermark by one batch)
+    write_batch("c.parquet", [(99, t0 + dt.timedelta(minutes=30), 1,
+                               "view", 1.0)], mtime=3_000_000)
+
+    from parquet_sampler_spark.streaming.sampling import windowed_rollup
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = windowed_rollup(stream, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("late_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM late_test").collect()
+    # hour-0 window finalized with exactly 1 event: the late row (99)
+    # was dropped, not merged
+    h0 = [r for r in out
+          if r.window_start == t0]
+    assert h0 and h0[0].n_events == 1
+    # the late event contributed to NO finalized window
+    assert sum(r.n_events for r in out) <= 12
