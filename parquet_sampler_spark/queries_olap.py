@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "sql_correlated_subquery": _q_sql_api,
+        "percentiles": _q_percentiles,
     }
 
 
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q10": _SQL_TPCH_Q10,
         "tpch_q18": _SQL_TPCH_Q18,
         "sql_correlated_subquery": _SQL_API_QUERY,
+        "percentiles": _SQL_PERCENTILES,
     }
 
 # ---------------------------------------------------------------------------
@@ -420,5 +422,29 @@ WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 100
+"""
+
+def _q_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per priority class —
+    Spark `percentile` and DuckDB `quantile_cont` agree bit-for-bit
+    (verified: identical interpolation on sorted doubles)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi
+FROM orders GROUP BY o_orderpriority
 """
 
