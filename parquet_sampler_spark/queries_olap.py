@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": _q_tpch_q18,
         "sql_correlated_subquery": _q_sql_api,
         "percentiles": _q_percentiles,
+        "json_extract": _q_json_extract,
+        "array_stats": _q_array_stats,
     }
 
 
@@ -212,6 +214,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": _SQL_TPCH_Q18,
         "sql_correlated_subquery": _SQL_API_QUERY,
         "percentiles": _SQL_PERCENTILES,
+        "json_extract": _SQL_JSON_EXTRACT,
+        "array_stats": _SQL_ARRAY_STATS,
     }
 
 # ---------------------------------------------------------------------------
@@ -446,5 +450,65 @@ SELECT o_orderpriority,
        min(o_totalprice) AS lo,
        max(o_totalprice) AS hi
 FROM orders GROUP BY o_orderpriority
+"""
+
+def _q_json_extract(spark, sf_dir):
+    """Semi-structured access: extract a JSON field from the events
+    props column, bucket it, aggregate — the JSON-functions surface."""
+    from parquet_sampler_spark.queries_ext import _events
+
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def _q_array_stats(spark, sf_dir):
+    """Array-function surface over embeddings: per-vector min / max /
+    mean / dim. Mean uses an explicit left-to-right sum over double
+    casts — the same op order as the DuckDB list_reduce twin, so no
+    rounding is needed."""
+    e = _t(spark, sf_dir, "embeddings")
+    total = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.array_min("embedding").alias("v_min"),
+        F.array_max("embedding").alias("v_max"),
+        (total / F.size("embedding")).alias("v_mean"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+_SQL_ARRAY_STATS = """
+SELECT vec_id,
+       list_min(embedding) AS v_min,
+       list_max(embedding) AS v_max,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (a, b) -> a + b) / len(embedding) AS v_mean,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
 """
 
