@@ -458,7 +458,12 @@ def _q_json_extract(spark, sf_dir):
     from parquet_sampler_spark.queries_ext import _events
 
     e = _events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    # guard with an integral-pattern match before casting: engines
+    # disagree on non-integral strings (Spark try_cast -> NULL, DuckDB
+    # TRY_CAST rounds "87.5" to 88) — restricting both sides to
+    # ^-?[0-9]+$ makes the cast identical everywhere
+    ks = F.get_json_object("props", "$.k")
+    k = F.when(ks.rlike("^-?[0-9]+$"), ks.try_cast("bigint"))
     return (
         e.select("event_type", k.alias("k"))
         .filter(F.col("k").isNotNull())
@@ -470,14 +475,20 @@ def _q_json_extract(spark, sf_dir):
     )
 
 
+# integral-pattern guard + TRY_CAST, mirroring the Spark twin exactly —
+# without the guard the engines disagree on non-integral strings (Spark
+# NULLs them, DuckDB rounds "87.5" to 88).
 _SQL_JSON_EXTRACT = """
-SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-       count(*) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k
-FROM events
-WHERE json_extract_string(props, '$.k') IS NOT NULL
+SELECT event_type, k % 10 AS k_bucket, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type,
+         CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                  '^-?[0-9]+$')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+) WHERE k IS NOT NULL
 GROUP BY 1, 2
 """
 
