@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": _q_pivot_events,
         "window_suite": _q_window_suite,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "tpch_q10": _q_tpch_q10,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events": _SQL_PIVOT_EVENTS,
         "window_suite": _SQL_WINDOW_SUITE,
         "tpch_q3": _SQL_TPCH_Q3,
+        "tpch_q4": _SQL_TPCH_Q4,
         "tpch_q5": _SQL_TPCH_Q5,
         "tpch_q6": _SQL_TPCH_Q6,
         "tpch_q10": _SQL_TPCH_Q10,
@@ -521,5 +523,30 @@ SELECT vec_id,
                    (a, b) -> a + b) / len(embedding) AS v_mean,
        CAST(len(embedding) AS INT) AS dim
 FROM embeddings
+"""
+
+def _q_tpch_q4(spark, sf_dir):
+    """Q4 order-priority checking (adapted: no commit/receipt dates in
+    this schema — "late" = any lineitem shipped > 60 days after the
+    order date). Compound-condition left semi-join + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
 """
 

@@ -1,0 +1,87 @@
+"""Plan audit: dump formatted physical plans for the headline operators
+and grep them for the properties SCALING.md promises (broadcast
+semi-joins, pushed filters, pruned schemas, top-k instead of global
+sort, no Exchange on bucketed joins).
+
+Usage: python tools/explain_audit.py [sf_dir] > PLANS.txt
+Exit code 1 if any asserted plan property is missing.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark import queries as R
+    from parquet_sampler_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    failures = []
+
+    def check(name, df, must_contain=(), must_not=()):
+        p = plan_of(df)
+        print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
+        df.explain("formatted")
+        for frag in must_contain:
+            ok = frag in p
+            print(f"  [{'ok' if ok else 'MISSING'}] expects {frag!r}")
+            if not ok:
+                failures.append((name, frag))
+        for frag in must_not:
+            ok = frag not in p
+            print(f"  [{'ok' if ok else 'PRESENT'}] forbids {frag!r}")
+            if not ok:
+                failures.append((name, f"!{frag}"))
+
+    # 1. semi-join reduction: broadcast, no probe shuffle
+    check(
+        "semijoin_orders",
+        R.queries()["semijoin_orders"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "LeftSemi"],
+    )
+    # 2. sampler: top-k heap, not a global sort
+    check(
+        "sample_lineitem",
+        R.queries()["sample_lineitem"](spark, sf_dir),
+        must_contain=["TakeOrderedAndProject"],
+    )
+    # 3. projected scan: column pruning reaches the reader
+    pruned = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey"
+    )
+    check("projected_scan", pruned, must_not=["l_partkey"])
+    # 4. predicate pushdown on tpch_q6
+    check(
+        "tpch_q6",
+        R.queries()["tpch_q6"](spark, sf_dir),
+        must_contain=["PushedFilters: ["],
+    )
+    # 5. multi-join: all dims broadcast
+    check(
+        "revenue_per_nation",
+        R.queries()["revenue_per_nation"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["SortMergeJoin"],
+    )
+
+    print(f"\n{len(failures)} plan-property failures")
+    for f in failures:
+        print("  FAIL", f)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
