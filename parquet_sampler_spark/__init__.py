@@ -22,6 +22,8 @@ from parquet_sampler_spark.operators.sample import (
 from parquet_sampler_spark.operators.semijoin import semi_join_reduce
 from parquet_sampler_spark.operators.asof import asof_join
 from parquet_sampler_spark.operators.dedup import (
+    cluster_dedup,
+    duplicate_clusters,
     exact_dedup,
     jaccard_dedup,
     minhash_dedup,
@@ -49,6 +51,8 @@ __all__ = [
     "sample_stratified",
     "semi_join_reduce",
     "asof_join",
+    "cluster_dedup",
+    "duplicate_clusters",
     "exact_dedup",
     "jaccard_dedup",
     "minhash_dedup",

@@ -465,3 +465,88 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+# ---------------------------------------------------------------------------
+# Connected-components duplicate clustering
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Transitive-closure duplicate clusters: label every row with the
+    MINIMUM id reachable through the similarity graph (``pairs`` from
+    any pair generator — exact Jaccard, MinHash, SimHash, embedding).
+
+    Unlike the greedy min-id rule (drop if ANY smaller-id neighbor),
+    clustering gives one canonical representative per *component*: for a
+    chain a—b—c, greedy keeps a and c (c has no smaller direct
+    neighbor), clustering keeps only a.
+
+    Algorithm: iterative min-label propagation to fixpoint —
+    ``label(v) ← min(label(v), min label(u) over neighbors u)`` — the
+    standard large-scale CC formulation (each round = one join + one
+    aggregate, all shuffles on id; rounds needed = graph diameter,
+    which for near-dup graphs is tiny). Each round persists its labels
+    and the loop stops when no label changes (driver-side count).
+
+    Output: ``(id_col, cluster)`` for every input row; singletons
+    cluster to themselves.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+
+    labels = df.select(
+        F.col(id_col), F.col(id_col).alias("cluster")
+    ).persist()
+
+    for _ in range(max_iterations):
+        neigh_min = (
+            sym.join(labels, sym["dst"] == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(
+                neigh_min, labels[id_col] == neigh_min["src"], "left"
+            )
+            .select(
+                labels[id_col],
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("__nmin"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Keep exactly one row (the min-id representative) per duplicate
+    cluster — the transitive-closure analog of :func:`jaccard_dedup`."""
+    labels = duplicate_clusters(df, pairs, id_col)
+    keep = labels.filter(F.col(id_col) == F.col("cluster")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+

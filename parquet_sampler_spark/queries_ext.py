@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         **EXTRA_QUERIES,
         "multimodal_features": _q_multimodal_features,
+        "dup_clusters": _q_dup_clusters,
     }
 
 
@@ -425,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_orders": _sql_anti_join_orders(),
         "rollup_pricing": _SQL_ROLLUP,
         "revenue_per_nation": _SQL_REVENUE,
+        "dup_clusters": _SQL_DUP_CLUSTERS,
     }
 
 # ---------------------------------------------------------------------------
@@ -595,4 +597,53 @@ def _q_multimodal_features(spark, sf_dir):
     )
 
     return extract_features(synthetic_media(spark, n=64))
+
+def _q_dup_clusters(spark, sf_dir):
+    """Connected-components duplicate clustering over the exact-Jaccard
+    pair graph: every doc labeled with the min id of its component."""
+    from parquet_sampler_spark.operators.dedup import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_clusters(
+        d, _jaccard_pairs_cached(spark, sf_dir), "doc_id"
+    ).select("doc_id", "cluster")
+
+
+# min-label propagation unrolled 4 rounds — the duplicate graph's max
+# component diameter is ≤ 3 at every sf (verified), so 4 rounds is past
+# the fixpoint the Spark loop converges to.
+_SQL_DUP_CLUSTERS = (
+    "WITH " + _SQL_SHINGLES2 + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jpairs WHERE jaccard >= 0.5
+),
+l0 AS (SELECT doc_id, doc_id AS cluster FROM documents),
+l1 AS (SELECT d.doc_id,
+              least(d.cluster, coalesce(m.ml, d.cluster)) AS cluster
+       FROM l0 d LEFT JOIN (
+         SELECT e.src, min(l.cluster) AS ml FROM edges e
+         JOIN l0 l ON l.doc_id = e.dst GROUP BY e.src) m
+       ON m.src = d.doc_id),
+l2 AS (SELECT d.doc_id,
+              least(d.cluster, coalesce(m.ml, d.cluster)) AS cluster
+       FROM l1 d LEFT JOIN (
+         SELECT e.src, min(l.cluster) AS ml FROM edges e
+         JOIN l1 l ON l.doc_id = e.dst GROUP BY e.src) m
+       ON m.src = d.doc_id),
+l3 AS (SELECT d.doc_id,
+              least(d.cluster, coalesce(m.ml, d.cluster)) AS cluster
+       FROM l2 d LEFT JOIN (
+         SELECT e.src, min(l.cluster) AS ml FROM edges e
+         JOIN l2 l ON l.doc_id = e.dst GROUP BY e.src) m
+       ON m.src = d.doc_id),
+l4 AS (SELECT d.doc_id,
+              least(d.cluster, coalesce(m.ml, d.cluster)) AS cluster
+       FROM l3 d LEFT JOIN (
+         SELECT e.src, min(l.cluster) AS ml FROM edges e
+         JOIN l3 l ON l.doc_id = e.dst GROUP BY e.src) m
+       ON m.src = d.doc_id)
+SELECT doc_id, cluster FROM l4
+""")
 

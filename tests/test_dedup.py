@@ -134,3 +134,62 @@ def test_simhash_udf_matches_jvm_expression(spark, dup_docs):
         votes = (2 * bits_m - 1).sum(axis=0)
         fp = int(((votes > 0).astype(np.int64) << shifts).sum())
         assert fp == jvm[doc_id], doc_id
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """Chain a—b, b—c (no a—c edge): clustering assigns all three to
+    cluster a; greedy dedup would keep both a and c."""
+    from parquet_sampler_spark.operators.dedup import (
+        cluster_dedup,
+        duplicate_clusters,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y")], "doc_id long, t string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    labels = {r.doc_id: r.cluster
+              for r in duplicate_clusters(df, pairs, "doc_id").collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 9}
+    kept = sorted(r.doc_id for r in
+                  cluster_dedup(df, pairs, "doc_id").collect())
+    assert kept == [1, 9]
+
+
+def test_duplicate_clusters_matches_union_find(spark, documents):
+    """CC labels on the real pair graph must equal a driver-side
+    union-find over the same pairs."""
+    from parquet_sampler_spark.operators.dedup import duplicate_clusters
+
+    pairs = ngram_jaccard_pairs(documents, "doc_id", "text", n=2,
+                                threshold=0.5)
+    got = {r.doc_id: r.cluster
+           for r in duplicate_clusters(documents, pairs, "doc_id")
+           .collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_nontrivial = {}
+    for v in parent:
+        want_nontrivial[v] = find(v)
+    for v, c in want_nontrivial.items():
+        assert got[v] == c, (v, c, got[v])
+    # all other docs are singletons
+    in_graph = set(want_nontrivial)
+    for v, c in got.items():
+        if v not in in_graph:
+            assert c == v
