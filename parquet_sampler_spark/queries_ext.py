@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES,
         "multimodal_features": _q_multimodal_features,
         "dup_clusters": _q_dup_clusters,
+        "events_multi_rollup": _q_events_multi_rollup,
     }
 
 
@@ -427,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing": _SQL_ROLLUP,
         "revenue_per_nation": _SQL_REVENUE,
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
     }
 
 # ---------------------------------------------------------------------------
@@ -646,4 +648,34 @@ l4 AS (SELECT d.doc_id,
        ON m.src = d.doc_id)
 SELECT doc_id, cluster FROM l4
 """)
+
+def _q_events_multi_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: one pass producing BOTH
+    hourly and daily rollups via GROUPING SETS (the multi-granularity
+    time-series pattern); gid disambiguates the granularity level."""
+    e = _events(spark, sf_dir)
+    e.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        F.date_trunc("day", "ts").alias("dy"),
+        "event_type", "value",
+    ).createOrReplaceTempView("psx_events_buckets")
+    return spark.sql("""
+        SELECT hr, dy, event_type,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               CAST(grouping(hr) * 2 + grouping(dy) AS INT) AS gid
+        FROM psx_events_buckets
+        GROUP BY GROUPING SETS ((hr, event_type), (dy, event_type))
+    """)
+
+
+_SQL_EVENTS_MULTI_ROLLUP = """
+SELECT hr, dy, event_type, count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       CAST(grouping(hr) * 2 + grouping(dy) AS INT) AS gid
+FROM (SELECT date_trunc('hour', ts) AS hr,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS dy,
+             event_type, value FROM events)
+GROUP BY GROUPING SETS ((hr, event_type), (dy, event_type))
+"""
 
