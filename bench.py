@@ -39,6 +39,34 @@ def main() -> None:
         fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 4)
 
+    # the reference's composed workflow end-to-end INCLUDING the sinks
+    # (README.md:15-26: sample the fact, write it, reduce each dim
+    # against it, write those) — the headline user journey
+    import shutil
+    import tempfile
+
+    from parquet_sampler_spark.operators.semijoin import semi_join_reduce
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    out_dir = tempfile.mkdtemp(prefix="psx_bench_")
+    try:
+        t0 = time.perf_counter()
+        s = registry.lineitem_sample(spark, sf_dir)
+        write_parquet(s, f"{out_dir}/lineitem_s.parquet")
+        orders_red = registry.orders_reduced(spark, sf_dir)
+        write_parquet(orders_red, f"{out_dir}/orders_red.parquet")
+        for dim, key, fk in [("part", "p_partkey", "l_partkey"),
+                             ("supplier", "s_suppkey", "l_suppkey")]:
+            red = semi_join_reduce(
+                registry.table(spark, sf_dir, dim), key, s, fk
+            )
+            write_parquet(red, f"{out_dir}/{dim}_red.parquet")
+        times["workflow_e2e_with_sinks"] = round(
+            time.perf_counter() - t0, 4
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 4)
     print(json.dumps({
         "metric": "query_suite_total",
