@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "json_extract": _q_json_extract,
         "array_stats": _q_array_stats,
+        "grouped_udaf_quantiles": _q_grouped_udaf,
     }
 
 
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles": _SQL_PERCENTILES,
         "json_extract": _SQL_JSON_EXTRACT,
         "array_stats": _SQL_ARRAY_STATS,
+        "grouped_udaf_quantiles": _SQL_GROUPED_UDAF,
     }
 
 # ---------------------------------------------------------------------------
@@ -548,5 +550,27 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
 GROUP BY o_orderpriority
+"""
+
+def _q_grouped_udaf(spark, sf_dir):
+    """Grouped-map UDAF (applyInPandas): per-segment account-balance
+    quantiles. numpy's linear interpolation is the same formula as
+    DuckDB quantile_cont — the pandas path is value-exact, so even the
+    UDAF machinery is oracle-checked."""
+    from parquet_sampler_spark.functions.grouped import group_quantiles
+
+    c = _t(spark, sf_dir, "customer")
+    return group_quantiles(
+        c, ["c_mktsegment"], "c_acctbal", probs=(0.25, 0.5, 0.75)
+    )
+
+
+_SQL_GROUPED_UDAF = """
+SELECT c_mktsegment,
+       quantile_cont(c_acctbal, 0.25) AS q_25,
+       quantile_cont(c_acctbal, 0.5) AS q_50,
+       quantile_cont(c_acctbal, 0.75) AS q_75,
+       count(*) AS n
+FROM customer GROUP BY c_mktsegment
 """
 

@@ -27,3 +27,22 @@ def test_percentile_approx_vs_exact(spark):
         "percentile_approx(o_totalprice, 0.5, 10000) AS m"
     ).collect()[0].m
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_group_quantiles_matches_sql_percentile(spark):
+    """applyInPandas grouped quantiles == Spark SQL exact percentile,
+    bit for bit (same linear interpolation)."""
+    from parquet_sampler_spark.functions.grouped import group_quantiles
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    got = {r.c_mktsegment: (r.q_25, r.q_50, r.q_75, r.n)
+           for r in group_quantiles(c, ["c_mktsegment"], "c_acctbal")
+           .collect()}
+    want = {r.c_mktsegment: (r.q_25, r.q_50, r.q_75, r.n)
+            for r in c.groupBy("c_mktsegment").agg(
+                F.expr("percentile(c_acctbal, 0.25)").alias("q_25"),
+                F.expr("percentile(c_acctbal, 0.5)").alias("q_50"),
+                F.expr("percentile(c_acctbal, 0.75)").alias("q_75"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()}
+    assert got == want
