@@ -31,7 +31,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # full precision: the driver's hash may compare raw values, so
+        # the local gate must not be more lenient (a last-ulp mismatch
+        # in numpy-vs-SQL interpolation was once masked by rounding here)
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, list):
