@@ -49,6 +49,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and truncate to microsecond timestamps — matching DuckDB's
     ``epoch_us`` truncation of the same column."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp_micros produces TIMESTAMP_LTZ, whose bucketing (date_trunc,
+    # to_date) follows the session timezone — pin UTC so results match the
+    # UTC-naive DuckDB oracle even under a driver session with another TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return e.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
