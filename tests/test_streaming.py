@@ -256,3 +256,64 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert h0 and h0[0].n_events == 1
     # the late event contributed to NO finalized window
     assert sum(r.n_events for r in out) <= 12
+
+
+def test_stateful_checkpoint_recovery(spark, tmp_path):
+    """Open-session state survives a query restart via checkpointing:
+    a session whose events span two separate query runs is emitted once,
+    with the event count accumulated across the restart."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    out_dir = str(tmp_path / "sessions_out")
+
+    def run(query_name):
+        # file sink: fault-tolerant, supports checkpoint recovery
+        # (memory sink rejects restarts from an existing checkpoint)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(str(src))
+        )
+        q = (sessionize_stream(stream, gap_minutes=30)
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out_dir)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    # run 1: two events 10 min apart — session stays OPEN in state
+    wb("a.parquet", [(1, t0), (1, t0 + dt.timedelta(minutes=10))],
+       1_000_000)
+    out1 = run("ckpt_run1")
+    assert out1 == []  # nothing closed yet
+
+    # run 2 (fresh query, same checkpoint): one more event inside the
+    # gap, then one 2h later that CLOSES the session
+    wb("b.parquet", [(1, t0 + dt.timedelta(minutes=20)),
+                     (1, t0 + dt.timedelta(hours=3))], 2_000_000)
+    out2 = run("ckpt_run2")
+    closed = [r for r in out2 if r.user_id == 1]
+    assert len(closed) == 1
+    s = closed[0]
+    # the closed session spans the restart: events from BOTH runs
+    assert s.n_events == 3
+    assert s.session_start_us == int(t0.timestamp() * 1_000_000)
