@@ -21,6 +21,7 @@ from parquet_sampler_spark.operators.sample import (
 )
 from parquet_sampler_spark.operators.semijoin import semi_join_reduce
 from parquet_sampler_spark.operators.asof import asof_join
+from parquet_sampler_spark.operators.merge import merge_upsert
 from parquet_sampler_spark.operators.dedup import (
     cluster_dedup,
     duplicate_clusters,
@@ -51,6 +52,7 @@ __all__ = [
     "sample_stratified",
     "semi_join_reduce",
     "asof_join",
+    "merge_upsert",
     "cluster_dedup",
     "duplicate_clusters",
     "exact_dedup",

@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "array_stats": _q_array_stats,
         "grouped_udaf_quantiles": _q_grouped_udaf,
+        "merge_upsert": _q_merge_upsert,
     }
 
 
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _SQL_JSON_EXTRACT,
         "array_stats": _SQL_ARRAY_STATS,
         "grouped_udaf_quantiles": _SQL_GROUPED_UDAF,
+        "merge_upsert": _SQL_MERGE_UPSERT,
     }
 
 # ---------------------------------------------------------------------------
@@ -572,5 +574,53 @@ SELECT c_mktsegment,
        quantile_cont(c_acctbal, 0.75) AS q_75,
        count(*) AS n
 FROM customer GROUP BY c_mktsegment
+"""
+
+def _q_merge_upsert(spark, sf_dir):
+    """CDC MERGE emulation: apply a deterministic synthetic update batch
+    (every 100th customer re-priced, every 250th deleted, 3 inserts) to
+    the customer snapshot."""
+    from parquet_sampler_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 100 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 250 == 0).alias("is_deleted"),
+    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+             "c_mktsegment", "is_deleted")
+    inserts = spark.createDataFrame(
+        [(10_000_001 + i, f"NewCustomer#{i}", 0, 0.0, "BUILDING", False)
+         for i in range(3)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string, is_deleted boolean",
+    )
+    batch = updates.unionByName(inserts)
+    return merge_upsert(
+        c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"),
+        batch, ["c_custkey"], delete_col="is_deleted",
+    )
+
+
+_SQL_MERGE_UPSERT = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         c_mktsegment, (c_custkey % 250 = 0) AS is_deleted
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (10000001, 'NewCustomer#0', 0, 0.0, 'BUILDING', false),
+    (10000002, 'NewCustomer#1', 0, 0.0, 'BUILDING', false),
+    (10000003, 'NewCustomer#2', 0, 0.0, 'BUILDING', false))
+    v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, is_deleted)
+)
+SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM updates WHERE NOT is_deleted
 """
 
