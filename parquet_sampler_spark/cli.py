@@ -46,6 +46,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_sample.add_argument("--method", choices=["hash", "rand"], default=None)
     p_sample.add_argument("--single-file", action="store_true")
+    p_sample.add_argument(
+        "--order-preserving", action="store_true",
+        help="emit rows in input-file order (reference parity)",
+    )
+    p_sample.add_argument(
+        "--stratify", default=None,
+        help="comma-separated strata columns: exact floor(n_g*ratio) "
+             "rows per group instead of a global sample",
+    )
 
     p_join = sub.add_parser("join", help="left semi-join reduction")
     p_join.add_argument("probe")
@@ -107,12 +116,24 @@ def main(argv: list[str] | None = None) -> int:
         key_cols = args.key_cols.split(",") if args.key_cols else None
         method = args.method or ("hash" if key_cols else "rand")
         n = metadata_row_count(args.input)
-        out = sample_exact(
-            df, args.ratio, seed=args.seed, key_cols=key_cols,
-            method=method, total_rows=n,
-        )
+        if args.stratify:
+            from parquet_sampler_spark.operators.sample import (
+                sample_stratified,
+            )
+
+            out = sample_stratified(
+                df, args.ratio, strata_cols=args.stratify.split(","),
+                seed=args.seed, key_cols=key_cols,
+            )
+        else:
+            out = sample_exact(
+                df, args.ratio, seed=args.seed, key_cols=key_cols,
+                method=method, total_rows=n,
+                order_preserving=args.order_preserving,
+            )
         write_parquet(out, args.output, single_file=args.single_file)
-        print(f"sampled {int(n * args.ratio)} of {n} rows -> {args.output}")
+        n_out = metadata_row_count(args.output)
+        print(f"sampled {n_out} of {n} rows -> {args.output}")
     else:
         probe = read_parquet(spark, args.probe)
         build = read_parquet(spark, args.build)

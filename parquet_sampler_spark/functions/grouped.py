@@ -35,7 +35,7 @@ def group_quantiles(
     Output: group_cols + ``q_25, q_50, ...`` (prob × 100, trailing zeros
     trimmed) + ``n``.
     """
-    q_names = [f"q_{str(p * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+    q_names = [f"q_{format(p * 100, 'g').replace('.', '_')}"
                for p in probs]
     out_schema = ", ".join(
         [f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols]
@@ -44,9 +44,18 @@ def group_quantiles(
     )
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(pdf[value_col].to_numpy(dtype=np.float64))
+        # drop NULLs like SQL aggregates do — NaN would poison the
+        # interpolation and inflate n vs percentile/quantile_cont
+        vals = np.sort(
+            pdf[value_col].dropna().to_numpy(dtype=np.float64)
+        )
         n = len(vals)
         row = {c: pdf[c].iloc[0] for c in group_cols}
+        if n == 0:
+            for name in q_names:
+                row[name] = None
+            row["n"] = 0
+            return pd.DataFrame([row])
         for p, name in zip(probs, q_names):
             # Spark/DuckDB's exact formula: (1-t)*a + t*b. (Both
             # np.quantile's lerp and the a+(b-a)*t form differ in the

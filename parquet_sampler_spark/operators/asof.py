@@ -55,6 +55,10 @@ def asof_join(
             ) + ">"
         ).alias(_VAL),
     )
+    # a NULL right timestamp would sort first (nulls-first ascending) and
+    # carry a phantom payload onto left rows — it can never legitimately
+    # satisfy right_ts <= left_ts, so drop such rows up front
+    right = right.filter(F.col(right_ts).isNotNull())
     rt = right.select(
         *key_cols,
         F.col(right_ts).alias("__ts"),

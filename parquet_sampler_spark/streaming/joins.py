@@ -63,23 +63,31 @@ def streaming_exact_sample(
     reservoir_path: str,
     key_cols: list[str],
     seed: int = 42,
-) -> "DataFrame":
+):
     """Maintain a k-row deterministic reservoir of the stream at
-    ``reservoir_path`` (parquet). Returns the writeStream-ready
-    DataFrame; caller starts it (or use with trigger availableNow).
+    ``reservoir_path`` (parquet).
 
     Invariant after each batch: reservoir = k smallest (pr, key) rows
     over ALL events consumed so far — so a replayed batch is a no-op
     (idempotent, exactly-once under the overwrite sink).
+
+    Returns the ``DataStreamWriter`` (caller adds a trigger and calls
+    ``.start()``). Local-filesystem reservoir paths only (existence is
+    checked with os.path; swap for a FileSystem check on object stores).
     """
+    import os
+
     spark = events.sparkSession
     pr = lehmer_hash(key_cols, seed)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         tagged = batch.withColumn("__pr", pr)
-        try:
+        # existence check, not a broad except: a transient READ error on
+        # an existing reservoir must fail the batch (and be retried by
+        # the stream), never silently reset accumulated state
+        if os.path.exists(reservoir_path):
             current = spark.read.parquet(reservoir_path)
-        except Exception:  # first batch: no reservoir yet
+        else:
             current = None
         merged = (
             tagged if current is None else current.unionByName(tagged)

@@ -67,8 +67,9 @@ def streaming_hash_sample(
     exact-count sampler: the kept count is binomial around n·ratio (an
     exact count is impossible online without unbounded state).
     """
-    if not (0.0 <= ratio <= 1.0):
-        raise ValueError(f"sampling ratio must be in [0, 1], got {ratio}")
+    from parquet_sampler_spark.operators.sample import _validate_ratio
+
+    _validate_ratio(ratio)
     threshold = int(MODULUS * ratio)
     return events.filter(lehmer_hash([key_col], seed) < threshold)
 

@@ -4,7 +4,10 @@
 Per user, events are folded into sessions separated by an inactivity
 gap; a session is EMITTED once the gap (or stream end) closes it, and
 open-session state (start, last-seen, count) persists in the state store
-between micro-batches. This is the canonical shape for any custom
+between micro-batches. Late cross-batch events merge into the open
+session (best-effort without a watermark); events later than an
+already-emitted session start a new one — the inherent limit of
+watermark-less sessionization. This is the canonical shape for any custom
 stateful operator the DataFrame API can't express (the batch analog —
 lag + cumsum — needs the whole history; this needs O(open sessions)
 state).
@@ -73,7 +76,12 @@ def sessionize_stream(
                 closed.append((user_id, start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
+                # cross-batch late arrival (t may precede last_us —
+                # batches sort internally, not globally): merge into the
+                # open session without moving last_us backwards, so
+                # end >= start always holds and no spurious split occurs
+                start_us = min(start_us, t)
+                last_us, n = max(last_us, t), n + 1
 
         state.update((start_us, last_us, n))
         if closed:

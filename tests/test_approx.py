@@ -46,3 +46,27 @@ def test_group_quantiles_matches_sql_percentile(spark):
                 F.count(F.lit(1)).alias("n"),
             ).collect()}
     assert got == want
+
+
+def test_group_quantiles_null_handling(spark):
+    """NULLs are ignored like SQL aggregates; all-NULL groups yield NULL
+    quantiles with n=0 (regression: NaN poisoning)."""
+    from parquet_sampler_spark.functions.grouped import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", None)],
+        "g string, v double",
+    )
+    got = {r.g: (r.q_50, r.n)
+           for r in group_quantiles(df, ["g"], "v", probs=(0.5,))
+           .collect()}
+    assert got["a"] == (1.5, 2)
+    assert got["b"] == (None, 0)
+
+
+def test_group_quantiles_name_formatting(spark):
+    from parquet_sampler_spark.functions.grouped import group_quantiles
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    out = group_quantiles(df, ["g"], "v", probs=(0.07, 0.5))
+    assert "q_7" in out.columns and "q_50" in out.columns

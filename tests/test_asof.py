@@ -66,3 +66,17 @@ def test_asof_invalid_how(pair):
     left, right = pair
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"], "t", "t", ["v"], how="full")
+
+
+def test_null_right_timestamp_no_phantom_match(spark):
+    """A right row with NULL ts must never be carried as a match
+    (regression: nulls-first ordering made it a phantom payload)."""
+    left = spark.createDataFrame([(1, 10, "p")], "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k long, t long, v double"
+    )
+    inner = asof_join(left, right, ["k"], "t", "t", ["v"], how="inner")
+    assert inner.count() == 0
+    left_out = asof_join(left, right, ["k"], "t", "t", ["v"],
+                         how="left").collect()
+    assert left_out[0].asof_t is None and left_out[0].asof_v is None

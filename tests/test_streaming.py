@@ -317,3 +317,50 @@ def test_stateful_checkpoint_recovery(spark, tmp_path):
     # the closed session spans the restart: events from BOTH runs
     assert s.n_events == 3
     assert s.session_start_us == int(t0.timestamp() * 1_000_000)
+
+
+def test_sessionize_out_of_order_batches(spark, tmp_path):
+    """A late cross-batch event merges into the open session without
+    corrupting it (regression: end < start and spurious splits)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "ooo"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    # batch 1: events at 100min and 110min (open session)
+    wb("a.parquet", [(1, t0 + dt.timedelta(minutes=100)),
+                     (1, t0 + dt.timedelta(minutes=110))], 1_000_000)
+    # batch 2: LATE event at 95min (before last_us), then a closer at +4h
+    wb("b.parquet", [(1, t0 + dt.timedelta(minutes=95)),
+                     (1, t0 + dt.timedelta(hours=6))], 2_000_000)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (sessionize_stream(stream, gap_minutes=30)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("ooo_sessions")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ooo_sessions").collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.session_start_us <= s.session_end_us
+    # late event merged: 3 events, start extended back to 95min
+    assert s.n_events == 3
+    assert s.session_start_us == int(
+        (t0 + dt.timedelta(minutes=95)).timestamp() * 1_000_000)
