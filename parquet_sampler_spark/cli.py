@@ -112,6 +112,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sample":
+        if args.stratify and not args.key_cols:
+            parser.error("--stratify requires --key-cols")
+        if args.stratify and args.order_preserving:
+            parser.error("--order-preserving is not supported with "
+                         "--stratify (stratified output has no global "
+                         "file order)")
         df = read_parquet(spark, args.input)
         key_cols = args.key_cols.split(",") if args.key_cols else None
         method = args.method or ("hash" if key_cols else "rand")

@@ -38,15 +38,20 @@ def semi_join_reduce(
     null_safe: bool = False,
     stringly: bool = False,
     broadcast: bool = True,
+    how: str = "left_semi",
 ) -> DataFrame:
     """Reduce ``probe`` to rows whose ``probe_key`` appears in
-    ``build[build_key]``. Output schema = probe schema.
+    ``build[build_key]`` (``how="left_semi"``), or to its complement —
+    rows with NO matching build key (``how="left_anti"``).
+    Output schema = probe schema.
 
     The build side is projected to its key column and de-duplicated
     before broadcast — semi-join output is invariant to build duplicates
     (join.rs:72 set insert collapses them), and a distinct key list keeps
     the broadcast minimal.
     """
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
     if probe_key not in probe.columns:
         raise ValueError(f"probe key {probe_key!r} not in {probe.columns}")
     if build_key not in build.columns:
@@ -65,4 +70,4 @@ def semi_join_reduce(
         cond = pk.eqNullSafe(keys[_BK])
     else:
         cond = pk == keys[_BK]
-    return probe.join(keys, cond, "left_semi")
+    return probe.join(keys, cond, how)

@@ -21,18 +21,16 @@ import time
 def job_progress(spark, label: str, min_interval_s: float = 1.0):
     """Print `label: completed/total tasks` lines while jobs run inside
     the block (throttled to one line per ``min_interval_s``)."""
+    import threading
+
     sc = spark.sparkContext
+    # StatusTracker polling (public API) — no JVM listener subclass
+    # needed from Python.
+    start = time.time()
+    done = {"stop": False}
     listener_holder = {}
 
     try:
-        from py4j.java_gateway import java_import  # noqa: F401
-
-        # StatusTracker polling (public API) — no JVM listener subclass
-        # needed from Python.
-        start = time.time()
-        done = {"stop": False}
-
-        import threading
 
         def poll():
             last = 0.0

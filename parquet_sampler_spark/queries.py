@@ -56,6 +56,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SAMPLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def clear_caches() -> None:
+    """Unpersist and drop every cached DataFrame held by the query
+    registry (the sampled fact here, the Jaccard pairs in queries_ext).
+    Call between scale factors / sessions in long-lived processes —
+    nothing evicts these automatically."""
+    from parquet_sampler_spark import queries_ext
+
+    for cache in (_SAMPLE_CACHE, queries_ext._PAIRS_CACHE):
+        for df in cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session may already be stopped
+        cache.clear()
+
+
 # ---------------------------------------------------------------------------
 # Spark-side building blocks
 # ---------------------------------------------------------------------------

@@ -508,14 +508,15 @@ FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
 
 def _q_anti_join_orders(spark, sf_dir):
     """Left anti-join: orders with NO sampled lineitem — the complement
-    of the reference's semi-join reduction."""
+    of the reference's semi-join reduction (same operator, how flag)."""
+    from parquet_sampler_spark.operators.semijoin import semi_join_reduce
     from parquet_sampler_spark.queries import lineitem_sample
-    from parquet_sampler_spark.operators.semijoin import _BK
 
     s = lineitem_sample(spark, sf_dir)
-    keys = F.broadcast(s.select(F.col("l_orderkey").alias(_BK)).distinct())
-    o = _t(spark, sf_dir, "orders")
-    return o.join(keys, o["o_orderkey"] == keys[_BK], "left_anti")
+    return semi_join_reduce(
+        _t(spark, sf_dir, "orders"), "o_orderkey", s, "l_orderkey",
+        how="left_anti",
+    )
 
 
 def _sql_anti_join_orders():

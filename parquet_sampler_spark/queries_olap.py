@@ -588,8 +588,7 @@ def _q_merge_upsert(spark, sf_dir):
         (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
         "c_mktsegment",
         (F.col("c_custkey") % 250 == 0).alias("is_deleted"),
-    ).select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
-             "c_mktsegment", "is_deleted")
+    )
     inserts = spark.createDataFrame(
         [(10_000_001 + i, f"NewCustomer#{i}", 0, 0.0, "BUILDING", False)
          for i in range(3)],

@@ -29,12 +29,18 @@ def metadata_row_count(path: str) -> int:
     """Footer-only row count, no data scan (reference: sample.rs:31-34
     reads ``num_rows`` from the file metadata). Uses pyarrow to read
     footers directly — O(files), zero Spark jobs."""
+    import glob as globmod
     from pathlib import Path
 
     import pyarrow.parquet as pq
 
-    p = Path(path)
-    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    if any(ch in path for ch in "*?["):  # glob input, like Spark accepts
+        files = [Path(f) for f in sorted(globmod.glob(path))]
+    else:
+        p = Path(path)
+        files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    if not files:
+        raise FileNotFoundError(f"no parquet files match {path!r}")
     return sum(pq.read_metadata(f).num_rows for f in files)
 
 
