@@ -61,3 +61,22 @@ def test_convert_rejects_unknown_format(spark, tmp_path):
     with pytest.raises(ValueError):
         FX.convert_to_parquet(spark, "/x", str(tmp_path / "o"),
                               in_format="avro")
+
+
+def test_partition_pruning_on_partitioned_output(spark, small, tmp_path):
+    """Reading a hive-partitioned dataset with a partition filter must
+    prune at the scan (PartitionFilters in the plan) — the layout that
+    makes 100 TB tables queryable by slice."""
+    dst = str(tmp_path / "part_out")
+    src = str(tmp_path / "src2")
+    FX.write_csv(small.fillna({"s": "x"}), src)
+    FX.convert_to_parquet(spark, src, dst, in_format="csv",
+                          schema="id long, s string, v double",
+                          partition_by=["s"])
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(dst).filter(F.col("s") == "a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(s" in plan or "(s" in plan
+    assert df.count() == 1

@@ -136,3 +136,17 @@ def test_order_preserving_matches_file_order(spark):
     pos = {tuple(r)[:-1]: r["__idx"] for r in tagged.collect()}
     assert got == sorted(got, key=lambda t: pos[t])
     assert len(got) == 300
+
+
+def test_rand_method_with_order_preserving(spark):
+    """method='rand' + order_preserving: exact count and file order."""
+    path = "/root/testdata/sf0.001/orders.parquet"
+    df = spark.read.parquet(path)
+    s = sample_exact(df, 0.02, seed=3, method="rand",
+                     order_preserving=True)
+    rows = [r.o_orderkey for r in s.collect()]
+    assert len(rows) == 30
+    tagged = spark.read.parquet(path).select(
+        "o_orderkey", F.col("_metadata.row_index").alias("idx"))
+    pos = {r.o_orderkey: r.idx for r in tagged.collect()}
+    assert rows == sorted(rows, key=lambda k: pos[k])

@@ -87,3 +87,24 @@ def test_broadcast_join_in_plan(spark, orders, lineitem):
     red = semi_join_reduce(orders, "o_orderkey", s, "l_orderkey")
     plan = red._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_broadcast_path_plans_shuffle_join(spark, orders, lineitem):
+    """broadcast=False with auto-broadcast disabled must fall back to a
+    shuffled join (the build-side-too-big-to-broadcast path)."""
+    from parquet_sampler_spark.operators.sample import sample_exact
+
+    s = sample_exact(lineitem, 0.01, seed=42,
+                     key_cols=["l_orderkey", "l_linenumber"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        red = semi_join_reduce(orders, "o_orderkey", s, "l_orderkey",
+                               broadcast=False)
+        plan = red._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+        # result identical to the broadcast path
+        bcast = semi_join_reduce(orders, "o_orderkey", s, "l_orderkey")
+        assert red.count() == bcast.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
