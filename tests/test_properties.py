@@ -75,3 +75,32 @@ def test_spark_lehmer_matches_duckdb_on_data(spark):
         f"SELECT o_orderkey, {expr} FROM '{path}'"
     ).fetchall())
     assert got == want
+
+
+def test_sampler_cross_engine_fuzz(spark):
+    """The flagship contract, fuzzed: for random (ratio, seed) pairs the
+    Spark sampler and the equivalent DuckDB SQL select the IDENTICAL
+    row set on the same parquet."""
+    import random
+
+    from parquet_sampler_spark.operators.sample import sample_exact
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    df = spark.read.parquet(path)
+    n = df.count()
+    rng = random.Random(2024)
+    for _ in range(8):
+        ratio = rng.choice([0.001, 0.01, 0.037, 0.2, 0.5, 0.999])
+        seed = rng.randrange(0, 2**31)
+        s = sample_exact(df, ratio, seed=seed, key_cols=["o_orderkey"],
+                         total_rows=n)
+        got = sorted(r.o_orderkey for r in s.select("o_orderkey").collect())
+        pr = lehmer_hash_sql(["o_orderkey"], seed)
+        want = sorted(r[0] for r in duckdb.sql(f"""
+            SELECT o_orderkey FROM (
+              SELECT o_orderkey,
+                     row_number() OVER (ORDER BY {pr}, o_orderkey) AS rn
+              FROM '{path}')
+            WHERE rn <= CAST(floor({n} * {ratio}) AS BIGINT)
+        """).fetchall())
+        assert got == want, (ratio, seed, len(got), len(want))
