@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
         "tpch_q18": _q_tpch_q18,
         "sql_correlated_subquery": _q_sql_api,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q4": _SQL_TPCH_Q4,
         "tpch_q5": _SQL_TPCH_Q5,
         "tpch_q6": _SQL_TPCH_Q6,
+        "tpch_q7": _SQL_TPCH_Q7,
         "tpch_q10": _SQL_TPCH_Q10,
         "tpch_q18": _SQL_TPCH_Q18,
         "sql_correlated_subquery": _SQL_API_QUERY,
@@ -621,5 +623,61 @@ WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
 UNION ALL
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
 FROM updates WHERE NOT is_deleted
+"""
+
+def _q_tpch_q7(spark, sf_dir):
+    """Q7 volume shipping (adapted): revenue between (supplier nation,
+    customer nation) pairs — the dual-dimension join where the fact
+    table joins TWO independent nation lookups through different paths
+    (lineitem→supplier→nation and lineitem→orders→customer→nation)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    # exact-decimal revenue: price has 2 decimals and discount is a
+    # percent step, so price*100 and (1-disc)*100 are integers — their
+    # product sums EXACTLY in any order (unlike double revenue sums,
+    # which straddled the rounding boundary in 2 of 600 groups here).
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            (F.sum(rev_e4) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name != n2.n_name
+GROUP BY n1.n_name, n2.n_name
 """
 
