@@ -278,14 +278,19 @@ def _q_pricing_summary(spark, sf_dir):
     in both engines (double addition isn't associative; partial-agg
     order differs)."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money/percent columns are fixed-point: sum exact integer cents /
+    # ten-thousandths (order-independent — double sums can straddle a
+    # rounding boundary when partial-agg order differs across engines)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_c = F.round(F.col("l_discount") * 100).cast("bigint")
+    disc_e4 = price_c * (100 - disc_c)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_e4) / 10000.0).alias("sum_disc_price"),
+            (F.sum(disc_c) / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -293,10 +298,14 @@ def _q_pricing_summary(spark, sf_dir):
 
 _SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS sum_disc_price,
+       sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*)
+         AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -561,21 +570,27 @@ def _q_revenue_per_nation(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
     return (
         li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(rev), 2).alias("revenue"),
+            (F.sum(rev_e4) / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 _SQL_REVENUE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

@@ -275,12 +275,15 @@ def _q_tpch_q3(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
     return (
         li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg((F.sum(rev_e4) / 10000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -288,7 +291,8 @@ def _q_tpch_q3(spark, sf_dir):
 
 _SQL_TPCH_Q3 = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -311,20 +315,24 @@ def _q_tpch_q5(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
     return (
         li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg((F.sum(rev_e4) / 10000.0).alias("revenue"))
     )
 
 
 _SQL_TPCH_Q5 = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -368,13 +376,16 @@ def _q_tpch_q10(spark, sf_dir):
         F.col("l_returnflag") == "R"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
     return (
         li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg((F.sum(rev_e4) / 10000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -382,7 +393,8 @@ def _q_tpch_q10(spark, sf_dir):
 
 _SQL_TPCH_Q10 = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -417,7 +429,7 @@ def _q_tpch_q18(spark, sf_dir):
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))  # integral: exact
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -425,7 +437,7 @@ def _q_tpch_q18(spark, sf_dir):
 
 _SQL_TPCH_Q18 = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-       round(sum(l_quantity), 2) AS sum_qty
+       sum(l_quantity) AS sum_qty
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
