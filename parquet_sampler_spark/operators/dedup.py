@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
     prefix_filter: bool = False,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard similarity join: all pairs (id_a < id_b)
     with ``|A∩B| / |A∪B| >= threshold``.
@@ -104,8 +105,25 @@ def ngram_jaccard_pairs(
     it is measured ~13× SLOWER — prefix filtering needs df skew to pay
     for its candidate-verify pass, hence opt-in rather than default.
 
+    ``max_shingle_df`` drops shingles whose DOCUMENT FREQUENCY exceeds
+    the cap from the self-join (not from the Jaccard denominator) — the
+    standard guard against quadratic hot-shingle join groups on Zipfian
+    corpora: a shingle appearing in d docs generates O(d²) candidate
+    rows, and stop-shingles carry almost no similarity signal. The
+    result is recall-only approximate: a qualifying pair is missed iff
+    its ENTIRE overlap consists of over-cap shingles (for real
+    vocabularies at sane caps, pairs at threshold ≥ 0.5 share rare
+    shingles too). Computed jaccard values for surviving pairs can
+    only be under-estimates — precision is exact.
+
     Output columns: ``id_a, id_b, jaccard``.
     """
+    if prefix_filter and max_shingle_df is not None:
+        raise ValueError(
+            "prefix_filter and max_shingle_df are alternative hot-"
+            "shingle mitigations — use one (prefix_filter is exact, "
+            "max_shingle_df is recall-approximate but cheaper)"
+        )
     sh = shingle_table(df, id_col, text_col, n)
     # join on a 64-bit hash of the shingle: fixed-width keys shuffle and
     # compare much faster than ~n-word strings; collision probability at
@@ -114,13 +132,25 @@ def ngram_jaccard_pairs(
     # the relation feeds three consumers (both self-join sides + sizes);
     # persist it so tokenize/shingle/hash runs once, not three times
     sh = sh.persist()
+    # set sizes ALWAYS come from the full shingle relation — the df cap
+    # prunes the join only, so the Jaccard denominator stays exact
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
 
     if prefix_filter:
         return _jaccard_prefix_filtered(sh, sizes, id_col, threshold)
 
-    a = sh.alias("a")
-    b = sh.alias("b")
+    join_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle")
+
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
     common = (
         a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -475,6 +505,8 @@ def duplicate_clusters(
     pairs: DataFrame,
     id_col: str,
     max_iterations: int = 50,
+    checkpoint_interval: int = 5,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Transitive-closure duplicate clusters: label every row with the
     MINIMUM id reachable through the similarity graph (``pairs`` from
@@ -492,9 +524,21 @@ def duplicate_clusters(
     which for near-dup graphs is tiny). Each round persists its labels
     and the loop stops when no label changes (driver-side count).
 
+    Every ``checkpoint_interval`` rounds the label relation is
+    ``localCheckpoint()``-ed: without truncation, round r's plan
+    contains ALL prior rounds' joins, so lineage (and optimizer time)
+    grows linearly — the standard guard for iterative Spark algorithms.
+
+    If the fixpoint is not reached within ``max_iterations``, labels are
+    only partially merged; ``on_nonconverged`` controls the signal:
+    ``"raise"`` (default — unconverged output is silently wrong for
+    dedup), ``"warn"``, or ``"ignore"``.
+
     Output: ``(id_col, cluster)`` for every input row; singletons
     cluster to themselves.
     """
+    if on_nonconverged not in ("raise", "warn", "ignore"):
+        raise ValueError(f"bad on_nonconverged: {on_nonconverged!r}")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -506,7 +550,8 @@ def duplicate_clusters(
         F.col(id_col), F.col(id_col).alias("cluster")
     ).persist()
 
-    for _ in range(max_iterations):
+    changed = -1
+    for i in range(max_iterations):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels[id_col])
             .groupBy("src")
@@ -523,8 +568,13 @@ def duplicate_clusters(
                     F.coalesce(F.col("__nmin"), F.col("cluster")),
                 ).alias("cluster"),
             )
-            .persist()
         )
+        if (i + 1) % checkpoint_interval == 0:
+            # truncate lineage: materializes eagerly and replaces the
+            # logical plan with the stored blocks
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), id_col)
@@ -536,6 +586,18 @@ def duplicate_clusters(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        msg = (
+            f"duplicate_clusters did not converge within "
+            f"{max_iterations} iterations ({changed} labels still "
+            f"changing) — output labels are PARTIALLY merged"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

@@ -25,6 +25,7 @@ def merge_upsert(
     key_cols: list[str],
     delete_col: str | None = None,
     broadcast_updates: bool = True,
+    validate_unique_keys: bool = True,
 ) -> DataFrame:
     """MERGE semantics: rows in ``updates`` replace base rows with the
     same key, new keys are inserted, and (if ``delete_col`` names a
@@ -33,21 +34,26 @@ def merge_upsert(
     optional delete marker).
 
     Deterministic: if updates carries duplicate keys the caller must
-    dedupe first (enforced — raises on duplicate update keys, the
-    same constraint real MERGE INTO imposes).
+    dedupe first (enforced by default — raises on duplicate update
+    keys, the same constraint real MERGE INTO imposes). The guard costs
+    one eager aggregate job over the (small, CDC-sized) update set; set
+    ``validate_unique_keys=False`` when the producer already guarantees
+    key uniqueness and the extra action matters (e.g. merge called in a
+    tight loop).
     """
     for c in key_cols:
         if c not in base.columns or c not in updates.columns:
             raise ValueError(f"key column {c!r} missing from an input")
 
-    dup = (
-        updates.groupBy(*key_cols).count().filter(F.col("count") > 1)
-    )
-    if dup.limit(1).count() > 0:
-        raise ValueError(
-            "updates contain duplicate keys — MERGE requires at most one "
-            "update row per key (dedupe first, e.g. exact_dedup)"
+    if validate_unique_keys:
+        dup = (
+            updates.groupBy(*key_cols).count().filter(F.col("count") > 1)
         )
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                "updates contain duplicate keys — MERGE requires at most "
+                "one update row per key (dedupe first, e.g. exact_dedup)"
+            )
 
     if delete_col is not None:
         deletes = updates.filter(F.col(delete_col))

@@ -44,6 +44,21 @@ _ORD = "__psx_ord"
 _MARGIN = 1.6
 _PREFILTER_MIN_ROWS = 200_000
 
+# Persisted prefilter candidate sets, kept alive because the returned
+# (lazy) top-k plan reads them after this function returns. Registered
+# here so ``queries.clear_caches()`` can evict them — nothing else does.
+_CANDIDATE_CACHE: list[DataFrame] = []
+
+
+def clear_candidate_cache() -> None:
+    """Unpersist every candidate set persisted by :func:`sample_exact`."""
+    for df in _CANDIDATE_CACHE:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    _CANDIDATE_CACHE.clear()
+
 
 def _validate_ratio(ratio: float) -> None:
     if not (0.0 <= ratio <= 1.0):
@@ -61,6 +76,7 @@ def sample_exact(
     order_by: list[str] | None = None,
     order_preserving: bool = False,
     total_rows: int | None = None,
+    emit_pos_col: str | None = None,
 ) -> DataFrame:
     """Sample exactly ``floor(count(df) * ratio)`` rows, without
     replacement, deterministically for a fixed seed.
@@ -86,8 +102,15 @@ def sample_exact(
 
     ``total_rows``: pass a known count to skip the counting job (e.g.
     from :func:`~parquet_sampler_spark.sources.io.metadata_row_count`).
+
+    ``emit_pos_col``: with ``order_preserving=True``, additionally emit
+    the sampled row's 1-based position in file order under this column
+    name — making the order-preservation guarantee itself observable
+    (and oracle-checkable) in the unordered row set.
     """
     _validate_ratio(ratio)
+    if emit_pos_col and not order_preserving:
+        raise ValueError("emit_pos_col requires order_preserving=True")
     out_cols = list(df.columns)
     if order_preserving:
         # tag file order at the scan (hidden parquet metadata columns)
@@ -135,7 +158,11 @@ def sample_exact(
         pre = tagged.filter(F.col(_PR) < threshold).persist()
         if pre.count() >= k:
             candidates = pre
-        # else: astronomically unlikely (Chernoff); scan everything
+            _CANDIDATE_CACHE.append(pre)
+        else:
+            # astronomically unlikely (Chernoff); scan everything — and
+            # drop the abandoned candidate set's cached blocks now
+            pre.unpersist()
 
     w = Window.orderBy(F.col(_PR), *ties)
     out = (
@@ -143,6 +170,12 @@ def sample_exact(
         .filter(F.col(_RN) <= k)
     )
     if order_preserving:
+        if emit_pos_col:
+            wpos = Window.orderBy(_ORD + "_f", _ORD + "_i")
+            out = out.withColumn(
+                emit_pos_col, F.row_number().over(wpos)
+            )
+            out_cols = out_cols + [emit_pos_col]
         out = out.orderBy(_ORD + "_f", _ORD + "_i")
     elif order_by:
         out = out.orderBy(*order_by)

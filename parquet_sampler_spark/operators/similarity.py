@@ -38,6 +38,20 @@ from parquet_sampler_spark.plans.layout import spread
 
 _RN = "__psx_rank"
 
+# normalized relations persisted by embedding_neardup_pairs (consumed by
+# 4 plan branches: both union sides of the block grid + both verify
+# joins); registered for queries.clear_caches() eviction
+_PERSISTED: list[DataFrame] = []
+
+
+def clear_persisted() -> None:
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PERSISTED.clear()
+
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str,
                 out_id: str, out_vec: str) -> DataFrame:
@@ -99,6 +113,37 @@ def cosine_topk(
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()
+
+
+def _lloyd_kmeans(
+    X: np.ndarray, k: int, seed: int, max_iter: int
+) -> np.ndarray:
+    """Plain Lloyd's algorithm with kmeans++ seeding over a (bounded)
+    training sketch — the coarse-quantizer fit for :func:`ivf_topk`.
+    Deterministic for a fixed seed."""
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    centroids = np.empty((k, X.shape[1]), dtype=np.float64)
+    centroids[0] = X[rng.integers(n)]
+    d2 = ((X - centroids[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:  # degenerate: all points identical
+            centroids[j:] = centroids[0]
+            break
+        centroids[j] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - centroids[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        dist = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        lab = dist.argmin(axis=1)
+        new = np.array([
+            X[lab == j].mean(axis=0) if (lab == j).any() else centroids[j]
+            for j in range(k)
+        ])
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    return centroids
 
 
 def lsh_topk(
@@ -172,25 +217,193 @@ def lsh_topk(
     )
 
 
+# Candidate-generation slack below the cosine threshold: the blocked
+# GEMM score and the final left-to-right fold differ only by float64
+# summation-order error (≤ dim·eps·‖partials‖ ≈ 1e-13 at dim 64), so
+# any pair whose exact score clears the threshold clears threshold-1e-9
+# in the GEMM — candidates are lossless, and the handful of boundary
+# extras are removed by the exact verify.
+_GEMM_SLACK = 1e-9
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    method: str = "block",
+    nblocks: int = 16,
+    lsh_bits: int = 8,
+    lsh_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold (> 0) —
-    embedding-space near-duplicate detection. Brute force O(n²) scoring
-    over pre-normalized vectors (exact, oracle-checkable); swap in
-    :func:`lsh_topk`-style blocking when the corpus outgrows it."""
+    embedding-space near-duplicate detection.
+
+    ``method``:
+
+    * ``"block"`` (default) — EXACT block-matrix self-join: rows are
+      hashed into ``nblocks`` blocks; each of the nblocks·(nblocks+1)/2
+      block pairs is scored as one numpy GEMM inside ``applyInPandas``
+      (BLAS, ~100× the interpreted HOF fold), emitting candidate id
+      pairs at ``threshold - 1e-9``; the exact JVM-side left-to-right
+      fold then recomputes and filters — output values are bit-identical
+      to the brute-force path (oracle-checkable), with no recall loss.
+      Scale shape: shuffle volume n·nblocks rows (each row visits every
+      block pair containing its block), compute O(n²·dim) FLOPs at BLAS
+      rate spread over the block-pair grid. This is the right EXACT
+      plan; n² FLOPs are inherent to exact thresholds.
+    * ``"lsh"`` — sign-bit LSH blocking (``lsh_tables`` tables ×
+      ``lsh_bits`` bits, the :func:`lsh_topk` banding) + exact verify:
+      candidate cost collapses to bucket-collision pairs. Per-table
+      collision probability for a pair at angle θ is (1-θ/π)^bits, so
+      recall = 1-(1-(1-θ/π)^bits)^tables — near 1 only for HIGH
+      thresholds (true near-dups, ≥0.9); at loose thresholds the angle
+      is wide and blocking must either miss pairs or degenerate to
+      all-pairs. The 100 TB path when "near-dup" means near-identical.
+    * ``"exact"`` — the original broadcast-nested-loop brute force
+      (reference baseline for tests; strictly dominated by "block").
+    """
     if threshold <= 0:
         raise ValueError("threshold must be positive")
     a = _normalized(df, id_col, vec_col, "id_a", "__va")
-    b = _normalized(df, id_col, vec_col, "id_b", "__vb")
+    if method == "exact":
+        b = _normalized(df, id_col, vec_col, "id_b", "__vb")
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", _unit_dot("__va", "__vb"))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+    # the normalized relation feeds 4 plan branches (block-grid union ×2,
+    # verify joins ×2) — persist so the scan+normalize runs once
+    a = a.persist()
+    _PERSISTED.append(a)
+    if method == "block":
+        cand = _block_candidates(a, threshold, nblocks)
+    elif method == "lsh":
+        cand = _signbit_candidates(
+            df, id_col, vec_col, lsh_bits, lsh_tables, seed
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    # exact verification: recompute the score with the same JVM-side
+    # left-to-right fold as the brute-force path / the DuckDB oracle
+    b = a.select(F.col("id_a").alias("id_b"), F.col("__va").alias("__vb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("cos_sim", _unit_dot("__va", "__vb"))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _block_candidates(
+    normed: DataFrame, threshold: float, nblocks: int
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the block-pair GEMM grid over a
+    pre-normalized ``(id_a, __va)`` relation."""
+    spark = normed.sparkSession
+    id_field = normed.schema["id_a"].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_field, False),
+        T.StructField("id_b", id_field, False),
+    ])
+    # deterministic content-derived block id (never rand: re-evaluation
+    # across task retries must not move rows between blocks)
+    blocks = normed.select(
+        "id_a", "__va",
+        F.pmod(F.xxhash64("id_a"), F.lit(nblocks)).cast("int").alias("__blk"),
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
+        "bi int, bj int",
+    )
+    left = blocks.join(
+        F.broadcast(grid), F.col("__blk") == F.col("bi")
+    ).select("bi", "bj", F.lit(0).alias("__side"), "id_a", "__va")
+    right = blocks.join(
+        F.broadcast(grid.filter(F.col("bi") != F.col("bj"))),
+        F.col("__blk") == F.col("bj"),
+    ).select("bi", "bj", F.lit(1).alias("__side"), "id_a", "__va")
+    both = left.unionByName(right)
+
+    cut = threshold - _GEMM_SLACK
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf[pdf["__side"] == 0]
+        hi = pdf[pdf["__side"] == 1]
+        same = hi.empty  # diagonal block pair: both sides are the block
+        if same:
+            hi = lo
+        if lo.empty or hi.empty:
+            return pd.DataFrame({"id_a": lo["id_a"][:0], "id_b": hi["id_a"][:0]})
+        ma = np.array(lo["__va"].tolist(), dtype=np.float64)
+        mb = np.array(hi["__va"].tolist(), dtype=np.float64)
+        s = ma @ mb.T
+        ia, ib = np.nonzero(s >= cut)
+        ids_a = lo["id_a"].to_numpy()[ia]
+        ids_b = hi["id_a"].to_numpy()[ib]
+        if same:
+            # both orientations (and self-pairs) present — keep one
+            keep = ids_a < ids_b
+            ids_a, ids_b = ids_a[keep], ids_b[keep]
+        else:
+            # distinct blocks: every hit is a real pair; canonicalize
+            # orientation (block order is unrelated to id order)
+            swap = ids_a > ids_b
+            ids_a, ids_b = (
+                np.where(swap, ids_b, ids_a),
+                np.where(swap, ids_a, ids_b),
+            )
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b})
+
+    # no dedup needed: every row lives in exactly one block, so each
+    # unordered pair is scored in exactly one block-pair group
+    return both.groupBy("bi", "bj").applyInPandas(
+        score_block, schema=out_schema
+    )
+
+
+def _signbit_candidates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """Candidate pairs whose sign-bit signature matches in ≥1 of
+    ``tables`` hash tables (the :func:`lsh_topk` banding, self-join
+    form)."""
+    planes = np.concatenate([
+        np.array(_hyperplanes(64, bits, seed + 1000 * t))
+        for t in range(tables)
+    ])
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def all_sigs(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        signs = (m @ planes.T[: m.shape[1], :]) > 0
+        packed = signs.reshape(len(vs), tables, bits) @ weights
+        return pd.Series(packed.tolist())
+
+    banded = (
+        spread(df)
+        .select(F.col(id_col).alias("__id"),
+                all_sigs(F.col(vec_col)).alias("__sigs"))
+        .select("__id", F.posexplode("__sigs").alias("tbl", "sig"))
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 def ivf_topk(
@@ -202,6 +415,10 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 6,
     seed: int = 42,
+    model_cache: dict | None = None,
+    cache_key=None,
+    train_per_cell: int = 256,
+    train_max_iter: int = 20,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into ``nlist`` cells; each query scores only
@@ -216,23 +433,50 @@ def ivf_topk(
     structure to exploit and recall ≈ the probed corpus fraction plus a
     nearest-cell edge (measured 0.68 @ nprobe=6/nlist=16, 0.78 @ 8/16);
     real embedding corpora cluster and do much better.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    corpus_v = spread(corpus).select(
+    Quantizer training is FAISS-style: a BOUNDED deterministic sketch of
+    ``train_per_cell·nlist`` corpus rows (selected by smallest
+    xxhash64(id) — a one-job TakeOrderedAndProject, stable across
+    partitionings) is collected and clustered driver-side with numpy
+    Lloyd's + kmeans++ init. ``nlist`` coarse centroids need only a
+    sketch of the density; cell ASSIGNMENT still covers every corpus row
+    via one Arrow-batched map pass against the broadcast centroids. The
+    driver-side collect is size-bounded by construction (not O(corpus)),
+    and replaces ~25 Spark jobs of distributed-KMeans overhead — at
+    100 TB the index build stays one scan + one top-k.
+
+    ``model_cache``/``cache_key`` amortize training across invocations
+    against the same corpus (the IVF index is built once, queried many
+    times): pass any dict and a corpus-identifying key.
+    """
+    if model_cache is not None and cache_key in model_cache:
+        centroids = model_cache[cache_key]
+    else:
+        sketch = (
+            spread(corpus)
+            .select(F.col(vec_col).alias("__v"),
+                    F.xxhash64(F.col(id_col)).alias("__h"))
+            .orderBy("__h")
+            .limit(train_per_cell * nlist)
+            .collect()
+        )
+        X = np.array([r["__v"] for r in sketch], dtype=np.float64)
+        centroids = _lloyd_kmeans(X, min(nlist, len(X)), seed,
+                                  train_max_iter)
+        if model_cache is not None:
+            model_cache[cache_key] = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    assigned = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        array_to_vector(F.col(vec_col)).alias("__features"),
+        cell_of(F.col(vec_col)).alias("__cell"),
     )
-    km = KMeans(k=nlist, seed=seed, featuresCol="__features",
-                predictionCol="__cell")
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select(
-        "neighbor_id", "__cv", "__cell"
-    )
-
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vs: pd.Series) -> pd.Series:

@@ -52,16 +52,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # computing it once per (session, sf_dir) and persisting the ~ratio·n
 # rows avoids re-running the sample job for each dimension reduction —
 # the Spark analog of the reference writing the sample to disk once and
-# reusing the file (README.md:15-26).
-_SAMPLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# reusing the file (README.md:15-26). Keyed on applicationId (stable),
+# not id(spark) (reused by the allocator after GC).
+_SAMPLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def clear_caches() -> None:
     """Unpersist and drop every cached DataFrame held by the query
-    registry (the sampled fact here, the Jaccard pairs in queries_ext).
+    registry (the sampled fact here, the Jaccard pairs in queries_ext,
+    the sampler's prefilter candidate sets, the fitted IVF models).
     Call between scale factors / sessions in long-lived processes —
     nothing evicts these automatically."""
     from parquet_sampler_spark import queries_ext
+    from parquet_sampler_spark.operators import sample as _sample_mod
 
     for cache in (_SAMPLE_CACHE, queries_ext._PAIRS_CACHE):
         for df in cache.values():
@@ -70,6 +73,11 @@ def clear_caches() -> None:
             except Exception:
                 pass  # session may already be stopped
         cache.clear()
+    _sample_mod.clear_candidate_cache()
+    queries_ext._IVF_MODEL_CACHE.clear()
+    from parquet_sampler_spark.operators import similarity as _sim_mod
+
+    _sim_mod.clear_persisted()
 
 
 # ---------------------------------------------------------------------------
@@ -79,7 +87,7 @@ def clear_caches() -> None:
 def lineitem_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-count sample of lineitem (reference `sample`
     binary, sample.rs:36-79, seeded + reproducible per SURVEY.md §7.2.1)."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _SAMPLE_CACHE:
         return _SAMPLE_CACHE[key]
     from parquet_sampler_spark.sources.io import metadata_row_count
@@ -202,6 +210,65 @@ def _q_projection_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select("o_custkey").distinct()
 
 
+_OP_RATIO = 0.01
+_OP_SEED = 11
+_ORDERS_COLS = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority"
+)
+
+
+def _q_sample_order_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful ORDERED sampling (sample.rs:49-50,73-76: the
+    drawn row indexes are sorted and the sample is emitted in input-file
+    order). The emitted ``file_pos`` column makes the ordering itself
+    oracle-checkable through the driver's order-insensitive compare: the
+    oracle's ``row_number() OVER (ORDER BY o_orderkey)`` is the same
+    sequence because the testdata orders file is written sorted by its
+    key (verified: zero file-order inversions at every sf)."""
+    from parquet_sampler_spark.operators.sample import sample_exact
+
+    return sample_exact(
+        table(spark, sf_dir, "orders"), _OP_RATIO, seed=_OP_SEED,
+        key_cols=["o_orderkey"], order_preserving=True,
+        emit_pos_col="file_pos",
+    )
+
+
+def _sql_sample_order_preserving() -> str:
+    pr = lehmer_hash_sql(["o_orderkey"], _OP_SEED)
+    return f"""
+WITH s AS (
+  SELECT {_ORDERS_COLS} FROM (
+    SELECT *, row_number() OVER (ORDER BY {pr}, o_orderkey) AS psx_rn
+    FROM orders
+  ) WHERE psx_rn <= (SELECT CAST(floor(count(*) * {_OP_RATIO}) AS BIGINT)
+                     FROM orders)
+)
+SELECT {_ORDERS_COLS},
+       CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS file_pos
+FROM s
+"""
+
+
+def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink parity (reference lib.rs:13-134: schema-preserving
+    write of a reduced dimension): write ``customer_reduced`` through
+    the single-file sink, read it back, and return the READ-BACK rows —
+    the oracle is the reduction SQL itself, so both the schema and every
+    value must survive the write→read round trip to match."""
+    import tempfile
+
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    out = (
+        f"{tempfile.gettempdir()}/psx_sink_"
+        f"{spark.sparkContext.applicationId}/customer_red.parquet"
+    )
+    write_parquet(customer_reduced(spark, sf_dir), out, single_file=True)
+    return spark.read.parquet(out)
+
+
 def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Footer-metadata row counts, no data scan (sample.rs:31-34) —
     computed via pyarrow footers, surfaced as a 1-row DataFrame."""
@@ -229,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin_orders_nullsafe": _q_semijoin_orders_nullsafe,
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
+        "sample_order_preserving": _q_sample_order_preserving,
+        "sink_roundtrip": _q_sink_roundtrip,
     }
     out.update(queries_ext.queries())
     out.update(queries_olap.queries())
@@ -279,6 +348,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
+        "sample_order_preserving": _sql_sample_order_preserving(),
+        "sink_roundtrip": (
+            f"WITH {sample}, {_ORDERS_RED_CTE}, {_CUSTOMER_RED_CTE} "
+            "SELECT * FROM customer_red"
+        ),
         **queries_ext.oracle_sql(),
         **queries_olap.oracle_sql(),
     }

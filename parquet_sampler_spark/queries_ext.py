@@ -140,12 +140,14 @@ jpairs AS (
 
 
 # jaccard_pairs feeds both the pairs query and the dedup query; persist
-# one copy per (session, sf_dir) — mirrors the sample cache in queries.py
+# one copy per (session, sf_dir) — mirrors the sample cache in queries.py.
+# Keyed on applicationId, not id(spark): Python reuses id() after GC, so
+# a new session at the same address must not inherit stale cached plans.
 _PAIRS_CACHE = {}
 
 
 def _jaccard_pairs_cached(spark, sf_dir):
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), "doc_id", "text",
@@ -249,6 +251,12 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+# fitted IVF coarse quantizers, keyed (applicationId, sf_dir, params) —
+# the index is built once per corpus and shared by every ann_ivf call
+# (cleared via queries.clear_caches)
+_IVF_MODEL_CACHE: dict = {}
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF (KMeans coarse quantizer) approximate top-k. Rows-only
     check; recall vs brute force pinned in tests/test_similarity.py."""
@@ -256,6 +264,8 @@ def _q_ann_ivf(spark, sf_dir):
     return ivf_topk(
         e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
         k=_ANN_K, nlist=16, nprobe=8,
+        model_cache=_IVF_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, 16, 42),
     )
 
 
@@ -337,7 +347,11 @@ SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
 
 def _q_events_hourly(spark, sf_dir):
     """Tumbling 1-hour event rollup (batch analog of the streaming
-    windowed agg in streaming/)."""
+    windowed agg in streaming/). ``value`` is quantized to e4
+    fixed-point BEFORE summing — integer sums are order-independent, so
+    the result is exact under any partial-agg order in any engine
+    (round-after-sum can straddle a rounding boundary; the repo's exact
+    fixed-point policy, commit 09d09c6)."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(
@@ -345,14 +359,26 @@ def _q_events_hourly(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            _value_e4_sum().alias("sum_value"),
         )
     )
 
 
-_SQL_EVENTS_HOURLY = """
+def _value_e4_sum():
+    """Order-independent sum of `value`: quantize each value to integer
+    ten-thousandths, sum exactly in bigint, scale back."""
+    return (
+        F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0
+    )
+
+
+_VALUE_E4_SUM_SQL = (
+    "sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0"
+)
+
+_SQL_EVENTS_HOURLY = f"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
-       count(*) AS n_events, round(sum(value), 4) AS sum_value
+       count(*) AS n_events, {_VALUE_E4_SUM_SQL} AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -415,7 +441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **EXTRA_QUERIES,
         "multimodal_features": _q_multimodal_features,
         "dup_clusters": _q_dup_clusters,
+        "cluster_dedup": _q_cluster_dedup,
         "events_multi_rollup": _q_events_multi_rollup,
+        "streaming_hourly": _q_streaming_hourly,
     }
 
 
@@ -441,7 +469,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_pricing": _SQL_ROLLUP,
         "revenue_per_nation": _SQL_REVENUE,
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "cluster_dedup": _SQL_CLUSTER_DEDUP,
         "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
+        "streaming_hourly": _SQL_EVENTS_HOURLY,
     }
 
 # ---------------------------------------------------------------------------
@@ -564,8 +594,11 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 def _q_revenue_per_nation(spark, sf_dir):
     """Multi-join aggregate: lineitem⋈orders⋈customer⋈nation revenue
-    rollup — dimensions broadcast, the fact table never shuffles before
-    the aggregate."""
+    rollup. Only the genuine dimension (nation, 25 rows at any sf) gets
+    a broadcast hint; orders/customer scale with the fact table, so
+    their join strategy is left to AQE — at bench sf it still picks
+    broadcast from runtime sizes, at 100 TB it shuffles instead of
+    blowing the driver."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -575,8 +608,8 @@ def _q_revenue_per_nation(spark, sf_dir):
         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
     )
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_name")
         .agg(
@@ -612,13 +645,22 @@ def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing as a query: deterministic synthetic media
     (seeded — no external files) → mapInPandas feature extraction.
     Rows-only check (binary payload arithmetic isn't portable SQL);
-    schema/batch contracts pinned in tests/test_multimodal.py."""
+    schema/batch contracts pinned in tests/test_multimodal.py.
+
+    The ``feature array<float>`` column is exploded to scalar
+    ``(feat_idx, feat_value)`` rows — the driver's canonicalizer sorts
+    rows and requires hashable (scalar) cells, and an exploded long-form
+    output is also the joinable shape downstream consumers want."""
     from parquet_sampler_spark.multimodal.media import (
         extract_features,
         synthetic_media,
     )
 
-    return extract_features(synthetic_media(spark, n=64))
+    feats = extract_features(synthetic_media(spark, n=64))
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.posexplode("feature").alias("feat_idx", "feat_value"),
+    )
 
 def _q_dup_clusters(spark, sf_dir):
     """Connected-components duplicate clustering over the exact-Jaccard
@@ -634,8 +676,8 @@ def _q_dup_clusters(spark, sf_dir):
 # min-label propagation unrolled 4 rounds — the duplicate graph's max
 # component diameter is ≤ 3 at every sf (verified), so 4 rounds is past
 # the fixpoint the Spark loop converges to.
-_SQL_DUP_CLUSTERS = (
-    "WITH " + _SQL_SHINGLES2 + """,
+_SQL_CC_CTES = (
+    _SQL_SHINGLES2 + """,
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
   UNION ALL
@@ -666,8 +708,87 @@ l4 AS (SELECT d.doc_id,
          SELECT e.src, min(l.cluster) AS ml FROM edges e
          JOIN l3 l ON l.doc_id = e.dst GROUP BY e.src) m
        ON m.src = d.doc_id)
-SELECT doc_id, cluster FROM l4
 """)
+
+_SQL_DUP_CLUSTERS = "WITH " + _SQL_CC_CTES + "SELECT doc_id, cluster FROM l4"
+
+# transitive-closure dedup: keep exactly the min-id representative of
+# every duplicate component
+_SQL_CLUSTER_DEDUP = (
+    "WITH " + _SQL_CC_CTES
+    + "SELECT d.* FROM documents d JOIN l4 "
+      "ON l4.doc_id = d.doc_id AND l4.cluster = d.doc_id"
+)
+
+
+def _q_cluster_dedup(spark, sf_dir):
+    """Connected-components dedup: one survivor (the min-id
+    representative) per duplicate cluster — the transitive-closure
+    analog of the greedy jaccard_dedup (for a chain a—b—c it keeps only
+    a; greedy keeps a AND c)."""
+    from parquet_sampler_spark.operators.dedup import cluster_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return cluster_dedup(d, _jaccard_pairs_cached(spark, sf_dir), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming with a batch oracle
+# ---------------------------------------------------------------------------
+
+_STREAM_SEQ = iter(range(1_000_000))
+
+
+def _q_streaming_hourly(spark, sf_dir):
+    """The hourly rollup executed through Structured Streaming: the
+    events parquet replayed as a file-source stream, windowed streaming
+    aggregation, availableNow trigger drained into a memory sink, the
+    sink table returned. The oracle is the BATCH events_hourly SQL over
+    the same files — a green row proves the engine's streaming and batch
+    execution modes agree on identical input (the exactly-once replay /
+    idempotence properties are pinned separately in
+    tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    # the file-stream source requires a DIRECTORY to list; expose the
+    # single-file table through a symlink dir (testdata is read-only)
+    src_dir = (
+        f"{tempfile.gettempdir()}/psx_stream_src_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _value_e4_sum().alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+    name = f"psx_stream_hourly_{next(_STREAM_SEQ)}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 def _q_events_multi_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: one pass producing BOTH
@@ -679,19 +800,24 @@ def _q_events_multi_rollup(spark, sf_dir):
         F.date_trunc("day", "ts").alias("dy"),
         "event_type", "value",
     ).createOrReplaceTempView("psx_events_buckets")
+    # e4-quantized value sum: order-independent (see _q_events_hourly).
+    # NB: `10000.0D` — Spark SQL parses a bare `10000.0` literal as
+    # DECIMAL, which would flip the division to decimal arithmetic
+    # (the DataFrame twin and the DuckDB oracle both divide doubles)
     return spark.sql("""
         SELECT hr, dy, event_type,
                count(*) AS n,
-               round(sum(value), 4) AS sum_value,
+               sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0D
+                 AS sum_value,
                CAST(grouping(hr) * 2 + grouping(dy) AS INT) AS gid
         FROM psx_events_buckets
         GROUP BY GROUPING SETS ((hr, event_type), (dy, event_type))
     """)
 
 
-_SQL_EVENTS_MULTI_ROLLUP = """
+_SQL_EVENTS_MULTI_ROLLUP = f"""
 SELECT hr, dy, event_type, count(*) AS n,
-       round(sum(value), 4) AS sum_value,
+       {_VALUE_E4_SUM_SQL} AS sum_value,
        CAST(grouping(hr) * 2 + grouping(dy) AS INT) AS gid
 FROM (SELECT date_trunc('hour', ts) AS hr,
              CAST(date_trunc('day', ts) AS TIMESTAMP) AS dy,

@@ -243,8 +243,14 @@ def _q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            # exact fixed-point: price cents × discount percent are
+            # integers, so the sum is order-independent across engines
+            # (round-after-double-sum can straddle a rounding boundary)
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                    * F.round(F.col("l_discount") * 100).cast("bigint")
+                ) / 10000.0
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -252,7 +258,8 @@ def _q_tpch_q6(spark, sf_dir):
 
 
 _SQL_TPCH_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -263,9 +270,12 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 
 def _q_tpch_q3(spark, sf_dir):
-    """Q3 shipping-priority: 3-way join, revenue per order, top 10 —
-    dimensions broadcast, deterministic (rounded-revenue, orderkey)
-    ordering."""
+    """Q3 shipping-priority: 3-way join, revenue per order, top 10 with
+    a deterministic (revenue, orderkey) ordering. orders/customer scale
+    with the fact table — no broadcast hints on them; AQE picks
+    broadcast at small sf from runtime sizes and shuffle joins at
+    100 TB (hinting them would force the build side through the
+    driver)."""
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -280,8 +290,8 @@ def _q_tpch_q3(spark, sf_dir):
         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
     )
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(rev_e4) / 10000.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -320,8 +330,8 @@ def _q_tpch_q5(spark, sf_dir):
         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
     )
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("r_name", "n_name")
@@ -381,8 +391,8 @@ def _q_tpch_q10(spark, sf_dir):
         * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
     )
     return (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg((F.sum(rev_e4) / 10000.0).alias("revenue"))
@@ -423,10 +433,13 @@ def _q_tpch_q18(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # `big` is a pre-reduced key set (a data-dependent aggregate, not a
+    # raw table) — the one side it is sane to hint; orders/customer are
+    # left to AQE.
     return (
         li.join(F.broadcast(big), "l_orderkey")
-        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))  # integral: exact
@@ -663,9 +676,9 @@ def _q_tpch_q7(spark, sf_dir):
         * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
     )
     return (
-        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
-        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(su, li["l_suppkey"] == su["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))

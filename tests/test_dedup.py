@@ -193,3 +193,85 @@ def test_duplicate_clusters_matches_union_find(spark, documents):
     for v, c in got.items():
         if v not in in_graph:
             assert c == v
+
+
+def test_shingle_df_cap_collapses_hot_candidates(spark):
+    """Zipfian corpus: one stop-shingle shared by EVERY doc. Without the
+    cap the self-join forms the full O(n²) candidate set; with it, only
+    pairs sharing a rare shingle survive — and their jaccard values are
+    unchanged except for hot-only pairs (recall-only approximation)."""
+    n = 60
+    rows = [(i, f"common stop phrase unique{i} tail{i}") for i in range(n)]
+    # two genuine near-dups sharing rare shingles
+    rows += [(100, "common stop phrase rare pair body"),
+             (101, "common stop phrase rare pair body")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # threshold→0 makes output == candidate set (any shared join shingle)
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
+                                   threshold=0.01).count()
+    capped_df = ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
+                                    threshold=0.01, max_shingle_df=5)
+    capped = capped_df.count()
+    # every doc shares the 3 stop tokens → uncapped is the full n²/2 set
+    assert uncapped == (n + 2) * (n + 1) // 2
+    # capped: only the planted pair shares sub-cap shingles
+    assert capped == 1
+    (pair,) = capped_df.collect()
+    assert (pair.id_a, pair.id_b) == (100, 101)
+    # the intersection counts only sub-cap shingles (3 of 6 shared
+    # tokens) while the denominator stays exact → an under-estimate,
+    # never an over-estimate (precision-exact, recall-approximate)
+    assert pair.jaccard == pytest.approx(3 / 9)
+
+
+def test_shingle_df_cap_conflicts_with_prefix_filter(spark, documents):
+    with pytest.raises(ValueError, match="alternative"):
+        ngram_jaccard_pairs(documents, "doc_id", "text",
+                            prefix_filter=True, max_shingle_df=5)
+
+
+def test_duplicate_clusters_nonconverged_raises(spark):
+    """A 12-node chain needs ~11 rounds; max_iterations=2 must not
+    silently return partially-merged labels."""
+    from parquet_sampler_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame(
+        [(i, "x") for i in range(12)], "doc_id long, t string"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(11)],
+        "id_a long, id_b long, jaccard double",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(nodes, chain, "doc_id", max_iterations=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = duplicate_clusters(nodes, chain, "doc_id", max_iterations=2,
+                                 on_nonconverged="warn")
+        out.count()
+
+
+def test_duplicate_clusters_lineage_bounded(spark):
+    """localCheckpoint every `checkpoint_interval` rounds keeps the plan
+    from accreting one join per round: a long chain (many rounds) must
+    not produce a logical plan orders of magnitude deeper than a short
+    one."""
+    from parquet_sampler_spark.operators.dedup import duplicate_clusters
+
+    def plan_len(n_nodes):
+        nodes = spark.createDataFrame(
+            [(i, "x") for i in range(n_nodes)], "doc_id long, t string"
+        )
+        chain = spark.createDataFrame(
+            [(i, i + 1, 1.0) for i in range(n_nodes - 1)],
+            "id_a long, id_b long, jaccard double",
+        )
+        out = duplicate_clusters(nodes, chain, "doc_id",
+                                 checkpoint_interval=3)
+        assert out.filter(F.col("cluster") != 0).count() == 0
+        return len(out._jdf.queryExecution().optimizedPlan().toString())
+
+    short, long_ = plan_len(4), plan_len(16)
+    # without checkpointing the 16-node chain's plan is ~5× the 4-node
+    # one; with it, both end within one checkpoint window of each other
+    assert long_ < short * 3, (short, long_)

@@ -62,3 +62,15 @@ def test_idempotent_reapply(spark, base):
     twice = merge_upsert(once, updates, ["k"])
     assert sorted(map(tuple, once.collect())) == \
         sorted(map(tuple, twice.collect()))
+
+
+def test_validation_skippable(spark, base):
+    """validate_unique_keys=False skips the eager dup-key jobs; with a
+    clean update set the result is identical to the validated path."""
+    updates = base.filter(F.col("k") <= 2).withColumn(
+        "v", F.col("v") + 1.0
+    )
+    a = merge_upsert(base, updates, ["k"]).collect()
+    b = merge_upsert(base, updates, ["k"],
+                     validate_unique_keys=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -150,3 +150,23 @@ def test_rand_method_with_order_preserving(spark):
         "o_orderkey", F.col("_metadata.row_index").alias("idx"))
     pos = {r.o_orderkey: r.idx for r in tagged.collect()}
     assert rows == sorted(rows, key=lambda k: pos[k])
+
+
+def test_emit_pos_col_is_file_order_rank(spark):
+    """emit_pos_col: positions are the dense 1..k rank of the sampled
+    rows in input-file order (orders is written sorted by o_orderkey, so
+    file order == key order)."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = sample_exact(o, 0.02, seed=11, key_cols=["o_orderkey"],
+                       order_preserving=True, emit_pos_col="file_pos")
+    rows = out.collect()
+    assert [r.file_pos for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.o_orderkey for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_emit_pos_requires_order_preserving(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    with pytest.raises(ValueError, match="order_preserving"):
+        sample_exact(o, 0.02, seed=11, key_cols=["o_orderkey"],
+                     emit_pos_col="file_pos")

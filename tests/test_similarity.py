@@ -99,3 +99,62 @@ def test_ivf_deterministic(embeddings, queries):
     b = sorted(map(tuple, ivf_topk(embeddings, queries, "vec_id",
                                    "embedding", k=5).collect()))
     assert a == b
+
+
+def test_neardup_block_equals_exact(embeddings):
+    """The default block-GEMM plan must reproduce the brute-force pair
+    set and bit-identical cos_sim values (the slack candidate cut +
+    exact re-verify guarantee)."""
+    exact = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_neardup_pairs(
+                 embeddings, "vec_id", "embedding", threshold=0.4,
+                 method="exact").collect()}
+    block = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_neardup_pairs(
+                 embeddings, "vec_id", "embedding", threshold=0.4,
+                 method="block", nblocks=7).collect()}
+    assert block == exact
+
+
+def test_neardup_block_no_duplicate_pairs(embeddings):
+    out = embedding_neardup_pairs(embeddings, "vec_id", "embedding",
+                                  threshold=0.3, method="block")
+    assert out.count() == out.dropDuplicates(["id_a", "id_b"]).count()
+
+
+def test_neardup_lsh_high_threshold_recall(spark):
+    """Sign-bit LSH blocking at a HIGH threshold (true near-dups):
+    planted duplicate vectors must be found with near-perfect recall."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(300):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    # plant 10 exact duplicates (cos == 1.0 > any threshold)
+    for j in range(10):
+        rows.append((1000 + j, list(rows[j][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b)
+           for r in embedding_neardup_pairs(
+               df, "vec_id", "embedding", threshold=0.95, method="lsh",
+               lsh_bits=8, lsh_tables=8).collect()}
+    planted = {(j, 1000 + j) for j in range(10)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"planted-dup recall={recall}"
+    # verification is exact: random gaussian pairs can't reach 0.95, so
+    # every emitted pair must be a planted duplicate
+    assert got <= planted
+
+
+def test_ivf_model_cache_reused(embeddings, queries):
+    from parquet_sampler_spark.operators.similarity import ivf_topk
+
+    cache: dict = {}
+    ivf_topk(embeddings, queries, "vec_id", "embedding", k=5,
+             nlist=8, nprobe=4, model_cache=cache, cache_key="k").count()
+    assert "k" in cache
+    model = cache["k"]
+    ivf_topk(embeddings, queries, "vec_id", "embedding", k=5,
+             nlist=8, nprobe=4, model_cache=cache, cache_key="k").count()
+    assert cache["k"] is model
