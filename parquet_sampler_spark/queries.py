@@ -269,6 +269,25 @@ def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def _q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink round-trip: write orders partitioned by
+    o_orderpriority (the layout a 100 TB table actually uses — partition
+    pruning reads only matching directories), read the tree back, and
+    return it. Oracle = the raw orders table: every value, including the
+    partition column reconstructed from directory names, must survive."""
+    import tempfile
+
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    o = table(spark, sf_dir, "orders")
+    out = (
+        f"{tempfile.gettempdir()}/psx_sinkp_"
+        f"{spark.sparkContext.applicationId}/orders"
+    )
+    write_parquet(o, out, partition_by=["o_orderpriority"])
+    return spark.read.parquet(out).select(*o.columns)
+
+
 def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Footer-metadata row counts, no data scan (sample.rs:31-34) —
     computed via pyarrow footers, surfaced as a 1-row DataFrame."""
@@ -298,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_counts": _q_metadata_counts,
         "sample_order_preserving": _q_sample_order_preserving,
         "sink_roundtrip": _q_sink_roundtrip,
+        "sink_partitioned": _q_sink_partitioned,
     }
     out.update(queries_ext.queries())
     out.update(queries_olap.queries())
@@ -353,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {sample}, {_ORDERS_RED_CTE}, {_CUSTOMER_RED_CTE} "
             "SELECT * FROM customer_red"
         ),
+        "sink_partitioned": "SELECT * FROM orders",
         **queries_ext.oracle_sql(),
         **queries_olap.oracle_sql(),
     }

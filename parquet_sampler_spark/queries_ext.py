@@ -440,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         **EXTRA_QUERIES,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": _q_multimodal_resize,
         "dup_clusters": _q_dup_clusters,
         "cluster_dedup": _q_cluster_dedup,
         "events_multi_rollup": _q_events_multi_rollup,
@@ -661,6 +663,36 @@ def _q_multimodal_features(spark, sf_dir):
         "media_id", "kind", "n_bytes",
         F.posexplode("feature").alias("feat_idx", "feat_value"),
     )
+
+def _q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plan (media.frame_sample): one row per
+    sampled frame timestamp, non-video rows pass through with a NULL
+    frame. Rows-only check; semantics pinned in tests/test_multimodal."""
+    from parquet_sampler_spark.multimodal.media import (
+        frame_sample,
+        synthetic_media,
+    )
+
+    return frame_sample(synthetic_media(spark, n=64), every_ms=1000)
+
+
+def _q_multimodal_resize(spark, sf_dir):
+    """Image resize over Arrow batches (media.resize_images), surfaced
+    as scalar columns (byte length + crc32 of the resized payload —
+    the canonicalizer needs hashable cells, and a checksum pins the
+    bytes). Rows-only check."""
+    from parquet_sampler_spark.multimodal.media import (
+        resize_images,
+        synthetic_media,
+    )
+
+    r = resize_images(synthetic_media(spark, n=64), 16, 8)
+    return r.select(
+        "media_id", "kind", "width", "height",
+        F.length("payload").alias("n_bytes"),
+        F.crc32("payload").alias("payload_crc"),
+    )
+
 
 def _q_dup_clusters(spark, sf_dir):
     """Connected-components duplicate clustering over the exact-Jaccard

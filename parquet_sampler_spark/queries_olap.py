@@ -194,13 +194,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": _q_tpch_q6,
         "tpch_q7": _q_tpch_q7,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q14": _q_tpch_q14,
         "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
         "sql_correlated_subquery": _q_sql_api,
         "percentiles": _q_percentiles,
         "json_extract": _q_json_extract,
         "array_stats": _q_array_stats,
         "grouped_udaf_quantiles": _q_grouped_udaf,
         "merge_upsert": _q_merge_upsert,
+        "approx_distinct": _q_approx_distinct,
     }
 
 
@@ -217,7 +221,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": _SQL_TPCH_Q6,
         "tpch_q7": _SQL_TPCH_Q7,
         "tpch_q10": _SQL_TPCH_Q10,
+        "tpch_q11": _SQL_TPCH_Q11,
+        "tpch_q14": _SQL_TPCH_Q14,
         "tpch_q18": _SQL_TPCH_Q18,
+        "tpch_q19": _SQL_TPCH_Q19,
         "sql_correlated_subquery": _SQL_API_QUERY,
         "percentiles": _SQL_PERCENTILES,
         "json_extract": _SQL_JSON_EXTRACT,
@@ -603,6 +610,21 @@ SELECT c_mktsegment,
 FROM customer GROUP BY c_mktsegment
 """
 
+def _q_approx_distinct(spark, sf_dir):
+    """HLL++ approximate distinct counts next to the exact answer — the
+    one-pass mergeable-sketch pattern that replaces countDistinct at
+    100 TB (re-aggregatable across partitions/rollups; countDistinct is
+    not). Rows-only check: sketch estimates are engine-specific; the
+    error bound and merge property are pinned in tests/test_sketches.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 def _q_merge_upsert(spark, sf_dir):
     """CDC MERGE emulation: apply a deterministic synthetic update batch
     (every 100th customer re-priced, every 250th deleted, 3 inserts) to
@@ -649,6 +671,155 @@ UNION ALL
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
 FROM updates WHERE NOT is_deleted
 """
+
+def _q_tpch_q14(spark, sf_dir):
+    """Q14 promo-effect: one-month lineitem slice joined to part, share
+    of revenue from PROMO-type parts. Conditional aggregation + exact
+    cents sums; the share division is the identical double op in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    agg = li.join(p, li["l_partkey"] == p["p_partkey"]).agg(
+        F.sum(promo_e4).alias("__p"), F.sum(rev_e4).alias("__t"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        (F.col("__p") / 10000.0).alias("promo_revenue"),
+        (F.col("__t") / 10000.0).alias("total_revenue"),
+        ((F.lit(100.0) * F.col("__p").cast("double"))
+         / F.col("__t").cast("double")).alias("promo_share_pct"),
+        "n_rows",
+    )
+
+
+_SQL_TPCH_Q14 = """
+SELECT CAST(sp AS BIGINT) / 10000.0 AS promo_revenue,
+       CAST(st AS BIGINT) / 10000.0 AS total_revenue,
+       (100.0 * CAST(CAST(sp AS BIGINT) AS DOUBLE))
+         / CAST(CAST(st AS BIGINT) AS DOUBLE) AS promo_share_pct,
+       n_rows
+FROM (
+  SELECT sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+                       (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS sp,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS st,
+         count(*) AS n_rows
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+"""
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """Q19 discounted-revenue (adapted to this schema): DISJUNCTIVE
+    brand/size/quantity predicate branches — the case Catalyst handles
+    with a join + OR-of-ANDs filter; the join-key conjuncts still push
+    down."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#4") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            (F.sum(rev_e4) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_SQL_TPCH_Q19 = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """Q11 important-stock (adapted): per-supplier revenue, keeping
+    suppliers above a fraction of TOTAL revenue — an aggregate compared
+    against a broadcast scalar aggregate (the decorrelated form of
+    Q11's HAVING subquery). Exact-cents sums make the boundary compare
+    engine-independent."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    per = li.groupBy("l_suppkey").agg(F.sum(rev_e4).alias("__rev_e4"))
+    # threshold relative to the MEAN supplier value (1.05×) so the
+    # selectivity is scale-invariant — a fixed fraction-of-total cutoff
+    # admits nobody once the supplier count outgrows it
+    total = per.agg(
+        F.sum("__rev_e4").alias("__tot_e4"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__rev_e4").cast("double")
+            > F.col("__tot_e4").cast("double")
+            / F.col("__n").cast("double") * 1.05
+        )
+        .select(
+            "l_suppkey",
+            (F.col("__rev_e4") / 10000.0).alias("supplier_value"),
+        )
+    )
+
+
+_SQL_TPCH_Q11 = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_e4
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS tot_e4,
+               count(*) AS n FROM per)
+SELECT l_suppkey, rev_e4 / 10000.0 AS supplier_value
+FROM per, tot
+WHERE CAST(rev_e4 AS DOUBLE)
+      > CAST(tot_e4 AS DOUBLE) / CAST(n AS DOUBLE) * 1.05
+"""
+
 
 def _q_tpch_q7(spark, sf_dir):
     """Q7 volume shipping (adapted): revenue between (supplier nation,

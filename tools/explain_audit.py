@@ -69,12 +69,30 @@ def main() -> int:
         R.queries()["tpch_q6"](spark, sf_dir),
         must_contain=["PushedFilters: ["],
     )
-    # 5. multi-join: all dims broadcast
+    # 5. multi-join: joins resolve to broadcast at this sf (nation by
+    # hint, orders/customer by AQE runtime sizing — no hint, so the same
+    # plan shuffles at 100 TB instead of broadcasting a fact table)
     check(
         "revenue_per_nation",
         R.queries()["revenue_per_nation"](spark, sf_dir),
         must_contain=["BroadcastHashJoin"],
         must_not=["SortMergeJoin"],
+    )
+    # 6. embedding near-dup: the block-GEMM plan, never a nested loop /
+    # cartesian over the corpus
+    check(
+        "embedding_neardup",
+        R.queries()["embedding_neardup"](spark, sf_dir),
+        must_contain=["FlatMapGroupsInPandas"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    # 7. disjunctive-predicate query still prunes columns + pushes the
+    # join-side IsNotNull conjuncts
+    check(
+        "tpch_q19",
+        R.queries()["tpch_q19"](spark, sf_dir),
+        must_contain=["PushedFilters: ["],
+        must_not=["l_shipdate"],  # unused column never read
     )
 
     print(f"\n{len(failures)} plan-property failures")
