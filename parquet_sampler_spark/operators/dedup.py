@@ -110,11 +110,13 @@ def ngram_jaccard_pairs(
     standard guard against quadratic hot-shingle join groups on Zipfian
     corpora: a shingle appearing in d docs generates O(d²) candidate
     rows, and stop-shingles carry almost no similarity signal. The
-    result is recall-only approximate: a qualifying pair is missed iff
-    its ENTIRE overlap consists of over-cap shingles (for real
-    vocabularies at sane caps, pairs at threshold ≥ 0.5 share rare
-    shingles too). Computed jaccard values for surviving pairs can
-    only be under-estimates — precision is exact.
+    result is recall-only approximate, and the effective statistic is
+    ``|sub-cap overlap| / |exact union|``: a pair survives iff that
+    UNDER-estimate still clears the threshold, so pairs whose
+    similarity rests mostly on over-cap (stop) shingles are dropped —
+    size the cap so genuinely similar docs share enough rare shingles.
+    Emitted jaccard values are likewise under-estimates; precision
+    (no false pairs) is exact.
 
     Output columns: ``id_a, id_b, jaccard``.
     """
@@ -539,6 +541,10 @@ def duplicate_clusters(
     """
     if on_nonconverged not in ("raise", "warn", "ignore"):
         raise ValueError(f"bad on_nonconverged: {on_nonconverged!r}")
+    if max_iterations < 1:
+        # 0 iterations would return identity labels that are only
+        # coincidentally correct (edgeless graph) — never meaningful
+        raise ValueError("max_iterations must be >= 1")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

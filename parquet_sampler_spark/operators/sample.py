@@ -47,7 +47,10 @@ _PREFILTER_MIN_ROWS = 200_000
 # Persisted prefilter candidate sets, kept alive because the returned
 # (lazy) top-k plan reads them after this function returns. Registered
 # here so ``queries.clear_caches()`` can evict them — nothing else does.
+# FIFO-bounded: repeated sample calls must not pin unbounded cached
+# blocks (evicting an old entry only costs its consumers a recompute).
 _CANDIDATE_CACHE: list[DataFrame] = []
+_CANDIDATE_CACHE_MAX = 8
 
 
 def clear_candidate_cache() -> None:
@@ -129,8 +132,23 @@ def sample_exact(
     n = total_rows if total_rows is not None else df.count()
     k = int(math.floor(n * ratio))
     if k <= 0:
-        return df.limit(0).select(*out_cols)
+        out = df.limit(0)
+        if emit_pos_col:
+            out = out.withColumn(emit_pos_col, F.lit(0).cast("int"))
+            return out.select(*out_cols, emit_pos_col)
+        return out.select(*out_cols)
     if k >= n:
+        if order_preserving:
+            out = df
+            if emit_pos_col:
+                wpos = Window.orderBy(_ORD + "_f", _ORD + "_i")
+                out = out.withColumn(
+                    emit_pos_col, F.row_number().over(wpos)
+                )
+                return out.orderBy(_ORD + "_f", _ORD + "_i").select(
+                    *out_cols, emit_pos_col
+                )
+            return out.orderBy(_ORD + "_f", _ORD + "_i").select(*out_cols)
         return df.select(*out_cols)
 
     if method == "hash":
@@ -159,6 +177,11 @@ def sample_exact(
         if pre.count() >= k:
             candidates = pre
             _CANDIDATE_CACHE.append(pre)
+            while len(_CANDIDATE_CACHE) > _CANDIDATE_CACHE_MAX:
+                try:
+                    _CANDIDATE_CACHE.pop(0).unpersist()
+                except Exception:
+                    pass
         else:
             # astronomically unlikely (Chernoff); scan everything — and
             # drop the abandoned candidate set's cached blocks now

@@ -334,7 +334,10 @@ def _block_candidates(
     def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
         lo = pdf[pdf["__side"] == 0]
         hi = pdf[pdf["__side"] == 1]
-        same = hi.empty  # diagonal block pair: both sides are the block
+        # diagonal decided by the GROUP KEY, never by hi.empty — an
+        # off-diagonal cell whose right block happens to be empty must
+        # yield nothing, not rescore the left block against itself
+        same = pdf["bi"].iat[0] == pdf["bj"].iat[0]
         if same:
             hi = lo
         if lo.empty or hi.empty:
@@ -376,9 +379,11 @@ def _signbit_candidates(
 ) -> DataFrame:
     """Candidate pairs whose sign-bit signature matches in ≥1 of
     ``tables`` hash tables (the :func:`lsh_topk` banding, self-join
-    form)."""
+    form). Hyperplane dimension is inferred from the data (one
+    footer-cheap first-row probe) so any embedding width works."""
+    dim = df.select(F.size(vec_col)).first()[0]
     planes = np.concatenate([
-        np.array(_hyperplanes(64, bits, seed + 1000 * t))
+        np.array(_hyperplanes(dim, bits, seed + 1000 * t))
         for t in range(tables)
     ])
     weights = (1 << np.arange(bits)).astype(np.int64)
@@ -386,7 +391,7 @@ def _signbit_candidates(
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def all_sigs(vs: pd.Series) -> pd.Series:
         m = np.array(vs.tolist(), dtype=np.float64)
-        signs = (m @ planes.T[: m.shape[1], :]) > 0
+        signs = (m @ planes.T) > 0
         packed = signs.reshape(len(vs), tables, bits) @ weights
         return pd.Series(packed.tolist())
 
@@ -397,6 +402,9 @@ def _signbit_candidates(
         .select("__id", F.posexplode("__sigs").alias("tbl", "sig"))
         .persist()
     )
+    # both self-join sides read `banded`; registered for eviction like
+    # the normalized relation
+    _PERSISTED.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))

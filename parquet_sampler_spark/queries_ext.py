@@ -787,15 +787,23 @@ def _q_streaming_hourly(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     # the file-stream source requires a DIRECTORY to list; expose the
-    # single-file table through a symlink dir (testdata is read-only)
+    # single-file table through a symlink dir (testdata is read-only).
+    # Keyed on the RESOLVED source path, and a link pointing elsewhere
+    # (or dangling) is re-pointed — a basename-keyed dir could silently
+    # replay a different corpus with the same directory name.
+    real = os.path.realpath(path)
+    import hashlib
+
     src_dir = (
         f"{tempfile.gettempdir()}/psx_stream_src_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"{hashlib.sha256(real.encode()).hexdigest()[:16]}"
     )
     os.makedirs(src_dir, exist_ok=True)
     link = f"{src_dir}/events.parquet"
+    if os.path.islink(link) and os.path.realpath(link) != real:
+        os.remove(link)
     if not os.path.islink(link):
-        os.symlink(path, link)
+        os.symlink(real, link)
     schema = spark.read.parquet(path).schema
     src = (
         spark.readStream.schema(schema)

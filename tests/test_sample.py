@@ -170,3 +170,22 @@ def test_emit_pos_requires_order_preserving(spark):
     with pytest.raises(ValueError, match="order_preserving"):
         sample_exact(o, 0.02, seed=11, key_cols=["o_orderkey"],
                      emit_pos_col="file_pos")
+
+
+def test_emit_pos_col_full_ratio(spark):
+    """ratio high enough that k == n: the early-return path must still
+    emit the position column in file order."""
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = sample_exact(o, 1.0, seed=1, key_cols=["o_orderkey"],
+                       order_preserving=True, emit_pos_col="file_pos")
+    rows = out.collect()
+    assert len(rows) == o.count()
+    assert [r.file_pos for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_emit_pos_col_zero_ratio(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = sample_exact(o, 0.0, seed=1, key_cols=["o_orderkey"],
+                       order_preserving=True, emit_pos_col="file_pos")
+    assert out.columns[-1] == "file_pos"
+    assert out.count() == 0

@@ -158,3 +158,30 @@ def test_ivf_model_cache_reused(embeddings, queries):
     ivf_topk(embeddings, queries, "vec_id", "embedding", k=5,
              nlist=8, nprobe=4, model_cache=cache, cache_key="k").count()
     assert cache["k"] is model
+
+
+def test_neardup_block_empty_blocks_no_duplicates(spark):
+    """Regression: a grid cell whose right-side block is empty must
+    yield nothing — with nblocks >> n most blocks are empty, and the
+    old hi.empty heuristic rescored the left block against itself once
+    per empty partner, duplicating every qualifying pair."""
+    rows = [(0, [1.0] * 8), (9, [1.0] * 8), (17, [-1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(df, "vec_id", "embedding",
+                                  threshold=0.9, method="block",
+                                  nblocks=16).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(0, 9)]
+    assert out[0].cos_sim == pytest.approx(1.0)
+
+
+def test_neardup_lsh_infers_dim(spark):
+    """method='lsh' must work for any embedding width (planes are built
+    from the data's dimension, not a hardcoded 64)."""
+    rows = [(i, [float(i == j) for j in range(16)]) for i in range(8)]
+    rows += [(100, rows[0][1])]  # duplicate of vec 0, cos == 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b)
+           for r in embedding_neardup_pairs(
+               df, "vec_id", "embedding", threshold=0.95, method="lsh",
+               lsh_bits=4, lsh_tables=8).collect()}
+    assert (0, 100) in got
