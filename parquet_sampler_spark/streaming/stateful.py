@@ -13,9 +13,11 @@ lag + cumsum — needs the whole history; this needs O(open sessions)
 state).
 
 Scale: state is keyed by user_id → distributed with the shuffle; each
-group's state is one small tuple. A production deployment adds a state
-timeout (`GroupStateTimeout.ProcessingTimeTimeout`) to evict idle users;
-the test harness uses NoTimeout + stream-end flush for determinism.
+group's state is one small tuple. ``idle_timeout_minutes`` enables
+processing-time state eviction (idle users' open sessions are flushed
+and their state removed) — without it, state grows with the all-time
+distinct-user count; with it, it is bounded by users active within the
+timeout window. Deterministic tests use NoTimeout (the default).
 """
 
 from __future__ import annotations
@@ -45,11 +47,21 @@ _STATE_SCHEMA = T.StructType([
 def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,
+    idle_timeout_minutes: float | None = None,
 ) -> DataFrame:
     """events (streaming, with ``user_id`` and ``ts``) → closed sessions
     (append mode). Sessions still open when the stream ends stay in
-    state (flushed only by timeout in production)."""
+    state — unless ``idle_timeout_minutes`` is set, in which case a
+    processing-time timeout EVICTS idle users' state and emits their
+    open session as closed. Without eviction, state grows with the
+    all-time distinct-user count — the thing that kills a long-running
+    100 TB-scale stream; with it, state is bounded by ~active users per
+    timeout window."""
     gap_us = gap_minutes * 60 * 1_000_000
+    timeout_ms = (
+        int(idle_timeout_minutes * 60 * 1000)
+        if idle_timeout_minutes is not None else None
+    )
 
     def fold(
         key: tuple,
@@ -57,6 +69,16 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
+        if timeout_ms is not None and state.hasTimedOut:
+            # idle eviction: flush the open session and drop the state
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start_us, last_us, n)],
+                columns=["user_id", "session_start_us",
+                         "session_end_us", "n_events"],
+            )
+            return
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -84,6 +106,8 @@ def sessionize_stream(
                 last_us, n = max(last_us, t), n + 1
 
         state.update((start_us, last_us, n))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -101,5 +125,8 @@ def sessionize_stream(
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None else GroupStateTimeout.NoTimeout
+        ),
     )

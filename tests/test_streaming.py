@@ -364,3 +364,50 @@ def test_sessionize_out_of_order_batches(spark, tmp_path):
     assert s.n_events == 3
     assert s.session_start_us == int(
         (t0 + dt.timedelta(minutes=95)).timestamp() * 1_000_000)
+
+
+def test_sessionize_idle_timeout_evicts_state(spark, tmp_path):
+    """With idle_timeout_minutes set, a user idle past the timeout has
+    their OPEN session flushed by the processing-time timeout at a later
+    micro-batch (state eviction — the bounded-state mode), instead of
+    staying in state forever."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "idle"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    # batch 1: user 1 opens a session; batch 2+3: only user 2 has data,
+    # so user 1's group is visited via the timeout path (a micro-batch
+    # takes far longer than the 50 ms timeout)
+    wb("a.parquet", [(1, t0)], 1_000_000)
+    wb("b.parquet", [(2, t0 + dt.timedelta(minutes=1))], 2_000_000)
+    wb("c.parquet", [(2, t0 + dt.timedelta(minutes=2))], 3_000_000)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (sessionize_stream(stream, gap_minutes=30,
+                           idle_timeout_minutes=50 / 60000.0)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("idle_sessions")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM idle_sessions").collect()
+    evicted = [r for r in rows if r.user_id == 1]
+    assert len(evicted) == 1
+    assert evicted[0].n_events == 1
+    assert evicted[0].session_start_us == int(t0.timestamp() * 1_000_000)
