@@ -182,3 +182,49 @@ def token_count_bpe_sql(col: str) -> str:
         f"CAST(len(regexp_extract_all({col}, '{_BPE_ISH}')) AS BIGINT)"
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Normalization + PII redaction (per-row map, no shuffle, no UDFs)
+# ---------------------------------------------------------------------------
+
+# Redaction patterns restricted to syntax Java regex and RE2 interpret
+# identically (character classes, bounded repetition, \b word breaks —
+# no lookarounds, no backrefs). Applied in order: email first (contains
+# dots + digits), then IPv4, then phone.
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text normalization for dedup/training prep: trim,
+    lowercase, collapse every whitespace run to a single space."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def normalize_text_sql(col: str) -> str:
+    # DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    # occurrences by default)
+    return rf"regexp_replace(lower(trim({col})), '\s+', ' ', 'g')"
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers
+    with typed placeholders — the standard scrub pass before text lands
+    in a training corpus. Pure regexp_replace chain: codegen-friendly,
+    linear scale-out."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def redact_pii_sql(col: str) -> str:
+    out = col
+    for pat, rep in _PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out

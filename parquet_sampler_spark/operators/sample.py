@@ -242,6 +242,64 @@ def sample_stratified(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: int = 42,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row lands in
+    exactly one split based on ``lehmer_hash(key_cols, seed)`` compared
+    against cumulative INTEGER thresholds (``floor(M·cum_weight)``) —
+    no floats anywhere, so the assignment is reproducible across
+    engines, runs, partitionings, and cluster sizes, and any row's
+    split can be recomputed from its key alone (the property that
+    keeps a training corpus leak-free when it is regenerated).
+
+    Proportions hold in expectation (hash-uniform); for exact-count
+    splits use :func:`sample_exact` per split instead.
+    """
+    weights = [w for _, w in splits]
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("split weights must be >= 0 and sum to 1")
+    pr = lehmer_hash(key_cols, seed)
+    cum = 0.0
+    expr = None
+    thresholds = []
+    for name, w in splits[:-1]:
+        cum += w
+        thresholds.append((name, int(MODULUS * cum)))
+    expr = F.lit(splits[-1][0])
+    for name, t in reversed(thresholds):
+        expr = F.when(pr < t, name).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def assign_splits_sql(
+    key_cols: list[str],
+    seed: int = 42,
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> str:
+    """CASE expression computing the identical split assignment in
+    DuckDB — the oracle twin of :func:`assign_splits`."""
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+
+    pr = lehmer_hash_sql(key_cols, seed)
+    cum = 0.0
+    whens = []
+    for name, w in splits[:-1]:
+        cum += w
+        whens.append(f"WHEN ({pr}) < {int(MODULUS * cum)} THEN '{name}'")
+    return (
+        "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
+    )
+
+
 def sample_fraction(
     df: DataFrame, ratio: float, seed: int = 42
 ) -> DataFrame:

@@ -96,6 +96,57 @@ def _sql_doc_fingerprint():
     )
 
 
+def _q_text_clean(spark, sf_dir):
+    """Normalization + PII redaction over documents. PII is synthesized
+    deterministically INSIDE the query (the corpus itself contains
+    none), identically on both engines — so the oracle proves the
+    redaction regexes actually fire and agree across Java regex / RE2."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com  from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" or 555-123-4567."),
+    )
+    return d.select(
+        "doc_id",
+        TX.redact_pii(TX.normalize_text(synth)).alias("clean"),
+    )
+
+
+def _sql_text_clean():
+    synth = (
+        "text || ' Contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com  from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "' or 555-123-4567.'"
+    )
+    return (
+        f"SELECT doc_id, "
+        f"{TX.redact_pii_sql(TX.normalize_text_sql(synth))} AS clean "
+        f"FROM documents"
+    )
+
+
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by portable integer hash
+    thresholds — any row's split is recomputable from its key alone, on
+    any engine (the leak-free regeneration property)."""
+    from parquet_sampler_spark.operators.sample import assign_splits
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_splits(d, ["doc_id"], seed=13).select("doc_id", "split")
+
+
+def _sql_dataset_split():
+    from parquet_sampler_spark.operators.sample import assign_splits_sql
+
+    return (
+        f"SELECT doc_id, {assign_splits_sql(['doc_id'], 13)} AS split "
+        f"FROM documents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -424,6 +475,8 @@ FROM (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": _q_text_stats,
+        "text_clean": _q_text_clean,
+        "dataset_split": _q_dataset_split,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -455,6 +508,8 @@ def oracle_sql() -> dict[str, str]:
     # + statistical recall tests in pytest.
     return {
         "text_stats": _sql_text_stats(),
+        "text_clean": _sql_text_clean(),
+        "dataset_split": _sql_dataset_split(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,

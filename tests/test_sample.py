@@ -189,3 +189,32 @@ def test_emit_pos_col_zero_ratio(spark):
                        order_preserving=True, emit_pos_col="file_pos")
     assert out.columns[-1] == "file_pos"
     assert out.count() == 0
+
+
+def test_assign_splits_partition_and_determinism(spark):
+    from parquet_sampler_spark.operators.sample import assign_splits
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    out = assign_splits(o, ["o_orderkey"], seed=5)
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == o.count()
+    # proportions hold within sampling noise (hash-uniform, n=15000)
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+    # deterministic: identical assignment on recompute
+    a = {r.o_orderkey: r.split for r in out.select("o_orderkey", "split").collect()}
+    b = {r.o_orderkey: r.split
+         for r in assign_splits(o, ["o_orderkey"], seed=5)
+         .select("o_orderkey", "split").collect()}
+    assert a == b
+
+
+def test_assign_splits_validates_weights(spark):
+    from parquet_sampler_spark.operators.sample import assign_splits
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(o, ["o_orderkey"], splits=(("a", 0.5), ("b", 0.2)))

@@ -67,3 +67,27 @@ def test_fingerprint_matches_java_hashcode_mod(spark):
     assert out[1] == 96354
     assert out[2] == 0
     assert out[1] == out[3]  # content-determined
+
+
+def test_normalize_text(spark):
+    from parquet_sampler_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello   WORLD\t\tfoo \n bar  ")], "id long, t string"
+    )
+    out = df.select(normalize_text("t").alias("c")).collect()[0].c
+    assert out == "hello world foo bar"
+
+
+def test_redact_pii_patterns(spark):
+    from parquet_sampler_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk ip 192.168.0.1 tel 555-123-4567 ok"),
+         (2, "no pii here 123 1.2 end")],
+        "id long, t string",
+    )
+    rows = {r.id: r.c for r in
+            df.select("id", redact_pii("t").alias("c")).collect()}
+    assert rows[1] == "mail <EMAIL> ip <IP> tel <PHONE> ok"
+    assert rows[2] == "no pii here 123 1.2 end"
