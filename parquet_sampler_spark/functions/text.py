@@ -199,17 +199,24 @@ _PII_PATTERNS = [
 ]
 
 
+# Explicit whitespace class instead of \s: Java's \s and RE2's \s
+# disagree on vertical tab (\x0B), and SQL trim() strips only spaces —
+# collapsing FIRST then trimming makes edge tabs/newlines canonicalize
+# identically to edge spaces in both engines.
+_WS_RUN = r"[ \t\n\r\f\x0B]+"
+
+
 def normalize_text(col: str | Column) -> Column:
-    """Canonical text normalization for dedup/training prep: trim,
-    lowercase, collapse every whitespace run to a single space."""
+    """Canonical text normalization for dedup/training prep: lowercase,
+    collapse every whitespace run to one space, trim the edges."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(c), _WS_RUN, " "))
 
 
 def normalize_text_sql(col: str) -> str:
     # DuckDB regexp_replace needs the 'g' flag (Spark replaces all
     # occurrences by default)
-    return rf"regexp_replace(lower(trim({col})), '\s+', ' ', 'g')"
+    return rf"trim(regexp_replace(lower({col}), '{_WS_RUN}', ' ', 'g'))"
 
 
 def redact_pii(col: str | Column) -> Column:

@@ -262,12 +262,9 @@ def assign_splits(
     Proportions hold in expectation (hash-uniform); for exact-count
     splits use :func:`sample_exact` per split instead.
     """
-    weights = [w for _, w in splits]
-    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
-        raise ValueError("split weights must be >= 0 and sum to 1")
+    _validate_splits(splits)
     pr = lehmer_hash(key_cols, seed)
     cum = 0.0
-    expr = None
     thresholds = []
     for name, w in splits[:-1]:
         cum += w
@@ -278,6 +275,12 @@ def assign_splits(
     return df.withColumn(out_col, expr)
 
 
+def _validate_splits(splits) -> None:
+    weights = [w for _, w in splits]
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("split weights must be >= 0 and sum to 1")
+
+
 def assign_splits_sql(
     key_cols: list[str],
     seed: int = 42,
@@ -286,9 +289,12 @@ def assign_splits_sql(
     ),
 ) -> str:
     """CASE expression computing the identical split assignment in
-    DuckDB — the oracle twin of :func:`assign_splits`."""
+    DuckDB — the oracle twin of :func:`assign_splits` (same weight
+    validation: a silently-short threshold list would misassign the
+    remainder instead of failing)."""
     from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
 
+    _validate_splits(splits)
     pr = lehmer_hash_sql(key_cols, seed)
     cum = 0.0
     whens = []

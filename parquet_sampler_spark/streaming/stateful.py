@@ -58,10 +58,16 @@ def sessionize_stream(
     100 TB-scale stream; with it, state is bounded by ~active users per
     timeout window."""
     gap_us = gap_minutes * 60 * 1_000_000
-    timeout_ms = (
-        int(idle_timeout_minutes * 60 * 1000)
-        if idle_timeout_minutes is not None else None
-    )
+    timeout_ms = None
+    if idle_timeout_minutes is not None:
+        timeout_ms = int(idle_timeout_minutes * 60 * 1000)
+        if timeout_ms < 1:
+            # fail at the API boundary: setTimeoutDuration(0) would
+            # throw inside every executor task on the first micro-batch
+            raise ValueError(
+                "idle_timeout_minutes must be >= 1 millisecond "
+                f"(got {idle_timeout_minutes!r})"
+            )
 
     def fold(
         key: tuple,

@@ -218,3 +218,10 @@ def test_assign_splits_validates_weights(spark):
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     with pytest.raises(ValueError, match="sum to 1"):
         assign_splits(o, ["o_orderkey"], splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_assign_splits_sql_validates_weights():
+    from parquet_sampler_spark.operators.sample import assign_splits_sql
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits_sql(["doc_id"], splits=(("a", 0.5), ("b", 0.2)))

@@ -393,7 +393,8 @@ def test_sessionize_idle_timeout_evicts_state(spark, tmp_path):
 
     # batch 1: user 1 opens a session; batch 2+3: only user 2 has data,
     # so user 1's group is visited via the timeout path (a micro-batch
-    # takes far longer than the 50 ms timeout)
+    # takes far longer than the 1 ms timeout, so expiry between
+    # batches is deterministic on any machine)
     wb("a.parquet", [(1, t0)], 1_000_000)
     wb("b.parquet", [(2, t0 + dt.timedelta(minutes=1))], 2_000_000)
     wb("c.parquet", [(2, t0 + dt.timedelta(minutes=2))], 3_000_000)
@@ -401,7 +402,7 @@ def test_sessionize_idle_timeout_evicts_state(spark, tmp_path):
     stream = (spark.readStream.schema("user_id long, ts timestamp")
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
     q = (sessionize_stream(stream, gap_minutes=30,
-                           idle_timeout_minutes=50 / 60000.0)
+                           idle_timeout_minutes=1 / 60000.0)
          .writeStream.outputMode("append")
          .format("memory").queryName("idle_sessions")
          .trigger(availableNow=True).start())
@@ -411,3 +412,12 @@ def test_sessionize_idle_timeout_evicts_state(spark, tmp_path):
     assert len(evicted) == 1
     assert evicted[0].n_events == 1
     assert evicted[0].session_start_us == int(t0.timestamp() * 1_000_000)
+
+
+def test_sessionize_rejects_zero_timeout(spark, tmp_path):
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(str(tmp_path)))
+    with pytest.raises(ValueError, match="millisecond"):
+        sessionize_stream(stream, idle_timeout_minutes=0)

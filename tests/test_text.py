@@ -91,3 +91,17 @@ def test_redact_pii_patterns(spark):
             df.select("id", redact_pii("t").alias("c")).collect()}
     assert rows[1] == "mail <EMAIL> ip <IP> tel <PHONE> ok"
     assert rows[2] == "no pii here 123 1.2 end"
+
+
+def test_normalize_text_edge_whitespace_canonical(spark):
+    """Edge tabs/newlines canonicalize identically to edge spaces (trim
+    only strips spaces, so the collapse must run first)."""
+    from parquet_sampler_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "\tHello\n"), (2, "  Hello  "), (3, "Hello")],
+        "id long, t string",
+    )
+    vals = {r.id: r.c for r in
+            df.select("id", normalize_text("t").alias("c")).collect()}
+    assert vals == {1: "hello", 2: "hello", 3: "hello"}
