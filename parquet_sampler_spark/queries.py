@@ -288,6 +288,23 @@ def _q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(*o.columns)
 
 
+def _q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format fidelity: customer written as ORC and read back must
+    equal the parquet original value-for-value (the format-conversion
+    path of sources/formats.py, oracle = the raw table)."""
+    import tempfile
+
+    from parquet_sampler_spark.sources.formats import read_orc, write_orc
+
+    c = table(spark, sf_dir, "customer")
+    out = (
+        f"{tempfile.gettempdir()}/psx_orc_"
+        f"{spark.sparkContext.applicationId}/customer"
+    )
+    write_orc(c, out)
+    return read_orc(spark, out).select(*c.columns)
+
+
 def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Footer-metadata row counts, no data scan (sample.rs:31-34) —
     computed via pyarrow footers, surfaced as a 1-row DataFrame."""
@@ -318,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_order_preserving": _q_sample_order_preserving,
         "sink_roundtrip": _q_sink_roundtrip,
         "sink_partitioned": _q_sink_partitioned,
+        "sink_orc_roundtrip": _q_sink_orc_roundtrip,
     }
     out.update(queries_ext.queries())
     out.update(queries_olap.queries())
@@ -374,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM customer_red"
         ),
         "sink_partitioned": "SELECT * FROM orders",
+        "sink_orc_roundtrip": "SELECT * FROM customer",
         **queries_ext.oracle_sql(),
         **queries_olap.oracle_sql(),
     }

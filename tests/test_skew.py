@@ -45,3 +45,49 @@ def test_rejects_unsupported_how(skewed):
     big, small = skewed
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="full")
+
+
+def test_aqe_skew_join_split_triggers(spark):
+    """Measured AQE skew handling: with a 90%-hot key and test-lowered
+    skew thresholds, the runtime re-plan must actually SPLIT the skewed
+    partition (the executed SortMergeJoin is marked skew=true) — the
+    mechanism SCALING.md leans on for hot keys before reaching for
+    salted_join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id"))
+            .alias("key"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(10_000).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("val")
+        )
+        joined = big.join(right, "key")
+        # collect() executes THIS DataFrame's own query execution, so
+        # its adaptive plan is final afterwards (count() would build a
+        # separate execution and leave this one unplanned)
+        n = len(joined.collect())
+        # 270k rows share key 0 (matched once); the rest match iff the
+        # unique key is < 10k
+        assert n == 270_000 + sum(
+            1 for i in range(300_000) if i % 10 == 9 and i < 10_000
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -95,6 +95,26 @@ def main() -> int:
         must_not=["l_shipdate"],  # unused column never read
     )
 
+    # 8. hive-partitioned sink: a filter on the partition column must
+    # prune at the DIRECTORY level (PartitionFilters), not row level
+    import tempfile
+
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    part_out = f"{tempfile.gettempdir()}/psx_audit_part/orders"
+    write_parquet(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), part_out,
+        partition_by=["o_orderpriority"],
+    )
+    pruned_part = spark.read.parquet(part_out).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    check(
+        "partition_pruning",
+        pruned_part,
+        must_contain=["PartitionFilters: [isnotnull(o_orderpriority"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
