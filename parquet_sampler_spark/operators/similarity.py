@@ -154,7 +154,7 @@ def lsh_topk(
     k: int = 10,
     bits: int = 4,
     tables: int = 16,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k by random-hyperplane LSH with ``tables``
@@ -164,7 +164,12 @@ def lsh_topk(
     tables recover recall. The band table carries only (id, table,
     signature) — vectors are joined back for the candidate pairs only,
     so the explode never multiplies vector payloads through the shuffle.
+
+    ``dim``: embedding width; inferred from the corpus when None (one
+    first-row probe).
     """
+    if dim is None:
+        dim = corpus.select(F.size(vec_col)).first()[0]
     # All tables' hyperplanes as one (tables*bits, dim) matrix: the
     # per-row signature set is then a single GEMM in an Arrow-batched
     # Pandas UDF — dense linear algebra is the one place where BLAS
