@@ -83,8 +83,26 @@ def main(argv: list[str] | None = None) -> int:
     p_dedup.add_argument("--threshold", type=float, default=0.5)
     p_dedup.add_argument("--single-file", action="store_true")
 
+    p_compact = sub.add_parser(
+        "compact", help="rewrite small parquet files into right-sized "
+                        "ones (beyond-reference)"
+    )
+    p_compact.add_argument("input")
+    p_compact.add_argument("output")
+    p_compact.add_argument("--target-mb", type=int, default=128)
+
     args = parser.parse_args(argv)
     spark = get_spark(f"psx-{args.cmd}")
+
+    if args.cmd == "compact":
+        from parquet_sampler_spark.sources.io import compact_parquet
+
+        n_out = compact_parquet(
+            spark, args.input, args.output, target_mb=args.target_mb
+        )
+        rows = metadata_row_count(args.output)
+        print(f"compacted {args.input} -> {n_out} file(s), {rows} rows")
+        return 0
 
     if args.cmd == "dedup":
         from parquet_sampler_spark.operators.dedup import (

@@ -24,3 +24,21 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def cluster_by_range(
+    df: DataFrame, cols: list[str], num_files: int
+) -> DataFrame:
+    """Range-cluster rows for write: ``repartitionByRange`` on ``cols``
+    (one sampled range shuffle) + ``sortWithinPartitions`` — each output
+    file then covers a narrow, non-overlapping value range, so parquet
+    row-group min/max statistics let later filtered scans SKIP whole
+    files/row groups instead of reading them. At 100 TB this is the
+    difference between a time-range query touching one day's files and
+    touching all of them. Write the result with
+    :func:`~parquet_sampler_spark.sources.io.write_parquet`."""
+    if not cols:
+        raise ValueError("cluster_by_range requires at least one column")
+    return df.repartitionByRange(num_files, *cols).sortWithinPartitions(
+        *cols
+    )

@@ -60,3 +60,42 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ``ceil(total_bytes / target_mb)`` right-sized files at ``out_path``
+    (never in place — an interrupted in-place rewrite loses data).
+
+    Small files are the classic slow poison of a 100 TB lake: footer
+    and task-scheduling overhead per file, tiny row groups that defeat
+    vectorized scans and min/max skipping. Sizing output count from the
+    ACTUAL byte size (os.walk, no data scan) instead of a fixed
+    coalesce(N) keeps files near the target at any scale.
+
+    Returns the number of output files written.
+    """
+    import math
+    import os
+    from pathlib import Path
+
+    p = Path(path)
+    files = list(p.rglob("*.parquet")) if p.is_dir() else [p]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    # coalesce (no shuffle) when reducing file count — the usual case;
+    # repartition only if the input has FEWER partitions than wanted
+    out = (
+        df.coalesce(n_out)
+        if df.rdd.getNumPartitions() >= n_out else df.repartition(n_out)
+    )
+    out.write.mode("overwrite").parquet(out_path)
+    return n_out

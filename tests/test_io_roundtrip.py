@@ -110,3 +110,64 @@ def test_projected_read_prunes_scan(spark):
     assert df.columns == ["l_orderkey"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "l_partkey" not in plan  # column pruned out of the scan
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """64 tiny files → compaction produces the byte-sized file count
+    with identical data."""
+    from parquet_sampler_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "shattered")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    import pathlib
+    n_in = len(list(pathlib.Path(src).glob("*.parquet")))
+    assert n_in == 64
+
+    out = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, out, target_mb=128)
+    assert n_out == 1  # 10k longs ≪ 128 MB
+    files = list(pathlib.Path(out).glob("*.parquet"))
+    assert len(files) == 1
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(10_000))
+
+
+def test_cluster_by_range_enables_file_skipping(spark, tmp_path):
+    """Range-clustered files carry narrow, pairwise-disjoint min/max
+    column ranges (the property parquet row-group skipping needs);
+    an unclustered round-robin write has every file spanning the full
+    domain."""
+    import pyarrow.parquet as pq
+    import pathlib
+
+    from parquet_sampler_spark.plans.layout import cluster_by_range
+
+    df = spark.range(100_000).selectExpr(
+        "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
+    )
+
+    def ranges(path):
+        out = []
+        for f in sorted(pathlib.Path(path).glob("*.parquet")):
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # k
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+            out.append((min(los), max(his)))
+        return out
+
+    messy = str(tmp_path / "messy")
+    df.repartition(8).write.parquet(messy)
+    clustered = str(tmp_path / "clustered")
+    cluster_by_range(df, ["k"], 8).write.parquet(clustered)
+
+    def overlaps(rs):
+        rs = sorted(rs)
+        return sum(
+            1 for (a, b) in zip(rs, rs[1:]) if a[1] >= b[0]
+        )
+
+    assert overlaps(ranges(messy)) > 0        # every file spans ~all
+    assert overlaps(ranges(clustered)) == 0   # disjoint ranges
