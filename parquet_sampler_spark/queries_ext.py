@@ -147,6 +147,56 @@ def _sql_dataset_split():
     )
 
 
+def _q_corpus_pipeline(spark, sf_dir):
+    """The flagship training-data journey as ONE composed plan:
+    normalize → language + quality filter → exact dedup on the
+    normalized text (min-id keeper) → deterministic split assignment.
+    Every stage is the library operator, chained — and the whole
+    composition is value-checked against a CTE-for-stage DuckDB twin.
+    Plan shape: one shuffle (the dedup window); everything else is
+    per-row map work fused into the scan."""
+    from parquet_sampler_spark.operators.dedup import exact_dedup
+    from parquet_sampler_spark.operators.sample import assign_splits
+
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        TX.normalize_text("text").alias("text_norm"),
+        TX.quality_score("text").alias("quality"),
+        TX.language_id("text").alias("lang_pred"),
+    )
+    kept = staged.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    )
+    deduped = exact_dedup(kept, ["text_norm"], "doc_id")
+    return assign_splits(deduped, ["doc_id"], seed=17).select(
+        "doc_id", "quality", "split"
+    )
+
+
+def _sql_corpus_pipeline():
+    from parquet_sampler_spark.operators.sample import assign_splits_sql
+
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         {TX.normalize_text_sql('text')} AS text_norm,
+         {TX.quality_score_sql('text')} AS quality,
+         {TX.language_id_sql('text')} AS lang_pred
+  FROM documents
+),
+kept AS (
+  SELECT * FROM staged WHERE lang_pred = 'en' AND quality >= 0.5
+),
+deduped AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text_norm)
+)
+SELECT doc_id, quality, {assign_splits_sql(['doc_id'], 17)} AS split
+FROM deduped
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -477,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_clean": _q_text_clean,
         "dataset_split": _q_dataset_split,
+        "corpus_pipeline": _q_corpus_pipeline,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -510,6 +561,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "text_clean": _sql_text_clean(),
         "dataset_split": _sql_dataset_split(),
+        "corpus_pipeline": _sql_corpus_pipeline(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
