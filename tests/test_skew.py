@@ -91,3 +91,38 @@ def test_aqe_skew_join_split_triggers(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Runtime bloom-filter join pruning: for a selective dim filter on
+    a non-broadcast join, Spark injects a might_contain(bloom) predicate
+    on the fact side — rows failing the filter die at the scan instead
+    of crossing the shuffle. At real scale (app-side scan >= 10 GB) this
+    triggers by default; the test lowers the size thresholds to observe
+    it at test scale."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.01"
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt
+        # and the result is still exactly the plain join
+        plain = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+        assert j.count() == plain.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
