@@ -48,6 +48,7 @@ def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = 30,
     idle_timeout_minutes: float | None = None,
+    event_time_timeout: bool = False,
 ) -> DataFrame:
     """events (streaming, with ``user_id`` and ``ts``) → closed sessions
     (append mode). Sessions still open when the stream ends stay in
@@ -56,8 +57,20 @@ def sessionize_stream(
     open session as closed. Without eviction, state grows with the
     all-time distinct-user count — the thing that kills a long-running
     100 TB-scale stream; with it, state is bounded by ~active users per
-    timeout window."""
+    timeout window.
+
+    ``event_time_timeout=True`` is the DETERMINISTIC production mode:
+    the input must carry ``withWatermark("ts", ...)``, and a session is
+    closed when the WATERMARK passes ``last_event + gap`` — i.e. the
+    gap rule itself fires the emission, replay-reproducibly, rather
+    than wall-clock idleness or stream end. State is evicted at close.
+    Mutually exclusive with ``idle_timeout_minutes``."""
     gap_us = gap_minutes * 60 * 1_000_000
+    if event_time_timeout and idle_timeout_minutes is not None:
+        raise ValueError(
+            "event_time_timeout and idle_timeout_minutes are mutually "
+            "exclusive timeout modes"
+        )
     timeout_ms = None
     if idle_timeout_minutes is not None:
         timeout_ms = int(idle_timeout_minutes * 60 * 1000)
@@ -68,6 +81,7 @@ def sessionize_stream(
                 "idle_timeout_minutes must be >= 1 millisecond "
                 f"(got {idle_timeout_minutes!r})"
             )
+    has_timeout = event_time_timeout or timeout_ms is not None
 
     def fold(
         key: tuple,
@@ -75,8 +89,10 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
-        if timeout_ms is not None and state.hasTimedOut:
-            # idle eviction: flush the open session and drop the state
+        if has_timeout and state.hasTimedOut:
+            # timeout close: flush the open session and drop the state
+            # (processing-time = idle eviction; event-time = the gap
+            # rule fired by the watermark)
             start_us, last_us, n = state.get
             state.remove()
             yield pd.DataFrame(
@@ -112,7 +128,11 @@ def sessionize_stream(
                 last_us, n = max(last_us, t), n + 1
 
         state.update((start_us, last_us, n))
-        if timeout_ms is not None:
+        if event_time_timeout:
+            # close when the watermark passes last_event + gap: the
+            # session cannot grow after that point by definition
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        elif timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         if closed:
             yield pd.DataFrame(
@@ -123,16 +143,21 @@ def sessionize_stream(
 
     from pyspark.sql import functions as F
 
+    # keep the raw event-time column alongside ts_us: EventTimeTimeout
+    # requires the watermark column to survive into the stateful op
     tagged = events.select(
-        "user_id", F.unix_micros("ts").alias("ts_us")
+        "user_id", "ts", F.unix_micros("ts").alias("ts_us")
     )
+    if event_time_timeout:
+        conf = GroupStateTimeout.EventTimeTimeout
+    elif timeout_ms is not None:
+        conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        conf = GroupStateTimeout.NoTimeout
     return tagged.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if timeout_ms is not None else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=conf,
     )

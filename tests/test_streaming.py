@@ -421,3 +421,61 @@ def test_sessionize_rejects_zero_timeout(spark, tmp_path):
               .parquet(str(tmp_path)))
     with pytest.raises(ValueError, match="millisecond"):
         sessionize_stream(stream, idle_timeout_minutes=0)
+
+
+def test_sessionize_event_time_timeout_closes_by_watermark(spark, tmp_path):
+    """Event-time timeout mode: a session is closed when the WATERMARK
+    passes last_event + gap — deterministic (replay-identical), no
+    wall-clock dependence. User 1's lone event must be emitted once
+    user 2's much-later events advance the watermark past the gap."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "evt"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    wb("a.parquet", [(1, t0)], 1_000_000)
+    # user 2 events far past t0 + gap(30m) + watermark delay(10m);
+    # two batches because watermark eviction lags one batch
+    wb("b.parquet", [(2, t0 + dt.timedelta(hours=2))], 2_000_000)
+    wb("c.parquet", [(2, t0 + dt.timedelta(hours=2, minutes=1))],
+       3_000_000)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src))
+              .withWatermark("ts", "10 minutes"))
+    q = (sessionize_stream(stream, gap_minutes=30,
+                           event_time_timeout=True)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("evt_sessions")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM evt_sessions").collect()
+    closed = [r for r in rows if r.user_id == 1]
+    assert len(closed) == 1
+    assert closed[0].n_events == 1
+    assert closed[0].session_start_us == int(t0.timestamp() * 1_000_000)
+
+
+def test_sessionize_timeout_modes_exclusive(spark, tmp_path):
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .parquet(str(tmp_path)))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sessionize_stream(stream, idle_timeout_minutes=1,
+                          event_time_timeout=True)
