@@ -887,37 +887,13 @@ def _q_streaming_hourly(spark, sf_dir):
     execution modes agree on identical input (the exactly-once replay /
     idempotence properties are pinned separately in
     tests/test_streaming.py)."""
-    import os
-    import tempfile
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = f"{sf_dir}/events.parquet"
-    # the file-stream source requires a DIRECTORY to list; expose the
-    # single-file table through a symlink dir (testdata is read-only).
-    # Keyed on the RESOLVED source path, and a link pointing elsewhere
-    # (or dangling) is re-pointed — a basename-keyed dir could silently
-    # replay a different corpus with the same directory name.
-    real = os.path.realpath(path)
-    import hashlib
-
-    src_dir = (
-        f"{tempfile.gettempdir()}/psx_stream_src_"
-        f"{hashlib.sha256(real.encode()).hexdigest()[:16]}"
-    )
-    os.makedirs(src_dir, exist_ok=True)
-    link = f"{src_dir}/events.parquet"
-    if os.path.islink(link) and os.path.realpath(link) != real:
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(real, link)
-    schema = spark.read.parquet(path).schema
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # read_event_stream streams the single file via its parent dir + a
+    # pathGlobFilter (the file source only lists directories) and
+    # applies the same nanos→micros ts handling as the batch reader
+    src = read_event_stream(spark, f"{sf_dir}/events.parquet")
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(

@@ -116,3 +116,24 @@ def run_stream_to_memory(
     q.stop()
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps the first occurrence of each
+    key and forgets the key once the watermark passes its event time +
+    delay. Plain ``dropDuplicates`` on a stream retains every key seen
+    FOREVER — unbounded state on a long-running feed; this variant is
+    the production dedup for replayed/retried event deliveries, where
+    duplicates arrive within a bounded lateness window.
+    """
+    if not key_cols:
+        raise ValueError("streaming_dedup requires key columns")
+    return events.withWatermark(
+        watermark_col, delay
+    ).dropDuplicatesWithinWatermark(key_cols)

@@ -479,3 +479,83 @@ def test_sessionize_timeout_modes_exclusive(spark, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         sessionize_stream(stream, idle_timeout_minutes=1,
                           event_time_timeout=True)
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed event ids arriving within
+    the lateness window are emitted exactly once, with key-memory
+    expiring at the watermark (bounded state)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.sampling import streaming_dedup
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    wb("a.parquet", [(1, t0), (2, t0), (3, t0)], 1_000_000)
+    wb("b.parquet", [(2, t0 + dt.timedelta(minutes=1)),
+                     (3, t0 + dt.timedelta(minutes=1)),
+                     (4, t0 + dt.timedelta(minutes=1))], 2_000_000)
+
+    stream = (spark.readStream.schema("event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (streaming_dedup(stream, ["event_id"], delay="10 minutes")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("deduped_events")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    ids = sorted(r.event_id
+                 for r in spark.sql("SELECT * FROM deduped_events").collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_stream_merge_sink_applies_cdc_batches(spark, tmp_path):
+    """foreachBatch CDC apply: two micro-batches of upserts/deletes
+    merged sequentially into a parquet snapshot — final state equals
+    insert(k1,k2) → update(k2) + delete(k1) + insert(k3)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.sinks import stream_merge_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+            "is_deleted": pa.array([r[2] for r in rows], pa.bool_()),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    wb("a.parquet", [(1, 10.0, False), (2, 20.0, False)], 1_000_000)
+    wb("b.parquet", [(2, 21.0, False), (1, 0.0, True),
+                     (3, 30.0, False)], 2_000_000)
+
+    base = str(tmp_path / "snapshot")
+    stream = (spark.readStream
+              .schema("k long, v double, is_deleted boolean")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream_merge_sink(stream, base, ["k"], delete_col="is_deleted",
+                           checkpoint_dir=str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {2: 21.0, 3: 30.0}
