@@ -235,3 +235,49 @@ def redact_pii_sql(col: str) -> str:
     for pat, rep in _PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
     return out
+
+
+def repetition_score(col: str | Column, n: int = 2) -> Column:
+    """Within-document repetition: ``1 − distinct_ngrams/total_ngrams``
+    over word n-grams — 0 for repetition-free text, →1 for degenerate
+    loops (the Gopher-style repetition filter signal). Pure per-row
+    array math, no shuffle; DuckDB twin divides the same integer counts
+    in the same order, so values are bit-identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(F.trim(c), " ")
+    if n == 1:
+        grams = tokens
+    else:
+        slid = F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+        grams = F.when(
+            F.size(tokens) < n, F.array().cast("array<string>")
+        ).otherwise(slid)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / total.cast("double")
+    )
+
+
+def repetition_score_sql(col: str, n: int = 2) -> str:
+    toks = f"string_split(trim({col}), ' ')"
+    if n == 1:
+        grams = toks
+    else:
+        parts = " || ' ' || ".join(
+            f"{toks}[i + {j}]" for j in range(n)
+        )
+        grams = (
+            f"CASE WHEN len({toks}) < {n} THEN [] "
+            f"ELSE list_transform(range(1, len({toks}) - {n} + 2), "
+            f"i -> {parts}) END"
+        )
+    return (
+        f"CASE WHEN len({grams}) <= 0 THEN 0.0 ELSE "
+        f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / "
+        f"CAST(len({grams}) AS DOUBLE) END"
+    )

@@ -227,6 +227,66 @@ def _jaccard_prefix_filtered(
     )
 
 
+def cross_ngram_jaccard_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs BETWEEN two corpora (bipartite, not
+    self-join): every (corpus id, benchmark id) pair with overlap ≥
+    threshold. The decontamination primitive — find training documents
+    that substantially overlap an evaluation/benchmark set. Same
+    inverted-index plan as :func:`ngram_jaccard_pairs`: candidates only
+    where a shingle is shared, never the cross product.
+
+    Output: ``id_a`` (corpus), ``id_b`` (benchmark), ``jaccard``.
+    """
+    sh_a = shingle_table(corpus, id_col, text_col, n).select(
+        F.col(id_col).alias("id_a"), F.xxhash64("shingle").alias("shingle")
+    ).persist()
+    sh_b = shingle_table(benchmark, id_col, text_col, n).select(
+        F.col(id_col).alias("id_b"), F.xxhash64("shingle").alias("shingle")
+    ).persist()
+    sizes_a = sh_a.groupBy("id_a").agg(F.count("*").alias("size_a"))
+    sizes_b = sh_b.groupBy("id_b").agg(F.count("*").alias("size_b"))
+    common = (
+        sh_a.join(sh_b, "shingle")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes_a, "id_a").join(sizes_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b")
+               - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop every corpus document whose n-gram Jaccard overlap with ANY
+    benchmark document reaches ``threshold`` — the standard guard
+    against evaluation contamination in a training corpus."""
+    hits = cross_ngram_jaccard_pairs(
+        corpus, benchmark, id_col, text_col, n, threshold
+    ).select(F.col("id_a").alias(id_col)).distinct()
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def jaccard_dedup(
     df: DataFrame,
     id_col: str,

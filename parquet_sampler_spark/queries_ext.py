@@ -147,6 +147,97 @@ def _sql_dataset_split():
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals: duplicate
+    bigram/trigram fractions per doc (degenerate-loop detector)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.repetition_score("text", 2).alias("rep2"),
+        TX.repetition_score("text", 3).alias("rep3"),
+    )
+
+
+def _sql_repetition_stats():
+    return (
+        f"SELECT doc_id, {TX.repetition_score_sql('text', 2)} AS rep2, "
+        f"{TX.repetition_score_sql('text', 3)} AS rep3 FROM documents"
+    )
+
+
+# decontamination demo split: docs below the cut play the "benchmark"
+# set, the rest are the training corpus
+_BENCH_CUT = 20
+_DECON_T = 0.5
+
+
+def _q_contamination_pairs(spark, sf_dir):
+    """Cross-corpus (bipartite) n-gram overlap: training docs vs the
+    benchmark slice — the decontamination primitive."""
+    from parquet_sampler_spark.operators.dedup import (
+        cross_ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_ngram_jaccard_pairs(
+        d.filter(F.col("doc_id") >= _BENCH_CUT),
+        d.filter(F.col("doc_id") < _BENCH_CUT),
+        "doc_id", "text", n=2, threshold=_DECON_T,
+    )
+
+
+def _q_decontaminated(spark, sf_dir):
+    """Training corpus with benchmark-overlapping docs removed."""
+    from parquet_sampler_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") >= _BENCH_CUT),
+        d.filter(F.col("doc_id") < _BENCH_CUT),
+        "doc_id", "text", n=2, threshold=_DECON_T,
+    )
+
+
+def _bigram_shingles_sql(src_filter: str, id_alias: str) -> str:
+    toks = "string_split(trim(text), ' ')"
+    return (
+        f"SELECT doc_id AS {id_alias}, "
+        f"unnest(list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - 1, 0) + 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1]))) AS shingle "
+        f"FROM documents WHERE {src_filter}"
+    )
+
+
+_SQL_CONTAM_CTES = f"""
+sha AS ({_bigram_shingles_sql(f'doc_id >= {_BENCH_CUT}', 'id_a')}),
+shb AS ({_bigram_shingles_sql(f'doc_id < {_BENCH_CUT}', 'id_b')}),
+sza AS (SELECT id_a, count(*) AS size_a FROM sha GROUP BY id_a),
+szb AS (SELECT id_b, count(*) AS size_b FROM shb GROUP BY id_b),
+cpairs AS (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) /
+         CAST(size_a + size_b - common AS DOUBLE) AS jaccard
+  FROM (
+    SELECT id_a, id_b, count(*) AS common
+    FROM sha JOIN shb USING (shingle) GROUP BY id_a, id_b
+  ) c JOIN sza USING (id_a) JOIN szb USING (id_b)
+)
+"""
+
+_SQL_CONTAMINATION_PAIRS = (
+    "WITH " + _SQL_CONTAM_CTES
+    + f"SELECT id_a, id_b, jaccard FROM cpairs WHERE jaccard >= {_DECON_T}"
+)
+
+_SQL_DECONTAMINATED = (
+    "WITH " + _SQL_CONTAM_CTES
+    + f"SELECT d.* FROM documents d WHERE d.doc_id >= {_BENCH_CUT} "
+      f"AND NOT EXISTS (SELECT 1 FROM cpairs p WHERE p.id_a = d.doc_id "
+      f"AND p.jaccard >= {_DECON_T})"
+)
+
+
 def _q_corpus_pipeline(spark, sf_dir):
     """The flagship training-data journey as ONE composed plan:
     normalize → language + quality filter → exact dedup on the
@@ -528,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean": _q_text_clean,
         "dataset_split": _q_dataset_split,
         "corpus_pipeline": _q_corpus_pipeline,
+        "repetition_stats": _q_repetition_stats,
+        "contamination_pairs": _q_contamination_pairs,
+        "decontaminated": _q_decontaminated,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -562,6 +656,9 @@ def oracle_sql() -> dict[str, str]:
         "text_clean": _sql_text_clean(),
         "dataset_split": _sql_dataset_split(),
         "corpus_pipeline": _sql_corpus_pipeline(),
+        "repetition_stats": _sql_repetition_stats(),
+        "contamination_pairs": _SQL_CONTAMINATION_PAIRS,
+        "decontaminated": _SQL_DECONTAMINATED,
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,

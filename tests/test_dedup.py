@@ -275,3 +275,32 @@ def test_duplicate_clusters_lineage_bounded(spark):
     # without checkpointing the 16-node chain's plan is ~5× the 4-node
     # one; with it, both end within one checkpoint window of each other
     assert long_ < short * 3, (short, long_)
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """A training doc that substantially overlaps a benchmark doc is
+    dropped; unrelated docs survive; the benchmark itself is untouched."""
+    from parquet_sampler_spark.operators.dedup import (
+        cross_ngram_jaccard_pairs,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),   # exact
+         (101, "a completely different training sentence here"),
+         (102, "the quick brown fox jumps over the sleepy dog")],  # near
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in cross_ngram_jaccard_pairs(
+                 corpus, bench, "doc_id", "text", n=2,
+                 threshold=0.5).collect()}
+    assert (100, 1) in pairs and pairs[(100, 1)] == 1.0
+    assert (102, 1) in pairs  # shares 6 of 10 distinct bigrams
+    kept = sorted(r.doc_id for r in decontaminate(
+        corpus, bench, "doc_id", "text", n=2, threshold=0.5).collect())
+    assert kept == [101]
