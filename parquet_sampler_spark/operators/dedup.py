@@ -32,6 +32,26 @@ from pyspark.sql import types as T
 
 _RN = "__psx_rn"
 
+# DataFrames persisted by dedup operators because the (lazy) returned
+# plans read them after the builder returns; registered here so
+# ``queries.clear_caches()`` can evict them.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
+def clear_persisted() -> None:
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PERSISTED.clear()
+
 
 def exact_dedup(
     df: DataFrame, cols: list[str], id_col: str
@@ -133,7 +153,7 @@ def ngram_jaccard_pairs(
     sh = sh.select(id_col, F.xxhash64("shingle").alias("shingle"))
     # the relation feeds three consumers (both self-join sides + sizes);
     # persist it so tokenize/shingle/hash runs once, not three times
-    sh = sh.persist()
+    sh = _persist(sh)
     # set sizes ALWAYS come from the full shingle relation — the df cap
     # prunes the join only, so the Jaccard denominator stays exact
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
@@ -244,12 +264,12 @@ def cross_ngram_jaccard_pairs(
 
     Output: ``id_a`` (corpus), ``id_b`` (benchmark), ``jaccard``.
     """
-    sh_a = shingle_table(corpus, id_col, text_col, n).select(
+    sh_a = _persist(shingle_table(corpus, id_col, text_col, n).select(
         F.col(id_col).alias("id_a"), F.xxhash64("shingle").alias("shingle")
-    ).persist()
-    sh_b = shingle_table(benchmark, id_col, text_col, n).select(
+    ))
+    sh_b = _persist(shingle_table(benchmark, id_col, text_col, n).select(
         F.col(id_col).alias("id_b"), F.xxhash64("shingle").alias("shingle")
-    ).persist()
+    ))
     sizes_a = sh_a.groupBy("id_a").agg(F.count("*").alias("size_a"))
     sizes_b = sh_b.groupBy("id_b").agg(F.count("*").alias("size_b"))
     common = (
@@ -389,7 +409,7 @@ def minhash_lsh_pairs(
     # shingled feeds both the signature pipeline and the verify joins;
     # banded feeds both sides of the candidate self-join — persist each
     # so the expensive upstream (split/shingle/xxhash/UDF) runs once
-    shingled = shingled.persist()
+    shingled = _persist(shingled)
     sig = based.select(
         id_col, band_hash_udf(F.col("__base")).alias("__bh")
     )
@@ -397,9 +417,9 @@ def minhash_lsh_pairs(
     # Band table WITHOUT the shingle arrays: the explode multiplies rows
     # by `bands`, and carrying a large string array through that (and
     # the join shuffle) would multiply I/O by the same factor.
-    banded = sig.select(
+    banded = _persist(sig.select(
         id_col, F.posexplode("__bh").alias("band", "bh")
-    ).persist()
+    ))
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -664,6 +684,9 @@ def duplicate_clusters(
             import warnings
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # the final label relation stays persisted for the caller's plan;
+    # register it so clear_caches() can evict it eventually
+    _PERSISTED.append(labels)
     return labels
 
 
