@@ -237,12 +237,15 @@ def redact_pii_sql(col: str) -> str:
     return out
 
 
-def repetition_score(col: str | Column, n: int = 2) -> Column:
-    """Within-document repetition: ``1 − distinct_ngrams/total_ngrams``
-    over word n-grams — 0 for repetition-free text, →1 for degenerate
-    loops (the Gopher-style repetition filter signal). Pure per-row
-    array math, no shuffle; DuckDB twin divides the same integer counts
-    in the same order, so values are bit-identical."""
+def word_ngrams(
+    col: str | Column, n: int = 1, distinct: bool = False
+) -> Column:
+    """Sliding word n-grams of the single-space-tokenized text as an
+    array column (n=1 → tokens). THE shared gram builder — dedup
+    shingles and repetition stats both derive from it, so the tokenize/
+    slide/short-doc-guard semantics can never drift apart. Guard: a doc
+    shorter than n tokens yields an EMPTY array (Spark's sequence(0, -1)
+    would otherwise produce a descending sequence)."""
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(F.trim(c), " ")
     if n == 1:
@@ -255,6 +258,32 @@ def repetition_score(col: str | Column, n: int = 2) -> Column:
         grams = F.when(
             F.size(tokens) < n, F.array().cast("array<string>")
         ).otherwise(slid)
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_ngrams_sql(col: str, n: int = 1, distinct: bool = False) -> str:
+    """DuckDB twin of :func:`word_ngrams` — the single source for every
+    shingle/gram SQL fragment in the oracle suite."""
+    toks = f"string_split(trim({col}), ' ')"
+    if n == 1:
+        grams = toks
+    else:
+        parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+        grams = (
+            f"CASE WHEN len({toks}) < {n} THEN [] "
+            f"ELSE list_transform(range(1, len({toks}) - {n} + 2), "
+            f"i -> {parts}) END"
+        )
+    return f"list_distinct({grams})" if distinct else grams
+
+
+def repetition_score(col: str | Column, n: int = 2) -> Column:
+    """Within-document repetition: ``1 − distinct_ngrams/total_ngrams``
+    over word n-grams — 0 for repetition-free text, →1 for degenerate
+    loops (the Gopher-style repetition filter signal). Pure per-row
+    array math, no shuffle; DuckDB twin divides the same integer counts
+    in the same order, so values are bit-identical."""
+    grams = word_ngrams(col, n)
     total = F.size(grams)
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0)
@@ -264,18 +293,7 @@ def repetition_score(col: str | Column, n: int = 2) -> Column:
 
 
 def repetition_score_sql(col: str, n: int = 2) -> str:
-    toks = f"string_split(trim({col}), ' ')"
-    if n == 1:
-        grams = toks
-    else:
-        parts = " || ' ' || ".join(
-            f"{toks}[i + {j}]" for j in range(n)
-        )
-        grams = (
-            f"CASE WHEN len({toks}) < {n} THEN [] "
-            f"ELSE list_transform(range(1, len({toks}) - {n} + 2), "
-            f"i -> {parts}) END"
-        )
+    grams = word_ngrams_sql(col, n)
     return (
         f"CASE WHEN len({grams}) <= 0 THEN 0.0 ELSE "
         f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / "

@@ -32,25 +32,10 @@ from pyspark.sql import types as T
 
 _RN = "__psx_rn"
 
-# DataFrames persisted by dedup operators because the (lazy) returned
-# plans read them after the builder returns; registered here so
-# ``queries.clear_caches()`` can evict them.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    out = df.persist()
-    _PERSISTED.append(out)
-    return out
-
-
-def clear_persisted() -> None:
-    for df in _PERSISTED:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _PERSISTED.clear()
+# operator-persisted relations are registered with the shared
+# session-lifetime registry (plans/cache.py), drained by
+# queries.clear_caches()
+from parquet_sampler_spark.plans.cache import persist as _persist  # noqa: E402
 
 
 def exact_dedup(
@@ -68,20 +53,12 @@ def exact_dedup(
 
 
 def _word_ngrams(text_col: str, n: int):
-    """Distinct word n-grams (shingles) of the single-space-tokenized
-    text as an array column; n=1 → token set."""
-    tokens = F.split(F.trim(F.col(text_col)), " ")
-    if n == 1:
-        return F.array_distinct(tokens)
-    # slide a window of n over the token array; guard size < n — Spark's
-    # sequence(0, negative) would produce a *descending* sequence.
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-    )
-    return F.when(
-        F.size(tokens) < n, F.array().cast("array<string>")
-    ).otherwise(F.array_distinct(ngrams))
+    """Distinct word n-grams (shingles); delegates to the shared gram
+    builder in functions/text.py so shingling and repetition stats can
+    never drift apart."""
+    from parquet_sampler_spark.functions.text import word_ngrams
+
+    return word_ngrams(text_col, n, distinct=True)
 
 
 def shingle_table(
@@ -254,6 +231,7 @@ def cross_ngram_jaccard_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs BETWEEN two corpora (bipartite, not
     self-join): every (corpus id, benchmark id) pair with overlap ≥
@@ -261,6 +239,12 @@ def cross_ngram_jaccard_pairs(
     that substantially overlap an evaluation/benchmark set. Same
     inverted-index plan as :func:`ngram_jaccard_pairs`: candidates only
     where a shingle is shared, never the cross product.
+
+    ``max_shingle_df`` caps the CORPUS-side document frequency of join
+    shingles (a stop-shingle in d corpus docs × most benchmark docs is
+    the bipartite blow-up, quadratic in d) — same contract as the
+    self-join variant: denominators stay exact, overlap is
+    under-counted, so recall-only approximation with exact precision.
 
     Output: ``id_a`` (corpus), ``id_b`` (benchmark), ``jaccard``.
     """
@@ -272,8 +256,17 @@ def cross_ngram_jaccard_pairs(
     ))
     sizes_a = sh_a.groupBy("id_a").agg(F.count("*").alias("size_a"))
     sizes_b = sh_b.groupBy("id_b").agg(F.count("*").alias("size_b"))
+    join_a = sh_a
+    if max_shingle_df is not None:
+        rare = (
+            sh_a.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        join_a = sh_a.join(rare, "shingle")
     common = (
-        sh_a.join(sh_b, "shingle")
+        join_a.join(sh_b, "shingle")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
@@ -297,12 +290,14 @@ def decontaminate(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Drop every corpus document whose n-gram Jaccard overlap with ANY
     benchmark document reaches ``threshold`` — the standard guard
     against evaluation contamination in a training corpus."""
     hits = cross_ngram_jaccard_pairs(
-        corpus, benchmark, id_col, text_col, n, threshold
+        corpus, benchmark, id_col, text_col, n, threshold,
+        max_shingle_df=max_shingle_df,
     ).select(F.col("id_a").alias(id_col)).distinct()
     return corpus.join(hits, id_col, "left_anti")
 
@@ -686,7 +681,9 @@ def duplicate_clusters(
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # the final label relation stays persisted for the caller's plan;
     # register it so clear_caches() can evict it eventually
-    _PERSISTED.append(labels)
+    from parquet_sampler_spark.plans.cache import register
+
+    register(labels)
     return labels
 
 

@@ -38,19 +38,9 @@ from parquet_sampler_spark.plans.layout import spread
 
 _RN = "__psx_rank"
 
-# normalized relations persisted by embedding_neardup_pairs (consumed by
-# 4 plan branches: both union sides of the block grid + both verify
-# joins); registered for queries.clear_caches() eviction
-_PERSISTED: list[DataFrame] = []
-
-
-def clear_persisted() -> None:
-    for df in _PERSISTED:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _PERSISTED.clear()
+# operator-persisted relations (normalized vectors, band tables) are
+# registered with the shared session-lifetime registry (plans/cache.py)
+from parquet_sampler_spark.plans.cache import persist as _cache_persist  # noqa: E402
 
 
 def _normalized(df: DataFrame, id_col: str, vec_col: str,
@@ -282,8 +272,7 @@ def embedding_neardup_pairs(
         )
     # the normalized relation feeds 4 plan branches (block-grid union ×2,
     # verify joins ×2) — persist so the scan+normalize runs once
-    a = a.persist()
-    _PERSISTED.append(a)
+    a = _cache_persist(a)
     if method == "block":
         cand = _block_candidates(a, threshold, nblocks)
     elif method == "lsh":
@@ -405,11 +394,10 @@ def _signbit_candidates(
         .select(F.col(id_col).alias("__id"),
                 all_sigs(F.col(vec_col)).alias("__sigs"))
         .select("__id", F.posexplode("__sigs").alias("tbl", "sig"))
-        .persist()
     )
     # both self-join sides read `banded`; registered for eviction like
     # the normalized relation
-    _PERSISTED.append(banded)
+    banded = _cache_persist(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))

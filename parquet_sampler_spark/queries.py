@@ -75,11 +75,9 @@ def clear_caches() -> None:
         cache.clear()
     _sample_mod.clear_candidate_cache()
     queries_ext._IVF_MODEL_CACHE.clear()
-    from parquet_sampler_spark.operators import dedup as _dedup_mod
-    from parquet_sampler_spark.operators import similarity as _sim_mod
+    from parquet_sampler_spark.plans import cache as _plan_cache
 
-    _sim_mod.clear_persisted()
-    _dedup_mod.clear_persisted()
+    _plan_cache.clear()
 
 
 # ---------------------------------------------------------------------------

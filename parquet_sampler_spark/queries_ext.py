@@ -199,12 +199,9 @@ def _q_decontaminated(spark, sf_dir):
 
 
 def _bigram_shingles_sql(src_filter: str, id_alias: str) -> str:
-    toks = "string_split(trim(text), ' ')"
     return (
         f"SELECT doc_id AS {id_alias}, "
-        f"unnest(list_distinct(list_transform("
-        f"range(1, greatest(len({toks}) - 1, 0) + 1), "
-        f"i -> {toks}[i] || ' ' || {toks}[i+1]))) AS shingle "
+        f"unnest({TX.word_ngrams_sql('text', 2, distinct=True)}) AS shingle "
         f"FROM documents WHERE {src_filter}"
     )
 
@@ -304,14 +301,13 @@ WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 _JACCARD_N = 2
 _JACCARD_T = 0.5
 
-# DuckDB bigram-shingle relation (distinct per doc) — mirrors
+# DuckDB bigram-shingle relation (distinct per doc) — built from the
+# same shared gram-SQL helper as every other shingle fragment, mirrors
 # dedup._word_ngrams(text, 2)
-_SQL_SHINGLES2 = """
+_SQL_SHINGLES2 = f"""
 shingles AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 0) + 1),
-    i -> string_split(trim(text), ' ')[i] || ' ' ||
-         string_split(trim(text), ' ')[i+1]))) AS shingle
+  SELECT doc_id, unnest({TX.word_ngrams_sql('text', 2, distinct=True)})
+         AS shingle
   FROM documents
 ),
 sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),

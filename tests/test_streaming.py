@@ -559,3 +559,69 @@ def test_stream_merge_sink_applies_cdc_batches(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.v for r in spark.read.parquet(base).collect()}
     assert got == {2: 21.0, 3: 30.0}
+
+
+def test_stream_merge_sink_compacts_multi_event_batches(spark, tmp_path):
+    """Several CDC events for one key inside ONE micro-batch are the
+    normal case: with order_col the batch compacts to the last event
+    per key, so insert-then-delete nets out to the delete — including
+    on the very first batch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.sinks import stream_merge_sink
+
+    src = tmp_path / "cdc2"
+    src.mkdir()
+    tbl = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([10.0, 0.0, 20.0], pa.float64()),
+        "is_deleted": pa.array([False, True, False], pa.bool_()),
+        "seq": pa.array([1, 2, 1], pa.int64()),
+    })
+    pq.write_table(tbl, str(src / "a.parquet"))
+
+    base = str(tmp_path / "snap2")
+    stream = (spark.readStream
+              .schema("k long, v double, is_deleted boolean, seq long")
+              .parquet(str(src)))
+    q = (stream_merge_sink(stream, base, ["k"], delete_col="is_deleted",
+                           order_col="seq",
+                           checkpoint_dir=str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    assert got == {2: 20.0}
+
+
+def test_stream_merge_sink_refuses_crashed_swap(spark, tmp_path):
+    """Leftover temp snapshot with no live snapshot = a crashed swap;
+    the sink must fail loudly instead of silently re-initializing from
+    one replayed batch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.sinks import stream_merge_sink
+
+    src = tmp_path / "cdc3"
+    src.mkdir()
+    tbl = pa.table({
+        "k": pa.array([1], pa.int64()),
+        "v": pa.array([1.0], pa.float64()),
+    })
+    pq.write_table(tbl, str(src / "a.parquet"))
+
+    base = str(tmp_path / "snap3")
+    os.makedirs(f"{base}.__tmp_batch7")  # simulated wreckage
+
+    stream = (spark.readStream.schema("k long, v double")
+              .parquet(str(src)))
+    q = (stream_merge_sink(stream, base, ["k"],
+                           checkpoint_dir=str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="recover manually"):
+        q.awaitTermination(120)
