@@ -225,3 +225,22 @@ def test_assign_splits_sql_validates_weights():
 
     with pytest.raises(ValueError, match="sum to 1"):
         assign_splits_sql(["doc_id"], splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_assign_splits_stable_across_scale_factors(spark):
+    """The split of a given key depends ONLY on the key — the same
+    doc_id maps to the same split at every scale factor (the leak-free
+    regeneration property: growing the corpus never moves old rows
+    between train and test)."""
+    from parquet_sampler_spark.operators.sample import assign_splits
+
+    def splits_at(sf):
+        d = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        return {r.doc_id: r.split for r in
+                assign_splits(d, ["doc_id"], seed=13)
+                .select("doc_id", "split").collect()}
+
+    small, med = splits_at("sf0.001"), splits_at("sf0.01")
+    assert small  # sf0.001 docs are a subset of sf0.01 ids
+    for k, v in small.items():
+        assert med.get(k, v) == v, k
