@@ -318,6 +318,42 @@ def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(counts.values())], schema=schema)
 
 
+def _capture_order(keys: list[str]) -> list[str]:
+    """Order registry keys least-recently-driver-captured first.
+
+    The correctness driver snapshots only the first N (currently 50)
+    registry entries per round, in registry order. With more queries
+    than capture slots, a fixed order starves the tail forever (r02
+    left tpch_q11/q14/q19, merge_upsert, approx_distinct without a
+    single driver row — VERDICT r02 'Next round' #1). Scanning the
+    driver's own ``CORRECTNESS_r*.json`` artifacts and sorting by
+    (last round captured, registry position) makes the registry
+    self-rotating: never-captured queries come first, then the oldest
+    captures, so every query gets a driver row within
+    ceil(total/cap) rounds with zero manual bookkeeping. Falls back
+    to the natural order when no artifacts exist (fresh checkout).
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    last_round: dict[str, int] = {}
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            captured = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in captured:
+            last_round[name] = max(last_round.get(name, -1), rnd)
+    pos = {k: i for i, k in enumerate(keys)}
+    return sorted(keys, key=lambda k: (last_round.get(k, -1), pos[k]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from parquet_sampler_spark import queries_ext, queries_olap
 
@@ -339,7 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(queries_ext.queries())
     out.update(queries_olap.queries())
-    return out
+    return {k: out[k] for k in _capture_order(list(out))}
 
 
 def oracle_sql() -> dict[str, str]:
