@@ -15,16 +15,19 @@ Two samplers:
   scalable path prefilters with the closed-form threshold
   ``M * ratio * margin`` — a pushed-down Parquet filter that discards
   ~``1 - ratio*margin`` of a 100 TB input *at the scan*, so the exact
-  top-k sort only ever touches ~``k*margin`` rows. ``method="rand"``
-  uses seeded ``F.rand`` the same way for key-less tables (deterministic
-  per seed *and partitioning*, not portable to other engines).
+  top-k only ever touches ~``k*margin`` rows. ``method="rand"`` ranks
+  key-less tables by a hash of the row's physical position
+  (``_metadata`` file path + row index) — deterministic across retries
+  and repartitionings for a fixed file layout, though not portable to
+  other engines; non-file inputs fall back to seeded ``F.rand``.
 * :func:`sample_fraction` — Bernoulli ``df.sample`` passthrough
   (approximate count) for when exactness isn't required; zero shuffle.
 
-Scale notes: the only shuffle is the final top-k sort over ~k*margin
-candidate rows (AQE-coalesced). k is the *output* size — if k itself
-exceeds single-stage sort comfort (billions), exactness is the wrong
-tool; use ``sample_fraction``.
+Scale notes: no shuffle at all — the top-k executes as
+TakeOrderedAndProject (per-task k-element heaps over the ~k*margin
+candidates, merged at the driver). k is the *output* size — if k itself
+exceeds driver-merge comfort (billions), exactness is the wrong tool;
+use ``sample_fraction``.
 """
 
 from __future__ import annotations
@@ -69,6 +72,41 @@ def _validate_ratio(ratio: float) -> None:
         raise ValueError(f"sampling ratio must be in [0, 1], got {ratio}")
 
 
+def _rand_rank(
+    df: DataFrame, seed: int, tagged_ord: bool
+) -> tuple[DataFrame, Column, list[Column]]:
+    """Rank expression for key-less (``method="rand"``) sampling.
+
+    File-backed inputs get ``xxhash64(file_path, row_index, seed) mod M``
+    with ``(file_path, row_index)`` as the tie-break — a total order
+    derived from the row's physical position, so the selected row set is
+    identical across retries, repartitionings, speculative re-execution,
+    and AQE re-plans (``F.rand`` assigns values per physical partition:
+    a task retry or a different partitioning silently selects DIFFERENT
+    rows, and rank ties at the k-th boundary have no tie columns at
+    all). ``tagged_ord=True`` reuses the ``_ORD`` metadata columns that
+    ``order_preserving`` already projected instead of re-tagging.
+
+    Non-file plans (no ``_metadata`` column) fall back to seeded
+    ``F.rand`` — deterministic ONLY for a fixed input partitioning;
+    prefer ``method="hash"`` with any unique column set there.
+    """
+    fcol, icol = _ORD + "_f", _ORD + "_i"
+    if not tagged_ord:
+        try:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias(fcol),
+                F.col("_metadata.row_index").alias(icol),
+            )
+        except Exception:  # AnalysisException: not a file-based relation
+            return df, (F.rand(seed) * MODULUS).cast("bigint"), []
+    pr = F.pmod(
+        F.xxhash64(F.col(fcol), F.col(icol), F.lit(seed)), F.lit(MODULUS)
+    )
+    return df, pr, [F.col(fcol), F.col(icol)]
+
+
 def sample_exact(
     df: DataFrame,
     ratio: float,
@@ -91,8 +129,10 @@ def sample_exact(
     ``tie_cols`` that do — otherwise rank ties at the k-th-rank boundary
     are broken arbitrarily, losing cross-engine determinism.
 
-    ``method="rand"``: rank by seeded ``F.rand`` — for tables without
-    integer keys. Deterministic for a fixed seed and input partitioning.
+    ``method="rand"``: for tables without a usable key column — ranks
+    by a seeded hash of the row's physical file position (see
+    :func:`_rand_rank`). Deterministic per (seed, file layout); the
+    same files re-read under any partitioning select the same rows.
 
     ``order_by``: optional columns to sort the output by.
 
@@ -157,8 +197,7 @@ def sample_exact(
         pr: Column = lehmer_hash(key_cols, seed)
         ties = [F.col(c) for c in (tie_cols or key_cols)]
     elif method == "rand":
-        pr = (F.rand(seed) * MODULUS).cast("bigint")
-        ties = []
+        df, pr, ties = _rand_rank(df, seed, tagged_ord=order_preserving)
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -187,11 +226,19 @@ def sample_exact(
             # drop the abandoned candidate set's cached blocks now
             pre.unpersist()
 
-    w = Window.orderBy(F.col(_PR), *ties)
-    out = (
-        candidates.withColumn(_RN, F.row_number().over(w))
-        .filter(F.col(_RN) <= k)
-    )
+    # Exact top-k as ORDER BY + LIMIT — compiles to
+    # TakeOrderedAndProject: every task keeps a k-element heap over its
+    # partition, the driver merges the heaps. The previous
+    # row_number()-window formulation relied on Catalyst's
+    # InferWindowGroupLimit rewrite, which does NOT fire over an
+    # InMemoryRelation (the persisted prefilter candidates), executing
+    # instead as Exchange SinglePartition -> full Sort -> Window: all
+    # ~k*margin candidate rows moved to ONE task and were fully sorted
+    # there (~10^8 rows at 100 TB with ratio 0.001). The k-sized merge
+    # at the driver is inherent to exact-count sampling; the 1.6x
+    # larger single-task sort was not. Plan pinned by
+    # tests/test_sample.py::test_topk_plan_no_single_partition_sort.
+    out = candidates.orderBy(F.col(_PR), *ties).limit(k)
     if order_preserving:
         if emit_pos_col:
             wpos = Window.orderBy(_ORD + "_f", _ORD + "_i")

@@ -113,6 +113,58 @@ def test_prefilter_path_matches_full_path(spark):
         sorted(r.k for r in s_full.collect())
 
 
+def test_topk_plan_no_single_partition_sort(spark):
+    """The exact top-k must execute as TakeOrderedAndProject (per-task
+    k-heaps merged at the driver), NOT Exchange SinglePartition -> full
+    Sort -> Window — the plan the row_number() formulation degraded to
+    over the persisted prefilter candidates (VERDICT r02 'What's wrong'
+    #1: at 100 TB / ratio 0.001 that single task would sort ~10^8
+    rows). Exercises the prefilter (InMemoryRelation) path explicitly,
+    where Catalyst's InferWindowGroupLimit rewrite does not fire."""
+    from parquet_sampler_spark.operators import sample as mod
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    old = mod._PREFILTER_MIN_ROWS
+    mod._PREFILTER_MIN_ROWS = 1_000  # force the prefilter path
+    try:
+        s = sample_exact(
+            li, 0.01, seed=42, key_cols=KEYS,
+            tie_cols=KEYS + ["l_partkey", "l_suppkey", "l_quantity"],
+        )
+        s.count()  # materialize so the EXECUTED plan is final
+        plan = s._jdf.queryExecution().executedPlan().toString()
+    finally:
+        mod._PREFILTER_MIN_ROWS = old
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rand_method_stable_across_partitioning(lineitem):
+    """method='rand' selects the IDENTICAL row set however the input is
+    partitioned: the rank hashes the row's file position, not the
+    task-local F.rand stream (VERDICT r02 'Next round' #8 — retry /
+    speculative-execution stability)."""
+    a = sorted(tuple(r) for r in
+               sample_exact(lineitem, 0.005, seed=7, method="rand").collect())
+    b = sorted(tuple(r) for r in
+               sample_exact(lineitem.repartition(7), 0.005, seed=7,
+                            method="rand").collect())
+    c = sorted(tuple(r) for r in
+               sample_exact(lineitem.coalesce(1), 0.005, seed=7,
+                            method="rand").collect())
+    assert a == b == c
+    assert len(a) > 0
+
+
+def test_rand_method_non_file_fallback(spark):
+    """Non-file inputs (no _metadata column) fall back to seeded F.rand
+    and still return the exact count."""
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s = sample_exact(df, 0.05, seed=9, method="rand")
+    assert s.count() == 500
+
+
 def test_sample_fraction_approximate(lineitem):
     n = lineitem.count()
     c = sample_fraction(lineitem, 0.1, seed=1).count()

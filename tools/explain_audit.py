@@ -52,11 +52,13 @@ def main() -> int:
         R.queries()["semijoin_orders"](spark, sf_dir),
         must_contain=["BroadcastHashJoin", "LeftSemi"],
     )
-    # 2. sampler: top-k heap, not a global sort
+    # 2. sampler: top-k heap, not a global sort (and never the
+    # single-partition window the row_number() formulation degraded to)
     check(
         "sample_lineitem",
         R.queries()["sample_lineitem"](spark, sf_dir),
         must_contain=["TakeOrderedAndProject"],
+        must_not=["Window", "SinglePartition"],
     )
     # 3. projected scan: column pruning reaches the reader
     pruned = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
