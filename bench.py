@@ -34,7 +34,11 @@ def main() -> None:
 
     times: dict[str, float] = {}
     qs = registry.queries()
-    for name, fn in qs.items():
+    # stable name order: the registry itself rotates per round (driver
+    # capture rotation), which would otherwise scramble which query
+    # absorbs session warm-up costs and make per-query times
+    # incomparable across BENCH_r{N} artifacts
+    for name, fn in sorted(qs.items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 4)
