@@ -3,33 +3,108 @@
 ``foreachBatch`` + :func:`~parquet_sampler_spark.operators.merge.
 merge_upsert` gives MERGE-into-table semantics without a table format:
 every micro-batch of upserts/deletes is merged against the current
-snapshot and a new snapshot is swapped in. Exactly-once is by
-IDEMPOTENCE: re-applying a replayed batch of key-level upserts/deletes
-yields the identical snapshot, so Structured Streaming's at-least-once
-foreachBatch contract suffices.
+snapshot and a new snapshot is published. The per-batch merge is the
+scalable part: one anti-join of the snapshot against a broadcastable
+CDC batch.
 
-Scale honesty: the swap (write temp → replace) is not crash-atomic.
-A failure between rmtree and rename loses the live snapshot directory;
-the temp copy still holds the correct merged state, and the sink
-REFUSES to restart over the wreckage (leftover ``.__tmp_batch*`` with
-no snapshot → loud RuntimeError for manual recovery) instead of
-silently re-initializing from one replayed batch. Real deployments use
-a transactional table format (Delta/Iceberg — jars not present here);
-this module is the engine-level emulation of the same plan shape, and
-the per-batch merge itself is the scalable part: one anti-join of the
-snapshot against a broadcastable CDC batch.
+Crash atomicity — versioned snapshots + pointer file. The snapshot
+"table" is a directory::
+
+    base_path/
+        _CURRENT        # text file naming the live snapshot dir
+        v00000003/      # parquet snapshot published by batch 3
+        v00000002/      # previous snapshot (pruned after publish)
+
+A batch writes its merged result to a NEW versioned directory, then
+publishes by atomically replacing ``_CURRENT`` (``os.replace`` of a
+same-directory temp file — atomic on POSIX). Readers resolve the
+pointer via :func:`read_merge_snapshot`. Consequences:
+
+- Crash DURING the snapshot write (or between write and publish):
+  ``_CURRENT`` still names the old snapshot, which was never touched —
+  readers are unaffected, and the replayed batch overwrites the
+  partial ``v*`` directory. There is no wreckage state that needs
+  manual recovery.
+- Crash AFTER publish but before the streaming checkpoint commits:
+  the replayed batch finds ``_CURRENT`` already at its own batch id
+  and SKIPS (Delta-style transaction-version check) — exactly-once,
+  not merely idempotent re-merge.
+- Old snapshot dirs are pruned only after the pointer moves past
+  them; a crash mid-prune leaves stale dirs that the next batch's
+  pre-prune removes.
+
+Real deployments use a transactional table format (Delta/Iceberg —
+jars not present in this environment); this module is the engine-level
+emulation of the same commit protocol (versioned data files + an
+atomically-swapped pointer is exactly Delta's ``_last_checkpoint`` /
+Iceberg's ``version-hint.text`` scheme, reduced to one live version).
+Local-filesystem paths only: ``os.replace`` atomicity is a POSIX
+rename guarantee; on S3 this layer is replaced by the table format.
 """
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_sampler_spark.operators.merge import merge_upsert
+
+_POINTER = "_CURRENT"
+
+
+def _pointer_path(base_path: str) -> str:
+    return os.path.join(base_path, _POINTER)
+
+
+def current_snapshot_path(base_path: str) -> str | None:
+    """Resolve the live snapshot directory, or None if no snapshot has
+    ever been published."""
+    ptr = _pointer_path(base_path)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="ascii") as f:
+        name = f.read().strip()
+    return os.path.join(base_path, name)
+
+
+def read_merge_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
+    """Read the live snapshot of a :func:`stream_merge_sink` table."""
+    snap = current_snapshot_path(base_path)
+    if snap is None:
+        raise FileNotFoundError(
+            f"no published snapshot at {base_path} (no {_POINTER})"
+        )
+    return spark.read.parquet(snap)
+
+
+def _published_batch_id(base_path: str) -> int | None:
+    snap = current_snapshot_path(base_path)
+    if snap is None:
+        return None
+    return int(os.path.basename(snap)[1:])
+
+
+def _publish(base_path: str, version_name: str) -> None:
+    """Atomically point ``_CURRENT`` at ``version_name``."""
+    ptr = _pointer_path(base_path)
+    tmp = ptr + ".__tmp"
+    with open(tmp, "w", encoding="ascii") as f:
+        f.write(version_name + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+
+
+def _prune(base_path: str, keep: str) -> None:
+    """Remove snapshot dirs other than ``keep``. Safe to crash mid-way:
+    the pointer already names ``keep``."""
+    for d in os.listdir(base_path):
+        p = os.path.join(base_path, d)
+        if d != keep and d.startswith("v") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def stream_merge_sink(
@@ -39,11 +114,14 @@ def stream_merge_sink(
     delete_col: str | None = None,
     order_col: str | None = None,
     checkpoint_dir: str | None = None,
+    _fail_before_publish: frozenset[int] | set[int] | None = None,
 ):
     """Return a started-ready ``DataStreamWriter`` that merges every
-    micro-batch of ``updates`` into the parquet snapshot at
+    micro-batch of ``updates`` into the versioned parquet snapshot at
     ``base_path`` (created on first batch). Caller picks the trigger
-    and calls ``.start()``.
+    and calls ``.start()``. Read the result with
+    :func:`read_merge_snapshot` (the directory holds versions plus a
+    pointer file, not bare parquet).
 
     ``order_col``: a column that totally orders CDC events per key
     (sequence number / commit timestamp). Each micro-batch is first
@@ -53,10 +131,21 @@ def stream_merge_sink(
     ``order_col``, batches must carry at most one event per key
     (``merge_upsert`` validates and raises otherwise — on every batch,
     including the first).
+
+    ``_fail_before_publish``: crash-injection for tests only — batch
+    ids that raise after the snapshot write but before the pointer
+    publish, simulating a process kill in the commit window.
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        os.makedirs(base_path, exist_ok=True)
+        applied = _published_batch_id(base_path)
+        if applied is not None and applied >= batch_id:
+            # crash landed after publish but before the streaming
+            # checkpoint committed: this batch is already in the
+            # snapshot — exactly-once by skipping, not re-merging
+            return
         if order_col is not None:
             # keep-last-per-key compaction in event order
             w = Window.partitionBy(*key_cols).orderBy(
@@ -68,16 +157,9 @@ def stream_merge_sink(
                 .drop("__psx_rn", order_col)
             )
         data_cols = [c for c in batch_df.columns if c != delete_col]
-        have_base = os.path.isdir(base_path)
-        if not have_base and glob.glob(f"{base_path}.__tmp_batch*"):
-            raise RuntimeError(
-                f"no snapshot at {base_path} but leftover temp "
-                f"snapshot(s) exist — a previous swap crashed between "
-                f"remove and rename; recover manually from the newest "
-                f"{base_path}.__tmp_batch* before restarting"
-            )
-        if have_base:
-            base = spark.read.parquet(base_path)
+        snap = current_snapshot_path(base_path)
+        if snap is not None:
+            base = spark.read.parquet(snap)
         else:
             # empty base with the data schema: the first batch goes
             # through the SAME merge path (dup-key validation, delete
@@ -86,11 +168,18 @@ def stream_merge_sink(
         merged = merge_upsert(
             base, batch_df, key_cols, delete_col=delete_col
         )
-        tmp = f"{base_path}.__tmp_batch{batch_id}"
-        merged.select(*data_cols).write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(base_path):
-            shutil.rmtree(base_path)
-        os.rename(tmp, base_path)
+        vname = f"v{batch_id:08d}"
+        # mode=overwrite: a partial dir left by a crash mid-write of a
+        # prior attempt of THIS batch is replaced wholesale
+        merged.select(*data_cols).write.mode("overwrite").parquet(
+            os.path.join(base_path, vname)
+        )
+        if _fail_before_publish and batch_id in _fail_before_publish:
+            raise RuntimeError(
+                f"injected crash before publishing {vname}"
+            )
+        _publish(base_path, vname)
+        _prune(base_path, keep=vname)
 
     writer = updates.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

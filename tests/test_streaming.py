@@ -531,7 +531,10 @@ def test_stream_merge_sink_applies_cdc_batches(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from parquet_sampler_spark.streaming.sinks import stream_merge_sink
+    from parquet_sampler_spark.streaming.sinks import (
+        read_merge_snapshot,
+        stream_merge_sink,
+    )
 
     src = tmp_path / "cdc"
     src.mkdir()
@@ -557,7 +560,7 @@ def test_stream_merge_sink_applies_cdc_batches(spark, tmp_path):
                            checkpoint_dir=str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    got = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
     assert got == {2: 21.0, 3: 30.0}
 
 
@@ -571,7 +574,10 @@ def test_stream_merge_sink_compacts_multi_event_batches(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from parquet_sampler_spark.streaming.sinks import stream_merge_sink
+    from parquet_sampler_spark.streaming.sinks import (
+        read_merge_snapshot,
+        stream_merge_sink,
+    )
 
     src = tmp_path / "cdc2"
     src.mkdir()
@@ -592,22 +598,88 @@ def test_stream_merge_sink_compacts_multi_event_batches(spark, tmp_path):
                            checkpoint_dir=str(tmp_path / "ck2"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    got = {r.k: r.v for r in spark.read.parquet(base).collect()}
+    got = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
     assert got == {2: 20.0}
 
 
-def test_stream_merge_sink_refuses_crashed_swap(spark, tmp_path):
-    """Leftover temp snapshot with no live snapshot = a crashed swap;
-    the sink must fail loudly instead of silently re-initializing from
-    one replayed batch."""
+def test_stream_merge_sink_survives_crash_before_publish(spark, tmp_path):
+    """Crash-injection through the commit window: kill the sink after
+    batch 1's snapshot write but BEFORE the pointer publish. The old
+    snapshot (batch 0's state) must remain the live, readable version;
+    restarting the stream from the same checkpoint must replay batch 1
+    and land on the exactly-once final state."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from parquet_sampler_spark.streaming.sinks import stream_merge_sink
+    from parquet_sampler_spark.streaming.sinks import (
+        read_merge_snapshot,
+        stream_merge_sink,
+    )
 
     src = tmp_path / "cdc3"
+    src.mkdir()
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+            "is_deleted": pa.array([r[2] for r in rows], pa.bool_()),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    wb("a.parquet", [(1, 10.0, False), (2, 20.0, False)], 1_000_000)
+    wb("b.parquet", [(2, 21.0, False), (1, 0.0, True),
+                     (3, 30.0, False)], 2_000_000)
+
+    base = str(tmp_path / "snap3")
+    ckpt = str(tmp_path / "ck3")
+
+    def make_stream():
+        return (spark.readStream
+                .schema("k long, v double, is_deleted boolean")
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    # run 1: batch 0 commits, batch 1 crashes between write and publish
+    q = (stream_merge_sink(make_stream(), base, ["k"],
+                           delete_col="is_deleted", checkpoint_dir=ckpt,
+                           _fail_before_publish={1})
+         .trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+
+    # old snapshot still live and readable: batch 0's state, untouched
+    got = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
+    assert got == {1: 10.0, 2: 20.0}
+
+    # run 2: same checkpoint, no fault — batch 1 replays and publishes
+    q = (stream_merge_sink(make_stream(), base, ["k"],
+                           delete_col="is_deleted", checkpoint_dir=ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
+    assert got == {2: 21.0, 3: 30.0}
+
+
+def test_stream_merge_sink_skips_republished_batch(spark, tmp_path):
+    """Crash AFTER publish but before the streaming checkpoint commit:
+    the replayed batch finds the pointer already at its own batch id
+    and must skip — the snapshot is not re-merged (exactly-once, pinned
+    by the version check rather than idempotence)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.sinks import (
+        _published_batch_id,
+        read_merge_snapshot,
+        stream_merge_sink,
+    )
+
+    src = tmp_path / "cdc4"
     src.mkdir()
     tbl = pa.table({
         "k": pa.array([1], pa.int64()),
@@ -615,13 +687,30 @@ def test_stream_merge_sink_refuses_crashed_swap(spark, tmp_path):
     })
     pq.write_table(tbl, str(src / "a.parquet"))
 
-    base = str(tmp_path / "snap3")
-    os.makedirs(f"{base}.__tmp_batch7")  # simulated wreckage
+    base = str(tmp_path / "snap4")
 
-    stream = (spark.readStream.schema("k long, v double")
-              .parquet(str(src)))
-    q = (stream_merge_sink(stream, base, ["k"],
-                           checkpoint_dir=str(tmp_path / "ck3"))
+    # first run publishes batch 0 with checkpoint A
+    q = (stream_merge_sink(
+            (spark.readStream.schema("k long, v double")
+             .parquet(str(src))),
+            base, ["k"], checkpoint_dir=str(tmp_path / "ckA"))
          .trigger(availableNow=True).start())
-    with pytest.raises(Exception, match="recover manually"):
-        q.awaitTermination(120)
+    q.awaitTermination(120)
+    assert _published_batch_id(base) == 0
+    snap_before = os.path.getmtime(
+        os.path.join(base, "v00000000"))
+
+    # fresh checkpoint B replays the same file as batch 0 again —
+    # simulating a crash after publish, before checkpoint commit
+    q = (stream_merge_sink(
+            (spark.readStream.schema("k long, v double")
+             .parquet(str(src))),
+            base, ["k"], checkpoint_dir=str(tmp_path / "ckB"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # skipped: same version dir, untouched on disk
+    assert _published_batch_id(base) == 0
+    assert os.path.getmtime(
+        os.path.join(base, "v00000000")) == snap_before
+    got = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
+    assert got == {1: 1.0}
