@@ -640,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_dedup": _q_cluster_dedup,
         "events_multi_rollup": _q_events_multi_rollup,
         "streaming_hourly": _q_streaming_hourly,
+        "streaming_sessionize": _q_streaming_sessionize,
     }
 
 
@@ -674,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_dedup": _SQL_CLUSTER_DEDUP,
         "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
+        "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
     }
 
 # ---------------------------------------------------------------------------
@@ -1005,6 +1007,98 @@ def _q_streaming_hourly(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+def _q_streaming_sessionize(spark, sf_dir):
+    """The STATEFUL sessionizer (applyInPandasWithState, event-time
+    timeout) run over the events parquet replayed as a file stream,
+    value-checked against the batch gaps-and-islands SQL. A sentinel
+    event one gap + watermark-delay past the last real event is
+    appended as a second stream file: it advances the watermark past
+    every real session's ``last_event + gap``, so the GAP RULE itself
+    (not stream end or wall clock) closes every real session before
+    the availableNow drain finishes — at which point the emitted
+    session set is exactly the batch sessionization. The sentinel
+    user's own (still-open) session is excluded from the output.
+
+    A green row proves the custom stateful operator — state fold,
+    watermark-driven timeout close, cross-batch merge — agrees with
+    batch SQL on identical input, the same streaming/batch parity the
+    ``streaming_hourly`` row establishes for windowed aggregation."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = f"{sf_dir}/events.parquet"
+
+    # sentinel timestamp: past max(ts) + gap + watermark delay + margin
+    ts_col = pq.read_table(events_path, columns=["ts"])["ts"]
+    max_ns = pc.max(ts_col).value  # int nanos
+    delay_us = 60 * 1_000_000  # withWatermark("ts", "1 minute")
+    margin_us = 120 * 1_000_000
+    sentinel_ns = max_ns + (_SESSION_GAP_US + delay_us + margin_us) * 1000
+
+    src = tempfile.mkdtemp(prefix="psx_stream_sess_")
+    os.symlink(events_path, os.path.join(src, "a.parquet"))
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([sentinel_ns], pa.timestamp("ns")),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array([None], pa.string()),
+            "value": pa.array([None], pa.float64()),
+            "props": pa.array([None], pa.string()),
+        }),
+        os.path.join(src, "b_sentinel.parquet"),
+    )
+    # the file source processes files oldest-first: the sentinel (mtime
+    # = now) lands in a later micro-batch than the testdata file, so
+    # batch 1 carries every real event while the watermark is still at
+    # its floor (nothing late-dropped), and the sentinel batch then
+    # advances the watermark, firing every real session's timeout.
+    os.utime(os.path.join(src, "b_sentinel.parquet"))
+
+    stream = read_event_stream(spark, src).withWatermark("ts", "1 minute")
+    sessions = sessionize_stream(
+        stream, gap_minutes=30, event_time_timeout=True
+    )
+    name = f"psx_stream_sessions_{next(_STREAM_SEQ)}"
+    q = (
+        sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+_SQL_STREAMING_SESSIONIZE = f"""
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts_us,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts_us, event_id) AS sess_id
+  FROM (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                > {_SESSION_GAP_US}
+                OR lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+) GROUP BY user_id, sess_id
+"""
+
 
 def _q_events_multi_rollup(spark, sf_dir):
     """Hypertable-style continuous aggregate: one pass producing BOTH
