@@ -847,9 +847,12 @@ EXTRA_QUERIES = {
 
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing as a query: deterministic synthetic media
-    (seeded — no external files) → mapInPandas feature extraction.
-    Rows-only check (binary payload arithmetic isn't portable SQL);
-    schema/batch contracts pinned in tests/test_multimodal.py.
+    (seeded — no external files; image rows are REAL encoded BMPs) →
+    mapInPandas feature extraction with actual pixel decode for images
+    (``deterministic_fake=False``; audio/video keep the byte-derived
+    fake — no a/v codec in this environment). Rows-only check (binary
+    payload arithmetic isn't portable SQL); schema/batch/pixel
+    contracts pinned in tests/test_multimodal.py.
 
     The ``feature array<float>`` column is exploded to scalar
     ``(feat_idx, feat_value)`` rows — the driver's canonicalizer sorts
@@ -860,7 +863,9 @@ def _q_multimodal_features(spark, sf_dir):
         synthetic_media,
     )
 
-    feats = extract_features(synthetic_media(spark, n=64))
+    feats = extract_features(
+        synthetic_media(spark, n=64), deterministic_fake=False
+    )
     return feats.select(
         "media_id", "kind", "n_bytes",
         F.posexplode("feature").alias("feat_idx", "feat_value"),
@@ -879,16 +884,21 @@ def _q_multimodal_frames(spark, sf_dir):
 
 
 def _q_multimodal_resize(spark, sf_dir):
-    """Image resize over Arrow batches (media.resize_images), surfaced
-    as scalar columns (byte length + crc32 of the resized payload —
-    the canonicalizer needs hashable cells, and a checksum pins the
-    bytes). Rows-only check."""
+    """Image resize over Arrow batches (media.resize_images) on the
+    REAL pixel path: BMP decode → box-average resample → BMP re-encode
+    (``deterministic_fake=False``). Surfaced as scalar columns (byte
+    length + crc32 of the resized payload — the canonicalizer needs
+    hashable cells, and the checksum pins the resampled bytes).
+    Rows-only check; a known checkerboard downsample is value-checked
+    in tests/test_multimodal.py."""
     from parquet_sampler_spark.multimodal.media import (
         resize_images,
         synthetic_media,
     )
 
-    r = resize_images(synthetic_media(spark, n=64), 16, 8)
+    r = resize_images(
+        synthetic_media(spark, n=64), 16, 8, deterministic_fake=False
+    )
     return r.select(
         "media_id", "kind", "width", "height",
         F.length("payload").alias("n_bytes"),
