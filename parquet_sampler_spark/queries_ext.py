@@ -43,20 +43,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ microseconds
+    regardless of how the parquet file carries it. Generations of the
+    driver testdata have used TIMESTAMP(NANOS) (readable only as long
+    via the legacy nanosAsLong conf) and TIMESTAMP(MICROS) (read as
+    TIMESTAMP_NTZ); dispatching on the read dtype keeps every events
+    query working across both. With the session timezone pinned to UTC
+    the NTZ→LTZ cast is a pure reinterpretation (identical wall-clock
+    values), so DuckDB's ``epoch_us(ts)`` sees the same instants."""
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":  # TIMESTAMP(NANOS) read as long: truncate to us
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long (legacy conf, runtime-settable)
-    and truncate to microsecond timestamps — matching DuckDB's
-    ``epoch_us`` truncation of the same column."""
+    """Read the events table with its timestamp normalized to
+    TIMESTAMP_LTZ micros (see :func:`_normalize_ts`)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # timestamp_micros produces TIMESTAMP_LTZ, whose bucketing (date_trunc,
-    # to_date) follows the session timezone — pin UTC so results match the
+    # timestamp bucketing (date_trunc, to_date, window) on TIMESTAMP_LTZ
+    # follows the session timezone — pin UTC so results match the
     # UTC-naive DuckDB oracle even under a driver session with another TZ
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return _normalize_ts(e)
 
 
 # ---------------------------------------------------------------------------
@@ -1047,19 +1060,28 @@ def _q_streaming_sessionize(spark, sf_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     events_path = f"{sf_dir}/events.parquet"
 
-    # sentinel timestamp: past max(ts) + gap + watermark delay + margin
+    # sentinel timestamp: past max(ts) + gap + watermark delay + margin.
+    # Emit it in the SAME timestamp unit as the source file (the driver
+    # testdata has shipped both nanos and micros) so the stream schema
+    # matches across the two files.
     ts_col = pq.read_table(events_path, columns=["ts"])["ts"]
-    max_ns = pc.max(ts_col).value  # int nanos
+    ts_type = ts_col.type  # pa.timestamp(unit)
+    per_us = {"s": 1 / 1_000_000, "ms": 1 / 1_000, "us": 1, "ns": 1_000}[
+        ts_type.unit
+    ]
+    max_val = pc.max(ts_col).value  # int in the column's own unit
     delay_us = 60 * 1_000_000  # withWatermark("ts", "1 minute")
     margin_us = 120 * 1_000_000
-    sentinel_ns = max_ns + (_SESSION_GAP_US + delay_us + margin_us) * 1000
+    sentinel = max_val + int(
+        (_SESSION_GAP_US + delay_us + margin_us) * per_us
+    )
 
     src = tempfile.mkdtemp(prefix="psx_stream_sess_")
     os.symlink(events_path, os.path.join(src, "a.parquet"))
     pq.write_table(
         pa.table({
             "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([sentinel_ns], pa.timestamp("ns")),
+            "ts": pa.array([sentinel], ts_type),
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array([None], pa.string()),
             "value": pa.array([None], pa.float64()),

@@ -28,10 +28,13 @@ def read_event_stream(
     """Parquet-directory source for the events table (file-based stream;
     in production the same plan runs off Kafka — source swap only).
 
-    Handles the testdata's TIMESTAMP(NANOS) column the same way the
-    batch path does (nanos→micros truncation).
+    Normalizes the ``ts`` column to TIMESTAMP_LTZ micros the same way
+    the batch path does, whether the files carry TIMESTAMP(NANOS)
+    (readable only as long) or TIMESTAMP(MICROS) (read as NTZ).
     """
     import os
+
+    from parquet_sampler_spark.queries_ext import _normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # streaming requires an explicit schema
@@ -48,9 +51,7 @@ def read_event_stream(
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return _normalize_ts(stream)
 
 
 def streaming_hash_sample(
