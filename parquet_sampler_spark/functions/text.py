@@ -285,6 +285,9 @@ def repetition_score(col: str | Column, n: int = 2) -> Column:
     in the same order, so values are bit-identical."""
     grams = word_ngrams(col, n)
     total = F.size(grams)
+    # size(NULL) is -1 in Spark, so the <=0 guard already maps NULL text
+    # to 0.0 — the SQL twin needs an explicit IS NULL branch to agree
+    # (DuckDB would propagate NULL through the division otherwise)
     return F.when(total <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0)
         - F.size(F.array_distinct(grams)).cast("double")
@@ -295,7 +298,8 @@ def repetition_score(col: str | Column, n: int = 2) -> Column:
 def repetition_score_sql(col: str, n: int = 2) -> str:
     grams = word_ngrams_sql(col, n)
     return (
-        f"CASE WHEN len({grams}) <= 0 THEN 0.0 ELSE "
+        f"CASE WHEN {col} IS NULL THEN 0.0 "
+        f"WHEN len({grams}) <= 0 THEN 0.0 ELSE "
         f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE) / "
         f"CAST(len({grams}) AS DOUBLE) END"
     )

@@ -21,9 +21,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     (by assumption small) input; benefit: full-width CPU parallelism for
     expensive downstream map work."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _num_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def _num_partitions(df: DataFrame) -> int:
+    """Partition count of the physical plan without constructing a
+    Python-side RDD: ``df.rdd`` builds a JVM→Python conversion pipeline
+    (serializer + mapPartitions) per call, noticeable when every
+    text/vector operator probes its input width. ``toRdd`` on the query
+    execution is the already-planned internal RDD. Falls back to
+    ``df.rdd`` for API drift."""
+    try:
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        return df.rdd.getNumPartitions()
 
 
 def cluster_by_range(

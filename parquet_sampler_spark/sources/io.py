@@ -75,20 +75,16 @@ def compact_parquet(
     Small files are the classic slow poison of a 100 TB lake: footer
     and task-scheduling overhead per file, tiny row groups that defeat
     vectorized scans and min/max skipping. Sizing output count from the
-    ACTUAL byte size (os.walk, no data scan) instead of a fixed
-    coalesce(N) keeps files near the target at any scale.
+    ACTUAL byte size (filesystem metadata, no data scan) instead of a
+    fixed coalesce(N) keeps files near the target at any scale. Sizing
+    goes through the Hadoop FileSystem API, so ``hdfs://`` / ``s3a://``
+    URIs work the same as local paths.
 
     Returns the number of output files written.
     """
     import math
-    import os
-    from pathlib import Path
 
-    p = Path(path)
-    files = list(p.rglob("*.parquet")) if p.is_dir() else [p]
-    if not files:
-        raise FileNotFoundError(f"no parquet files under {path!r}")
-    total = sum(os.path.getsize(f) for f in files)
+    total = _dataset_bytes(spark, path)
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     # coalesce (no shuffle) when reducing file count — the usual case;
@@ -99,3 +95,16 @@ def compact_parquet(
     )
     out.write.mode("overwrite").parquet(out_path)
     return n_out
+
+
+def _dataset_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (file or directory) via the Hadoop
+    FileSystem API — works for any scheme Spark itself can read
+    (local, hdfs://, s3a://), unlike ``os.path.getsize`` walking."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"no parquet dataset at {path!r}")
+    return int(fs.getContentSummary(hpath).getLength())
