@@ -361,3 +361,61 @@ def sample_fraction(
     right tool when k is huge and ±sqrt(k) wobble is acceptable."""
     _validate_ratio(ratio)
     return df.sample(withReplacement=False, fraction=ratio, seed=seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-k weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): row i is ranked by ``ln(u_i)/w_i`` with
+    ``u_i`` uniform in (0, 1], and the k largest ranks win — inclusion
+    probability is proportional to weight, the standard way to bias a
+    training-data sample toward long/high-quality documents.
+
+    ``u_i`` comes from the seeded Lehmer hash of ``key_cols`` (exact
+    integer arithmetic, engine-portable), so the selection is
+    deterministic and the DuckDB oracle recomputes the identical sample
+    (:func:`weighted_sample_rank_sql`). ``ln`` is evaluated by each
+    engine's libm; both are within 1 ulp of exact, so a selection flip
+    would need two ranks within ~1e-16 relative of each other at the
+    k-boundary — negligible for distinct hash inputs.
+
+    Plan shape: rank expression + ``orderBy().limit(k)``, which
+    compiles to TakeOrderedAndProject (per-partition k-heaps, driver
+    merges k·P rows) — no global sort, no single-partition window; the
+    same scale story as :func:`sample_exact`'s top-k. Rows with
+    non-positive or NULL weight are excluded (they have zero inclusion
+    probability by definition).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if not key_cols:
+        raise ValueError("weighted_sample requires key_cols")
+    if k == 0:
+        return df.limit(0)
+    h = lehmer_hash(key_cols, seed)
+    # (h+1)/(M+1): u in (0, 1], never 0 (ln(0) = -inf would tie all
+    # zero-hash rows regardless of weight)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(MODULUS + 1))
+    w = F.col(weight_col).cast("double")
+    rank = F.log(u) / w
+    ties = [F.col(c) for c in key_cols]
+    return df.filter(w > 0).orderBy(rank.desc(), *ties).limit(k)
+
+
+def weighted_sample_rank_sql(
+    weight_col: str, key_cols: list[str], seed: int = 42
+) -> tuple[str, str]:
+    """(rank_expr, where_expr) SQL fragments computing the identical
+    A-ES rank in DuckDB — oracle twin of :func:`weighted_sample`. Use
+    as ``... WHERE {where} ORDER BY {rank} DESC, keys LIMIT k``."""
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+
+    h = lehmer_hash_sql(key_cols, seed)
+    u = f"CAST(({h}) + 1 AS DOUBLE) / {float(MODULUS + 1)!r}"
+    rank = f"ln({u}) / CAST({weight_col} AS DOUBLE)"
+    return rank, f"CAST({weight_col} AS DOUBLE) > 0"

@@ -654,6 +654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multi_rollup": _q_events_multi_rollup,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sessionize": _q_streaming_sessionize,
+        "sample_weighted": _q_sample_weighted,
+        "range_join_events": _q_range_join_events,
     }
 
 
@@ -689,6 +691,8 @@ def oracle_sql() -> dict[str, str]:
         "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
+        "sample_weighted": _sql_sample_weighted(),
+        "range_join_events": _SQL_RANGE_JOIN_EVENTS,
     }
 
 # ---------------------------------------------------------------------------
@@ -1167,3 +1171,81 @@ FROM (SELECT date_trunc('hour', ts) AS hr,
 GROUP BY GROUPING SETS ((hr, event_type), (dy, event_type))
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Round 3: weighted sampling, interval (range) join
+# ---------------------------------------------------------------------------
+
+_WS_K, _WS_SEED = 200, 11
+
+
+def _q_sample_weighted(spark, sf_dir):
+    """Exact-k weighted document sample, inclusion odds proportional to
+    n_chars (operators/sample.py weighted_sample — A-ES ranks from the
+    portable Lehmer hash, TakeOrderedAndProject top-k). The DuckDB
+    oracle recomputes the identical selection."""
+    from parquet_sampler_spark.operators.sample import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, _WS_K, "n_chars", ["doc_id"], seed=_WS_SEED
+    )
+
+
+def _sql_sample_weighted():
+    from parquet_sampler_spark.operators.sample import (
+        weighted_sample_rank_sql,
+    )
+
+    rank, where = weighted_sample_rank_sql(
+        "n_chars", ["doc_id"], seed=_WS_SEED
+    )
+    return f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE {where}
+ORDER BY {rank} DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+def _q_range_join_events(spark, sf_dir):
+    """Interval containment join (operators/rangejoin.py, bucket
+    strategy): the 50 highest-value events each open a 30-minute
+    window; count and sum every event falling inside each window. The
+    bucket equi-join shuffles on an integer time bin — no cartesian
+    product, no broadcast requirement on the interval side."""
+    from parquet_sampler_spark.operators.rangejoin import interval_join
+
+    e = _events(spark, sf_dir)
+    iv = (
+        e.orderBy(F.col("value").desc(), "event_id").limit(50)
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = interval_join(
+        e.select("event_id", "ts", "value"), iv,
+        "ts", "w_start", "w_end",
+        method="bucket", bucket_seconds=1800,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        _value_e4_sum().alias("sum_value"),
+    )
+
+
+_SQL_RANGE_JOIN_EVENTS = """
+WITH iv AS (
+  SELECT event_id AS window_id, ts AS w_start,
+         ts + INTERVAL 30 MINUTE AS w_end
+  FROM events ORDER BY value DESC, event_id LIMIT 50
+)
+SELECT window_id, count(*) AS n_in_window,
+       sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY window_id
+"""

@@ -205,6 +205,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_udaf_quantiles": _q_grouped_udaf,
         "merge_upsert": _q_merge_upsert,
         "approx_distinct": _q_approx_distinct,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q22": _q_tpch_q22,
+        "grouped_topk": _q_grouped_topk,
+        "diff_snapshots": _q_diff_snapshots,
     }
 
 
@@ -231,6 +238,13 @@ def oracle_sql() -> dict[str, str]:
         "array_stats": _SQL_ARRAY_STATS,
         "grouped_udaf_quantiles": _SQL_GROUPED_UDAF,
         "merge_upsert": _SQL_MERGE_UPSERT,
+        "tpch_q13": _SQL_TPCH_Q13,
+        "tpch_q15": _SQL_TPCH_Q15,
+        "tpch_q16": _SQL_TPCH_Q16,
+        "tpch_q17": _SQL_TPCH_Q17,
+        "tpch_q22": _SQL_TPCH_Q22,
+        "grouped_topk": _SQL_GROUPED_TOPK,
+        "diff_snapshots": _SQL_DIFF_SNAPSHOTS,
     }
 
 # ---------------------------------------------------------------------------
@@ -877,3 +891,283 @@ WHERE n1.n_name != n2.n_name
 GROUP BY n1.n_name, n2.n_name
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Round 3: TPC-H long tail (Q13/Q15/Q16/Q17/Q22), grouped top-k,
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q13(spark, sf_dir):
+    """Q13 customer-order-count distribution: LEFT OUTER join preserving
+    order-less customers, then a two-level aggregation (count per
+    customer, histogram of counts). The priority filter stands in for
+    Q13's comment NOT LIKE — the testdata has no comment column."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        # count(col) skips NULLs, so customers with no orders land in
+        # the c_count = 0 bucket — the point of the outer join
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """Q15 top supplier: quarterly revenue per supplier, keeping the
+    supplier(s) whose revenue equals the maximum — an aggregate
+    compared for EQUALITY against a scalar aggregate of itself, safe
+    across engines only because the revenue is an exact cents sum
+    divided once (a double sum would make `= max` flaky)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-10-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_e4).alias("__rev_e4"))
+    mx = rev.agg(F.max("__rev_e4").alias("__mx_e4"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev_e4") == F.col("__mx_e4"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("__rev_e4") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+_SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
+"""
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """Q16 supplier diversity per part attribute (adapted to the
+    partsupp-less schema: supplier-part relationships come from
+    lineitem): COUNT DISTINCT per 3-column group, a NOT-IN exclusion
+    as a broadcast anti-join, and an attribute IN-list that prunes at
+    the part scan."""
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 3, 5, 7, 9)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+                "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 3, 5, 7, 9)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """Q17 small-quantity-order revenue: the classic correlated
+    aggregate — compare each row against 0.2x the per-part average
+    quantity, decorrelated into a groupBy + equi-join re-join.
+    Quantities are integer-valued doubles, so the per-part avg (exact
+    integer sum / count) and the 0.2x threshold are bit-identical
+    across engines."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("__qty_thresh")
+    )
+    return (
+        brand_li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qty_thresh"))
+        .agg(
+            (F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ) / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_SQL_TPCH_Q17 = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+),
+thresh AS (
+  SELECT l_partkey, avg(l_quantity) * 0.2 AS qty_thresh
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
+         AS avg_yearly,
+       count(*) AS n_rows
+FROM brand_li JOIN thresh USING (l_partkey)
+WHERE l_quantity < qty_thresh
+"""
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """Q22 global-sales-opportunity (adapted): customers with
+    above-average positive balances and NO RECENT orders (every
+    customer has *some* order at this density, so the dormancy window
+    keeps the anti-join non-trivial) — scalar-subquery threshold
+    (exact cents avg) + broadcast anti-join, grouped by a code
+    substring of the customer name (stand-in for the phone country
+    code)."""
+    c = _t(spark, sf_dir, "customer")
+    bal_e2 = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_e2).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(
+            bal_e2.cast("double")
+            > F.col("__s").cast("double") / F.col("__n").cast("double")
+        )
+        .join(o, F.col("c_custkey") == o["o_custkey"], "left_anti")
+        .groupBy(F.substring("c_name", 16, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(bal_e2) / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+_SQL_TPCH_Q22 = """
+WITH thr AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / count(*) AS avg_e2
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT substr(c_name, 16, 2) AS cntrycode,
+       count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+         AS totacctbal
+FROM customer, thr
+WHERE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) > avg_e2
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY cntrycode
+"""
+
+
+def _q_grouped_topk(spark, sf_dir):
+    """Per-group top-k: 3 highest-value events per event type via a
+    ranked window. Spark 4 rewrites the rn <= k filter into
+    WindowGroupLimit — per-partition k-heaps BEFORE the shuffle, so
+    only ~k rows per group per input partition move (asserted in
+    tools/explain_audit.py); without the rewrite every row shuffles."""
+    from parquet_sampler_spark.queries_ext import _events
+
+    e = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_SQL_GROUPED_TOPK = """
+SELECT event_type, event_id, value, rn
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
+
+def _q_diff_snapshots(spark, sf_dir):
+    """Row-level snapshot diff (operators/diff.py): classify every key
+    as added/deleted/changed between the customer table and the CDC
+    batch applied to it by merge_upsert — the read side of the CDC
+    story, one full-outer shuffle, payload compared as a null-safe
+    struct."""
+    from parquet_sampler_spark.operators.diff import snapshot_diff
+
+    old = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    new = _q_merge_upsert(spark, sf_dir)
+    return snapshot_diff(old, new, ["c_custkey"], check_unique=False)
+
+
+_SQL_DIFF_SNAPSHOTS = f"""
+WITH merged AS ({_SQL_MERGE_UPSERT})
+SELECT COALESCE(c.c_custkey, m.c_custkey) AS c_custkey,
+       CASE WHEN c.c_custkey IS NULL THEN 'added'
+            WHEN m.c_custkey IS NULL THEN 'deleted'
+            WHEN NOT (c.c_name IS NOT DISTINCT FROM m.c_name
+                      AND c.c_nationkey IS NOT DISTINCT FROM m.c_nationkey
+                      AND c.c_acctbal IS NOT DISTINCT FROM m.c_acctbal
+                      AND c.c_mktsegment IS NOT DISTINCT FROM m.c_mktsegment)
+            THEN 'changed' END AS change_type
+FROM customer c FULL OUTER JOIN merged m ON c.c_custkey = m.c_custkey
+WHERE CASE WHEN c.c_custkey IS NULL THEN 'added'
+           WHEN m.c_custkey IS NULL THEN 'deleted'
+           WHEN NOT (c.c_name IS NOT DISTINCT FROM m.c_name
+                     AND c.c_nationkey IS NOT DISTINCT FROM m.c_nationkey
+                     AND c.c_acctbal IS NOT DISTINCT FROM m.c_acctbal
+                     AND c.c_mktsegment IS NOT DISTINCT FROM m.c_mktsegment)
+           THEN 'changed' END IS NOT NULL
+"""

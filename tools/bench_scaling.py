@@ -1,0 +1,114 @@
+"""Scale-trend bench: measure the heaviest suite queries across
+sf0.001 / sf0.01 / sf0.1 in ONE session and report the wall-time
+growth exponent per 10x data step.
+
+SCALING.md argues each operator's asymptotics from its plan shape;
+this tool MEASURES them. For each query and consecutive sf pair the
+exponent is  alpha = log(t_hi/t_lo) / log(sf_hi/sf_lo)  — alpha of 1
+is linear scaling, below 1 means fixed per-query overhead still
+dominates, and alpha well above 1 at the largest step flags a plan
+whose cost grows super-linearly in data volume (the 100 TB red flag).
+
+Caveats: local[32] with JVM warm-up and noisy-neighbor variance (the
+container shares a host); each timing is the min of REPS runs with
+operator caches cleared between runs, and only the largest step
+(sf0.01 -> sf0.1, 60k -> 600k lineitem rows) is big enough for the
+exponent to mean much — the smaller step is reported for trend only.
+
+Usage: python tools/bench_scaling.py [query ...]
+Prints a markdown table (for SCALING.md) and one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIRS = [
+    ("0.001", "/root/testdata/sf0.001"),
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+]
+
+# the most expensive entries of BENCH_r02 — the queries whose growth
+# behavior decides whether the suite survives a scale-up
+DEFAULT_QUERIES = [
+    "minhash_pairs",
+    "simhash_pairs",
+    "jaccard_pairs",
+    "sample_lineitem",
+    "corpus_pipeline",
+    "embedding_neardup",
+    "ann_ivf",
+]
+
+REPS = 2
+SUPERLINEAR_ALPHA = 1.25
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+
+    from parquet_sampler_spark import queries as registry
+    from parquet_sampler_spark.session import get_spark
+
+    spark = get_spark("bench-scaling")
+    qs = registry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    # warmup: JVM + codegen before any timed run
+    spark.read.parquet(f"{SF_DIRS[0][1]}/lineitem.parquet").count()
+
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    for sf, sf_dir in SF_DIRS:
+        for name in names:
+            best = math.inf
+            for _ in range(REPS):
+                registry.clear_caches()
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            times[name][sf] = round(best, 3)
+
+    def alpha(lo_t: float, hi_t: float) -> float:
+        return round(math.log(hi_t / lo_t) / math.log(10.0), 2)
+
+    rows = []
+    flagged = []
+    for name in names:
+        t = times[name]
+        a_small = alpha(t["0.001"], t["0.01"])
+        a_big = alpha(t["0.01"], t["0.1"])
+        note = ""
+        if a_big > SUPERLINEAR_ALPHA:
+            note = "SUPER-LINEAR"
+            flagged.append(name)
+        rows.append((name, t["0.001"], t["0.01"], t["0.1"],
+                     a_small, a_big, note))
+
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | "
+          "α(0.001→0.01) | α(0.01→0.1) | flag |")
+    print("|---|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | "
+              f"{r[4]} | {r[5]} | {r[6]} |")
+
+    print(json.dumps({
+        "metric": "scaling_exponents",
+        "queries": {n: times[n] for n in names},
+        "alpha_big_step": {r[0]: r[5] for r in rows},
+        "superlinear": flagged,
+    }))
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()

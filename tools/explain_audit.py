@@ -117,6 +117,29 @@ def main() -> int:
         must_contain=["PartitionFilters: [isnotnull(o_orderpriority"],
     )
 
+    # 9. grouped top-k: the rn <= k filter must rewrite into
+    # WindowGroupLimit (per-partition k-heaps before the shuffle) —
+    # without it every event row moves in the window exchange
+    check(
+        "grouped_topk",
+        R.queries()["grouped_topk"](spark, sf_dir),
+        must_contain=["WindowGroupLimit"],
+    )
+    # 10. weighted sampler: top-k heap + merge, not a global sort
+    check(
+        "sample_weighted",
+        R.queries()["sample_weighted"](spark, sf_dir),
+        must_contain=["TakeOrderedAndProject"],
+        must_not=["Window"],
+    )
+    # 11. interval join (bucket strategy): an equi hash join on the
+    # bucket key — never a nested-loop/cartesian over the fact side
+    check(
+        "range_join_events",
+        R.queries()["range_join_events"](spark, sf_dir),
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
