@@ -656,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _q_streaming_sessionize,
         "sample_weighted": _q_sample_weighted,
         "range_join_events": _q_range_join_events,
+        "top_terms": _q_top_terms,
+        "edit_distance_pairs": _q_edit_distance_pairs,
     }
 
 
@@ -693,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
         "sample_weighted": _sql_sample_weighted(),
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
+        "top_terms": _SQL_TOP_TERMS,
+        "edit_distance_pairs": _SQL_EDIT_DISTANCE_PAIRS,
     }
 
 # ---------------------------------------------------------------------------
@@ -1248,4 +1252,125 @@ SELECT window_id, count(*) AS n_in_window,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
 GROUP BY window_id
+"""
+
+
+def _q_top_terms(spark, sf_dir):
+    """Per-document top terms by (tf DESC, df ASC, term) — the
+    inverted-index aggregation underlying TF-IDF, kept fully integer
+    (tf and df are exact counts; an ln-based idf would put a libm
+    double straight into the hash-compared output). Plan: explode →
+    (doc, term) count → term-level df agg → join back → per-doc ranked
+    window. All three shuffles are key-partitioned; no collect."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "df", "rn")
+    )
+
+
+_SQL_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(lower(text)), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, rn
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.term)
+           AS rn
+  FROM tf JOIN df USING (term)
+)
+WHERE rn <= 5
+"""
+
+
+_EDIT_BLOCK_CAP = 64
+_EDIT_MAX_DIST = 4
+_EDIT_PREFIX = 60
+
+
+def _q_edit_distance_pairs(spark, sf_dir):
+    """Edit-distance near-duplicate pairs over blocked candidates:
+    documents sharing (lang, first token, length bucket) are compared
+    on a 60-char prefix with Levenshtein <= 4. Blocking bounds the
+    quadratic term to within-block pairs; blocks larger than
+    _EDIT_BLOCK_CAP (stop-phrase openers) are skipped outright —
+    a recall-only cap, mirrored exactly by the oracle, same policy as
+    the shingle df cap in operators/dedup.py. Distance itself runs
+    JVM-side (no UDF)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.trim(F.lower(F.col("text"))).alias("__t"),
+        (F.col("n_chars") / 16).cast("bigint").alias("__lb"),
+    ).select(
+        "doc_id", "lang", "__lb",
+        F.substring_index("__t", " ", 1).alias("__tok1"),
+        F.substring("__t", 1, _EDIT_PREFIX).alias("__pfx"),
+    )
+    counts = d.groupBy("lang", "__tok1", "__lb").agg(
+        F.count(F.lit(1)).alias("__bn")
+    ).filter(F.col("__bn") <= _EDIT_BLOCK_CAP)
+    blocked = d.join(counts, ["lang", "__tok1", "__lb"])
+    a = blocked.select(
+        "lang", "__tok1", "__lb",
+        F.col("doc_id").alias("a"), F.col("__pfx").alias("__pa"),
+    )
+    b = blocked.select(
+        "lang", "__tok1", "__lb",
+        F.col("doc_id").alias("b"), F.col("__pfx").alias("__pb"),
+    )
+    return (
+        a.join(b, ["lang", "__tok1", "__lb"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("__pa", "__pb"))
+        .filter(F.col("dist") <= _EDIT_MAX_DIST)
+        .select("a", "b", "dist")
+    )
+
+
+_SQL_EDIT_DISTANCE_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(floor(n_chars / 16) AS BIGINT) AS lb,
+         string_split(trim(lower(text)), ' ')[1] AS tok1,
+         substr(trim(lower(text)), 1, {_EDIT_PREFIX}) AS pfx
+  FROM documents
+),
+blocks AS (
+  SELECT lang, tok1, lb, count(*) AS bn
+  FROM d GROUP BY lang, tok1, lb
+  HAVING count(*) <= {_EDIT_BLOCK_CAP}
+),
+blocked AS (
+  SELECT d.* FROM d JOIN blocks USING (lang, tok1, lb)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       levenshtein(x.pfx, y.pfx) AS dist
+FROM blocked x JOIN blocked y
+  ON x.lang = y.lang AND x.tok1 = y.tok1 AND x.lb = y.lb
+ AND x.doc_id < y.doc_id
+WHERE levenshtein(x.pfx, y.pfx) <= {_EDIT_MAX_DIST}
 """
