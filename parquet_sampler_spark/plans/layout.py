@@ -12,7 +12,8 @@ no shuffle is added.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -54,4 +55,88 @@ def cluster_by_range(
         raise ValueError("cluster_by_range requires at least one column")
     return df.repartitionByRange(num_files, *cols).sortWithinPartitions(
         *cols
+    )
+
+
+_Z_COL = "__psx_zorder"
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    bits: int = 10,
+) -> DataFrame:
+    """Z-order (Morton-curve) clustering for MULTI-column file skipping:
+    linear range clustering (:func:`cluster_by_range`) gives perfect
+    min/max locality on its leading column and none on the others —
+    a filter on the second column still touches every file. Interleaving
+    the bit representations of all clustering columns orders rows along
+    a space-filling curve, so every clustered column gets partial
+    locality and a predicate on ANY of them skips most files. The
+    standard lakehouse OPTIMIZE ZORDER BY maintenance operation.
+
+    Mechanics (all JVM-side expressions, no UDF): each column is
+    min/max-scaled to a ``bits``-bit integer (one bounded 1-row agg to
+    fetch the ranges), the bit planes are interleaved into a Morton key,
+    and rows are range-partitioned + sorted by it. NULLs scale to
+    bucket 0. Works for numeric and timestamp columns.
+    """
+    from pyspark.sql.types import NumericType, TimestampNTZType, TimestampType
+
+    if len(cols) < 2:
+        raise ValueError(
+            "zorder needs >= 2 columns (use cluster_by_range for one)"
+        )
+    if not 1 <= bits <= 15:
+        raise ValueError("bits must be in [1, 15]")
+
+    def as_num(c: str) -> Column:
+        t = df.schema[c].dataType
+        if isinstance(t, (TimestampType, TimestampNTZType)):
+            return F.unix_micros(F.col(c)).cast("double")
+        if isinstance(t, NumericType):
+            return F.col(c).cast("double")
+        raise ValueError(f"zorder column {c!r} has non-orderable-numeric "
+                         f"type {t.simpleString()}")
+
+    stats = df.agg(
+        *[F.min(as_num(c)).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(as_num(c)).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+
+    top = (1 << bits) - 1
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = stats[f"__mn_{i}"], stats[f"__mx_{i}"]
+        if mn is None or mx is None or mx == mn:
+            buckets.append(F.lit(0).cast("bigint"))
+            continue
+        scaled = F.floor(
+            (as_num(c) - F.lit(float(mn)))
+            / F.lit(float(mx - mn)) * F.lit(float(top))
+        ).cast("bigint")
+        buckets.append(
+            F.coalesce(
+                F.least(F.greatest(scaled, F.lit(0)), F.lit(top)),
+                F.lit(0),
+            )
+        )
+
+    # interleave: output bit (b*ncols + i) takes bit b of column i
+    n = len(cols)
+    morton = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, bk in enumerate(buckets):
+            morton = morton.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bk, b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    return (
+        df.withColumn(_Z_COL, morton)
+        .repartitionByRange(num_files, _Z_COL)
+        .sortWithinPartitions(_Z_COL)
+        .drop(_Z_COL)
     )

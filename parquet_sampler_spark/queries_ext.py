@@ -658,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": _q_range_join_events,
         "top_terms": _q_top_terms,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "funnel": _q_funnel,
     }
 
 
@@ -697,6 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "top_terms": _SQL_TOP_TERMS,
         "edit_distance_pairs": _SQL_EDIT_DISTANCE_PAIRS,
+        "funnel": _SQL_FUNNEL,
     }
 
 # ---------------------------------------------------------------------------
@@ -1373,4 +1375,57 @@ FROM blocked x JOIN blocked y
   ON x.lang = y.lang AND x.tok1 = y.tok1 AND x.lb = y.lb
  AND x.doc_id < y.doc_id
 WHERE levenshtein(x.pfx, y.pfx) <= {_EDIT_MAX_DIST}
+"""
+
+
+def _q_funnel(spark, sf_dir):
+    """Ordered-step funnel (view -> click -> purchase): each stage is
+    the per-user min event time AFTER the previous stage's time — the
+    sequencing makes this a chained dependency, not a single-pass
+    conditional agg. All three stages shuffle on user_id (the same
+    key), and each stage's input is already the previous stage's
+    (small) survivor set. Output: one row of stage conversion counts."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+_SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_full_funnel
 """
