@@ -33,6 +33,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
+
+    # Pre-warm the shared Jaccard pairs graph and time it as an explicit
+    # setup row: several queries (jaccard_pairs/dedup, dup_clusters,
+    # cluster_dedup) reuse this persisted graph, and without a setup step
+    # the alphabetically-first consumer pays the whole build — r3 showed
+    # cluster_dedup absorbing a 3.7x cost that belongs to the graph.
+    from parquet_sampler_spark import queries_ext
+
+    t0 = time.perf_counter()
+    queries_ext._jaccard_pairs_cached(spark, sf_dir).count()
+    times["setup_pairs_graph"] = round(time.perf_counter() - t0, 4)
     qs = registry.queries()
     # stable name order: the registry itself rotates per round (driver
     # capture rotation), which would otherwise scramble which query
@@ -77,6 +88,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "sf": float(sf),
+    }))
+    # The per-query dict above now exceeds the driver's fixed tail-capture
+    # window (BENCH_r03 recorded parsed:null); repeat the headline metric
+    # as one compact line so the tail always contains a parseable record.
+    print(json.dumps({
+        "metric": "query_suite_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
         "sf": float(sf),
     }))
 

@@ -619,6 +619,7 @@ def duplicate_clusters(
     labels = df.select(
         F.col(id_col), F.col(id_col).alias("cluster")
     ).persist()
+    cached = labels  # df actually holding the persisted blocks
 
     changed = -1
     for i in range(max_iterations):
@@ -627,32 +628,33 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("cluster").alias("__nmin"))
         )
-        new_labels = (
+        # Labels are monotone non-increasing, so "changed" is simply
+        # new < old — computable inline, which lets ONE action both
+        # materialize the round's labels and return the changed count
+        # (the old self-join + count() cost 2 extra jobs per round).
+        upd = F.least(
+            F.col("cluster"), F.coalesce(F.col("__nmin"), F.col("cluster"))
+        )
+        new_full = (
             labels.join(
                 neigh_min, labels[id_col] == neigh_min["src"], "left"
             )
             .select(
                 labels[id_col],
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("__nmin"), F.col("cluster")),
-                ).alias("cluster"),
+                upd.alias("cluster"),
+                (upd < F.col("cluster")).cast("long").alias("__chg"),
             )
         )
         if (i + 1) % checkpoint_interval == 0:
             # truncate lineage: materializes eagerly and replaces the
             # logical plan with the stored blocks
-            new_labels = new_labels.localCheckpoint()
+            new_full = new_full.localCheckpoint()
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            new_full = new_full.persist()
+        changed = new_full.agg(F.sum("__chg")).first()[0] or 0
+        cached.unpersist()
+        cached = new_full
+        labels = new_full.drop("__chg")
         if changed == 0:
             break
     sym.unpersist()
@@ -669,10 +671,10 @@ def duplicate_clusters(
 
             warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # the final label relation stays persisted for the caller's plan;
-    # register it so clear_caches() can evict it eventually
+    # register the df that owns the blocks so clear_caches() can evict it
     from parquet_sampler_spark.plans.cache import register
 
-    register(labels)
+    register(cached)
     return labels
 
 

@@ -49,6 +49,10 @@ def interval_join(
     """
     if method not in ("bucket", "broadcast"):
         raise ValueError(f"unknown interval_join method {method!r}")
+    if int(bucket_seconds) <= 0:
+        raise ValueError(
+            f"bucket_seconds must be positive, got {bucket_seconds!r}"
+        )
     overlap = set(facts.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(
@@ -87,7 +91,10 @@ def interval_join(
 
 
 def _bucket_of(epoch_us: Column, g_us: int) -> Column:
-    # floor division also for negative epochs (pre-1970 timestamps):
-    # SQL's `div` truncates toward zero, which would merge buckets -1
-    # and 0 — use floor() on the double quotient instead.
-    return F.floor(epoch_us / F.lit(g_us)).cast("bigint")
+    # Exact floor division also for negative epochs (pre-1970) and for
+    # epochs beyond 2^52 us, where a double quotient's ulp exceeds
+    # 1/g_us and an exact-boundary timestamp could land one bucket off.
+    # pmod is non-negative, so (epoch - pmod) is the exact bigint floor
+    # multiple; dividing it as decimal keeps the integral quotient exact.
+    m = epoch_us - F.pmod(epoch_us, F.lit(g_us))
+    return (m.cast("decimal(38,0)") / F.lit(g_us)).cast("bigint")

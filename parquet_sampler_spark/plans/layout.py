@@ -90,6 +90,13 @@ def cluster_by_zorder(
         )
     if not 1 <= bits <= 15:
         raise ValueError("bits must be in [1, 15]")
+    # Morton key bits live in a signed bigint: shiftleft wraps mod 64
+    # and bit 63 flips the sign, silently corrupting the curve order.
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits * len(cols) = {bits * len(cols)} exceeds 63; lower "
+            f"bits to <= {63 // len(cols)} for {len(cols)} columns"
+        )
 
     def as_num(c: str) -> Column:
         t = df.schema[c].dataType

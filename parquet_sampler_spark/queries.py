@@ -63,10 +63,11 @@ def clear_caches() -> None:
     the sampler's prefilter candidate sets, the fitted IVF models).
     Call between scale factors / sessions in long-lived processes —
     nothing evicts these automatically."""
-    from parquet_sampler_spark import queries_ext
+    from parquet_sampler_spark import queries_ext, queries_olap
     from parquet_sampler_spark.operators import sample as _sample_mod
 
-    for cache in (_SAMPLE_CACHE, queries_ext._PAIRS_CACHE):
+    for cache in (_SAMPLE_CACHE, queries_ext._PAIRS_CACHE,
+                  queries_olap._MERGE_CACHE):
         for df in cache.values():
             try:
                 df.unpersist()

@@ -107,4 +107,19 @@ def _dataset_bytes(spark: SparkSession, path: str) -> int:
     fs = hpath.getFileSystem(conf)
     if not fs.exists(hpath):
         raise FileNotFoundError(f"no parquet dataset at {path!r}")
-    return int(fs.getContentSummary(hpath).getLength())
+    # Sum only *.parquet data files: getContentSummary would also count
+    # _SUCCESS markers, checksums, and non-parquet siblings, drifting
+    # the sizing on mixed directories — and a parquet-free directory
+    # should fail here, not later inside spark.read.parquet.
+    status = fs.getFileStatus(hpath)
+    if status.isFile():
+        return int(status.getLen())
+    total = 0
+    it = fs.listFiles(hpath, True)  # recursive
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += int(f.getLen())
+    if total == 0:
+        raise FileNotFoundError(f"no *.parquet data files under {path!r}")
+    return total

@@ -37,6 +37,10 @@ def read_event_stream(
     from parquet_sampler_spark.queries_ext import _normalize_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # _normalize_ts's NTZ->LTZ cast reinterprets wall-clock in the
+    # session zone; pin UTC exactly like the batch _events path so an
+    # externally created non-UTC session can't shift streaming instants.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # streaming requires an explicit schema
     static = spark.read.parquet(path)
     # the file-stream source only accepts directories: stream the parent
