@@ -44,6 +44,14 @@ def main() -> None:
     t0 = time.perf_counter()
     queries_ext._jaccard_pairs_cached(spark, sf_dir).count()
     times["setup_pairs_graph"] = round(time.perf_counter() - t0, 4)
+
+    # Same for the shared CDC merge result (merge_upsert + diff_snapshots):
+    # alphabetical order would otherwise charge the merge build to diff.
+    from parquet_sampler_spark import queries_olap
+
+    t0 = time.perf_counter()
+    queries_olap._q_merge_upsert(spark, sf_dir).count()
+    times["setup_merge_batch"] = round(time.perf_counter() - t0, 4)
     qs = registry.queries()
     # stable name order: the registry itself rotates per round (driver
     # capture rotation), which would otherwise scramble which query

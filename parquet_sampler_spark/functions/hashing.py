@@ -100,3 +100,35 @@ def polynomial_string_hash(col: str | Column, modulus: int = MODULUS) -> Column:
         % F.lit(modulus),
     )
     return F.when(F.length(c) == 0, F.lit(0).cast("bigint")).otherwise(hashed)
+
+
+def mixed_string_hash(col: str | Column, modulus: int = MODULUS) -> Column:
+    """:func:`polynomial_string_hash` plus two Lehmer-LCG mixing rounds.
+
+    The raw rolling hash of a SHORT string is numerically small (a
+    1-char token hashes below 256), so its high bits are all zero —
+    useless for sign/band schemes like SimHash that read individual
+    bits. Two multiplicative rounds mod the Mersenne prime diffuse any
+    input across all 31 bits (one round is not enough: 97·48271 is
+    still < 2^23). Same arithmetic in :func:`mixed_string_hash_sql`."""
+    h = polynomial_string_hash(col, modulus)
+    for mult, add in ((MULTIPLIER, SEED_MIX), (69_069, 12_345)):
+        h = (h * F.lit(mult) + F.lit(add)) % F.lit(modulus)
+    return h
+
+
+def mixed_string_hash_sql(expr: str, modulus: int = MODULUS) -> str:
+    """DuckDB twin of :func:`mixed_string_hash` over a string SQL
+    expression ``expr`` (evaluated once per reference — keep it a
+    simple column/identifier)."""
+    poly = (
+        f"CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({expr}) + 1), "
+        f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc * 31 + x) % {modulus}) END"
+    )
+    h = poly
+    for mult, add in ((MULTIPLIER, SEED_MIX), (69_069, 12_345)):
+        h = f"(({h}) * {mult} + {add}) % {modulus}"
+    return h

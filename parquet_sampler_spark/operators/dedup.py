@@ -453,15 +453,18 @@ def minhash_dedup(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(text_col: str, bits: int = 32) -> "F.Column":
+def simhash(text_col: str, bits: int = 32, hash_fn=None) -> "F.Column":
     """Charikar SimHash over whitespace tokens: bit j of the fingerprint
-    is the sign of Σ_tokens (±1 depending on bit j of xxhash64(token)).
+    is the sign of Σ_tokens (±1 depending on bit j of hash(token),
+    default ``xxhash64``).
 
     Single-pass formulation: one traversal of the token hashes with a
     ``bits``-wide vote accumulator (the naive per-bit version re-scans
     the array ``bits`` times). Per-row map, no shuffle."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     tokens = F.array_distinct(F.split(F.trim(F.col(text_col)), " "))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, lambda t: hash_fn(t))
 
     def step(acc, h):
         votes = F.array(*[
@@ -491,13 +494,23 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into ``bands``
     chunks, block on exact chunk match (any pair within Hamming distance
     < bands shares ≥ 1 chunk — pigeonhole), verify Hamming ≤
-    ``max_hamming``. Output: ``id_a, id_b, hamming``."""
+    ``max_hamming``. Output: ``id_a, id_b, hamming``.
+
+    ``hash_fn``: Column→Column token hash; default ``xxhash64`` (fastest
+    JVM path). Pass ``functions.hashing.polynomial_string_hash`` for a
+    hash a SQL oracle can recompute character-by-character — it yields
+    31 usable bits, so with bits=32 the top bit is constantly 0 (both
+    signatures agree there; Hamming values are unaffected, the top band
+    just blocks slightly more)."""
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     w = bits // bands
     mask = (1 << w) - 1
 
@@ -519,16 +532,27 @@ def simhash_pairs(
             out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
         return pd.Series(out)
 
-    tokens_hashed = spread(df).select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), " ")),
-            lambda t: F.xxhash64(t),
-        ).alias("__th"),
-    )
-    fp = tokens_hashed.select(
-        F.col(id_col), simhash_udf(F.col("__th")).alias("__fp")
-    )
+    if hash_fn is None:
+        # default path: xxhash64 tokens JVM-side, numpy vote kernel
+        tokens_hashed = spread(df).select(
+            F.col(id_col),
+            F.transform(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), " ")),
+                lambda t: F.xxhash64(t),
+            ).alias("__th"),
+        )
+        fp = tokens_hashed.select(
+            F.col(id_col), simhash_udf(F.col("__th")).alias("__fp")
+        )
+    else:
+        # custom hash (e.g. the portable per-character rolling hash):
+        # nested higher-order lambdas can't feed a pandas UDF (Spark
+        # cannot evaluate HOF expressions as UDF children), so compute
+        # the whole fingerprint with the pure-JVM expression kernel
+        fp = spread(df).select(
+            F.col(id_col),
+            simhash(text_col, bits=bits, hash_fn=hash_fn).alias("__fp"),
+        )
     banded = fp.select(
         id_col, "__fp",
         F.explode(

@@ -383,8 +383,15 @@ _SQL_JACCARD_DEDUP = (
 
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates, exact-Jaccard verified.
-    Rows-only driver check (xxhash64 isn't portable SQL); recall vs the
-    exact join is pinned in tests/test_dedup.py."""
+
+    Oracle: the exact threshold-pairs SQL. Precision-exactness is
+    structural (every candidate is verified by exact Jaccard before
+    emission), so emitted ⊆ exact always; recall at 8 bands × 4 rows
+    on this corpus's planted near-dups (jaccard ≈ 0.8+, per-pair miss
+    probability (1-j^4)^8 < 2%) is deterministically 1 — verified
+    emitted == exact at sf0.01 AND sf0.1, seeded signatures, no RNG —
+    which upgrades the r1-r3 rows-only check to a full value-hash row.
+    The statistical recall floor stays pinned in tests/test_dedup.py."""
     return minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
@@ -392,14 +399,68 @@ def _q_minhash_pairs(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-distance near-dup pairs. Rows-only check.
+    """SimHash Hamming-distance near-dup pairs, full value-hash oracle.
     max_hamming=1: this corpus's token sets are so self-similar that
     distance ≤3 admits ~1M pairs at sf0.1 — ≤1 keeps the result a
-    near-dup list rather than a similarity matrix."""
+    near-dup list rather than a similarity matrix.
+
+    Tokens are hashed with the portable 31-bit mixed rolling hash
+    (LCG-diffused — raw rolling hashes of short tokens have dead high
+    bits) instead of xxhash64, so DuckDB recomputes the ENTIRE pipeline
+    from raw text — token hash, per-bit votes, sign signature, band
+    blocking, Hamming verify (_sql_simhash_pairs). All-integer
+    arithmetic: the emitted hamming values are exact in both engines,
+    upgrading the r1-r3 rows-only check. The xxhash64 default remains
+    the operator's scale path (one hash op/token vs one multiply-add
+    per CHARACTER here); the numpy==JVM kernel equivalence stays in
+    tests."""
+    from parquet_sampler_spark.functions.hashing import mixed_string_hash
+
     return simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         bits=32, bands=4, max_hamming=1,
+        hash_fn=mixed_string_hash,
     )
+
+
+def _sql_simhash_pairs() -> str:
+    """DuckDB twin of _q_simhash_pairs (31-bit mixed token hash; bit 31
+    of every signature is 0 — votes there are all -1)."""
+    from parquet_sampler_spark.functions.hashing import mixed_string_hash_sql
+
+    tok_hash = mixed_string_hash_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+  FROM documents
+),
+th AS (SELECT doc_id, {tok_hash} AS h FROM toks),
+votes AS (
+  SELECT doc_id, r.b AS bit,
+         sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN range(0, 32) r(b)
+  GROUP BY doc_id, r.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit
+                       ELSE 0 END) AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, fp, r.b AS band, (fp >> (r.b * 8)) & 255 AS chunk
+  FROM sig CROSS JOIN range(0, 4) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.fp AS fp_a, b.fp AS fp_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
+"""
 
 
 _NEARDUP_T = 0.4
@@ -470,14 +531,71 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+_ANN_LSH_BITS, _ANN_LSH_TABLES, _ANN_LSH_DIM, _ANN_LSH_SEED = 4, 16, 64, 42
+
+
 def _q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k. Rows-only check; recall vs
-    brute force pinned in tests/test_similarity.py."""
+    """LSH-bucketed approximate top-k, full value-hash oracle: the
+    hyperplanes are seed-generated constants independent of the data,
+    so the oracle embeds the identical plane weights as SQL literals
+    and replicates the ENTIRE pipeline — sign-bit bucketing, per-table
+    candidate union, exact cosine rerank, tie-broken row_number — in
+    DuckDB (see _sql_ann_lsh). Bucket signs are float64 dot signs;
+    numpy's GEMM and DuckDB's list_sum may differ by ~1e-13 ulps, which
+    flips a sign only for a dot that close to zero — none exist in this
+    corpus (verified sf0.01 + sf0.1; deterministic, seeded). Recall vs
+    brute force stays pinned in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
-        k=_ANN_K, bits=4, tables=16, dim=64,
+        k=_ANN_K, bits=_ANN_LSH_BITS, tables=_ANN_LSH_TABLES,
+        dim=_ANN_LSH_DIM, seed=_ANN_LSH_SEED,
     )
+
+
+def _sql_ann_lsh() -> str:
+    """DuckDB twin of _q_ann_lsh: hyperplanes from the same seeded
+    generator, embedded as literals (repr round-trips float64 exactly)."""
+    from parquet_sampler_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(_ANN_LSH_TABLES):
+        for b, w in enumerate(
+            _hyperplanes(_ANN_LSH_DIM, _ANN_LSH_BITS,
+                         _ANN_LSH_SEED + 1000 * t)
+        ):
+            wlist = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+            rows.append(f"({t}, {b}, {wlist}::DOUBLE[])")
+    values = ",\n".join(rows)
+    # raw-vector dot against the plane — only its SIGN is consumed
+    pdot = ("list_sum(list_transform(range(1, len(p.w) + 1), "
+            "j -> CAST(e.embedding[j] AS DOUBLE) * p.w[j]))")
+    cos = unit_dot_sql("q.v", "c.v")
+    return f"""
+WITH {normalized_cte_sql()},
+planes(tbl, bit, w) AS (VALUES
+{values}
+),
+sigs AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN {pdot} > 0
+                       THEN 1 << p.bit ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+),
+cand AS (
+  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+  FROM sigs qs JOIN sigs cs ON qs.tbl = cs.tbl AND qs.sig = cs.sig
+  WHERE qs.vec_id < {_ANN_NQ} AND qs.vec_id != cs.vec_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS score,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {cos} DESC, cand.neighbor_id) AS rank
+  FROM cand JOIN normed q ON q.vec_id = cand.query_id
+            JOIN normed c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -663,10 +781,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # minhash_pairs / simhash_pairs / ann_lsh intentionally absent:
-    # xxhash64 / numpy hyperplanes aren't SQL-portable → rows-only check
-    # + statistical recall tests in pytest.
+    # ann_ivf / multimodal_features / multimodal_resize intentionally
+    # absent: the IVF quantizer is data-fitted (centroids unknowable in
+    # static SQL); features/resize emit pixel/codec arithmetic over
+    # binary payloads. Those keep rows-only checks + pytest contracts.
     return {
+        "minhash_pairs": _SQL_JACCARD_PAIRS,
+        "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
+        "ann_lsh": _sql_ann_lsh(),
+        "simhash_pairs": _sql_simhash_pairs(),
         "text_stats": _sql_text_stats(),
         "text_clean": _sql_text_clean(),
         "dataset_split": _sql_dataset_split(),
@@ -897,13 +1020,36 @@ def _q_multimodal_features(spark, sf_dir):
 def _q_multimodal_frames(spark, sf_dir):
     """Video frame-sampling plan (media.frame_sample): one row per
     sampled frame timestamp, non-video rows pass through with a NULL
-    frame. Rows-only check; semantics pinned in tests/test_multimodal."""
+    frame. The output is pure metadata arithmetic (no binary column),
+    and synthetic_media's metadata is closed-form in media_id — so the
+    oracle recomputes the media table and the frame grid entirely in
+    SQL: a full value-hash row, not rows-only."""
     from parquet_sampler_spark.multimodal.media import (
         frame_sample,
         synthetic_media,
     )
 
     return frame_sample(synthetic_media(spark, n=64), every_ms=1000)
+
+
+# synthetic_media metadata (media.py): kind cycles image/audio/video by
+# media_id % 3; only video rows carry duration_ms = 5000. Spark's
+# sequence(0, d, step) is end-INCLUSIVE; DuckDB range() is exclusive,
+# hence duration_ms + 1.
+_SQL_MULTIMODAL_FRAMES = """
+WITH media AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN i % 3 = 2 THEN CAST(5000 AS BIGINT) END AS duration_ms
+  FROM range(0, 64) t(i)
+)
+SELECT media_id, kind,
+       unnest(CASE WHEN kind = 'video' AND duration_ms IS NOT NULL
+                   THEN range(0, duration_ms + 1, 1000)
+                   ELSE [CAST(NULL AS BIGINT)] END) AS frame_ts
+FROM media
+"""
 
 
 def _q_multimodal_resize(spark, sf_dir):

@@ -81,3 +81,39 @@ def test_text_fn_cross_engine(results, field, idx):
         if spark_rows[i][field] != duck_rows[i][idx]
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_mixed_string_hash_cross_engine(spark):
+    """mixed_string_hash (the SimHash token hash) must agree with its
+    SQL twin — and actually use its high bits (the diffusion property
+    the raw rolling hash lacks for short tokens)."""
+    from parquet_sampler_spark.functions.hashing import (
+        mixed_string_hash,
+        mixed_string_hash_sql,
+    )
+
+    toks = ["", "a", "x", "42", "the", "naïve", "O'Neil", "且",
+            "longertoken", "co-op", " ", "Zz9"]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "i long, tok string"
+    )
+    got = {
+        r.i: r.h
+        for r in sdf.select("i", mixed_string_hash("tok").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, tok VARCHAR)")
+    for i, t in enumerate(toks):
+        con.execute("INSERT INTO t VALUES (?, ?)", [i, t])
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {mixed_string_hash_sql('tok')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # diffusion: every nonempty short token must light up high bits —
+    # the raw rolling hash keeps them < 2^16 and SimHash bands go dead
+    short = [got[i] for i, t in enumerate(toks) if t.strip() and len(t) <= 2]
+    assert short and all(h >= (1 << 24) for h in short), short
