@@ -212,6 +212,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": _q_tpch_q22,
         "grouped_topk": _q_grouped_topk,
         "diff_snapshots": _q_diff_snapshots,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q20": _q_tpch_q20,
+        "tpch_q21": _q_tpch_q21,
     }
 
 
@@ -245,6 +251,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": _SQL_TPCH_Q22,
         "grouped_topk": _SQL_GROUPED_TOPK,
         "diff_snapshots": _SQL_DIFF_SNAPSHOTS,
+        "tpch_q2": _SQL_TPCH_Q2,
+        "tpch_q8": _SQL_TPCH_Q8,
+        "tpch_q9": _SQL_TPCH_Q9,
+        "tpch_q12": _SQL_TPCH_Q12,
+        "tpch_q20": _SQL_TPCH_Q20,
+        "tpch_q21": _SQL_TPCH_Q21,
     }
 
 # ---------------------------------------------------------------------------
@@ -1183,3 +1195,317 @@ WHERE CASE WHEN c.c_custkey IS NULL THEN 'added'
                      AND c.c_mktsegment IS NOT DISTINCT FROM m.c_mktsegment)
            THEN 'changed' END IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: q2, q8, q9, q12, q20, q21 (suite now covers all 22;
+# q1 ≙ pricing_summary/rollup_pricing). Schema adaptations (no partsupp,
+# no l_shipmode/l_commitdate/l_receiptdate in the testdata): a supplier's
+# part "cost" is derived from lineitem prices, and "lateness" is
+# l_shipdate > o_orderdate + interval — each documented per query.
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q2(spark, sf_dir):
+    """Q2 minimum-cost supplier (adapted: supplier's cost for a part =
+    the minimum line price it ever charged, exact cents — the testdata
+    has no partsupp). EUROPE suppliers, STANDARD parts of size <= 15;
+    keep every supplier achieving the per-part minimum — the
+    decorrelated form of Q2's correlated MIN subquery."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nr = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    costs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", price_c.alias("__pc"))
+        .join(F.broadcast(s.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__pc").alias("__cost_c"))
+    )
+    minc = costs.groupBy("l_partkey").agg(F.min("__cost_c").alias("__min_c"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_name")
+    return (
+        costs.join(minc, "l_partkey")
+        .filter(F.col("__cost_c") == F.col("__min_c"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            (F.col("__cost_c") / 100.0).alias("supplycost"),
+        )
+    )
+
+
+_SQL_TPCH_Q2 = """
+WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+  FROM lineitem JOIN eur ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+),
+minc AS (SELECT l_partkey, min(cost_c) AS min_c FROM costs GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       cost_c / 100.0 AS supplycost
+FROM costs
+JOIN minc ON costs.l_partkey = minc.l_partkey AND cost_c = min_c
+JOIN part ON costs.l_partkey = p_partkey
+         AND p_type = 'STANDARD' AND p_size <= 15
+JOIN eur ON costs.l_suppkey = eur.s_suppkey
+"""
+
+
+def _q_tpch_q8(spark, sf_dir):
+    """Q8 national market share: NATION_8's share of EUROPE's STANDARD-
+    part import volume per year — a 7-relation join tree whose share
+    division is done on exact-cents integer sums."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    r = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_c), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_s), s["s_nationkey"] == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_8", vol_e4)
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(vol_e4).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+_SQL_TPCH_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_8' THEN vol_e4 ELSE 0 END)
+            AS DOUBLE) / CAST(sum(vol_e4) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) *
+         (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol_e4
+  FROM lineitem
+) l
+JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN orders ON l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY o_year
+"""
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """Q9 product-type profit (adapted: unit cost = 0.6 × p_retailprice
+    — no partsupp supplycost in the testdata): profit per supplier
+    nation per order year over '%bolt%' parts, exact e4-cents
+    arithmetic throughout the multi-way join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_retailprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        - F.lit(60)
+        * F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.round(F.col("l_quantity")).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(profit_e4) / 10000.0).alias("sum_profit"))
+    )
+
+
+_SQL_TPCH_Q9 = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+           (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """Q12 shipping-priority classes (adapted: late = shipped more than
+    60 days after order date; grouped by l_returnflag — the testdata
+    has no l_shipmode/commitdate/receiptdate): the CASE-pivot count of
+    critical vs non-critical order priorities among 1996's late lines."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+# Q20/Q21 run the SAME SQL text through spark.sql AND the DuckDB oracle
+# — the point is the correlated-subquery planner (nested IN + correlated
+# scalar agg in q20; EXISTS + NOT EXISTS double correlation in q21),
+# which Catalyst must decorrelate into aggregate/semi/anti joins.
+
+_SQL_TPCH_Q20 = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT st.l_suppkey
+  FROM (SELECT l.l_suppkey, sum(l.l_quantity) AS total_qty
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small %')
+        GROUP BY l.l_suppkey) st
+  WHERE st.total_qty > 2.0 * (
+      SELECT coalesce(sum(l2.l_quantity), 0.0)
+      FROM lineitem l2
+      WHERE l2.l_suppkey = st.l_suppkey
+        AND l2.l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE 'small %')
+        AND l2.l_shipdate >= TIMESTAMP '1998-01-01')
+)
+"""
+
+_SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders o1, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o1.o_orderkey = l1.l_orderkey
+  AND o1.o_orderstatus = 'F'
+  AND l1.l_shipdate > o1.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o2
+                  WHERE o2.o_orderkey = l3.l_orderkey
+                    AND l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY s_name
+"""
+
+
+def _tpch_views(spark, sf_dir, *names):
+    for t in names:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """Q20 potential-part-promotion (adapted to supplier granularity —
+    per-(supplier, part) lineitem pairs are too sparse in this testdata
+    for the correlated compare to select anything): keep suppliers
+    whose all-time shipped qty of 'small %' parts more than doubles
+    their 1998+ shipments of those parts (21 of 100 qualify at
+    sf0.01). IN over an aggregate whose HAVING-style compare is a
+    correlated scalar aggregate that itself contains a nested IN —
+    Catalyst decorrelates the inner sum into an aggregate joined on
+    suppkey. Same SQL text as the oracle; quantity sums are integral
+    doubles (exact)."""
+    _tpch_views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_SQL_TPCH_Q20)
+
+
+def _q_tpch_q21(spark, sf_dir):
+    """Q21 waiting-suppliers (adapted: late = shipped > 90 days after
+    order date): multi-supplier 'F' orders where THIS nation's supplier
+    was late and no other supplier on the order was — EXISTS plus NOT
+    EXISTS, both correlated on the outer line's orderkey, the hardest
+    decorrelation in the suite. Same SQL text as the oracle."""
+    _tpch_views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    return spark.sql(_SQL_TPCH_Q21)
