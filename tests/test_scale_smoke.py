@@ -114,3 +114,133 @@ def test_assign_splits_at_10m_rows(spark):
     assert abs(counts["train"] / n - 0.8) < 0.002
     assert abs(counts["val"] / n - 0.1) < 0.002
     assert abs(counts["test"] / n - 0.1) < 0.002
+
+
+def test_interval_join_at_10m_facts_10k_intervals(spark):
+    """Bucketized interval join at 10M facts x 10k intervals: the
+    exploded build side stays ~2x intervals (bounded fan-out), the join
+    is a plain hash equi-join (no BNLJ/cartesian), and every fact lands
+    in exactly its one covering interval."""
+    from parquet_sampler_spark.operators.rangejoin import interval_join
+
+    n_facts, n_iv, width = 10_000_000, 10_000, 3600
+    facts = spark.range(n_facts).select(
+        F.col("id").alias("fact_id"),
+        F.timestamp_seconds(
+            (F.col("id") % (n_iv * width)).cast("double")
+        ).alias("ts"),
+    )
+    intervals = spark.range(n_iv).select(
+        F.col("id").alias("iv_id"),
+        F.timestamp_seconds((F.col("id") * width).cast("double"))
+        .alias("start"),
+        F.timestamp_seconds(((F.col("id") + 1) * width).cast("double"))
+        .alias("end"),
+    )
+    joined = interval_join(
+        facts, intervals, "ts", "start", "end", bucket_seconds=width
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # each fact matches exactly one interval, and the right one
+    assert joined.count() == n_facts
+    bad = joined.filter(
+        F.col("iv_id")
+        != F.floor((F.col("fact_id") % (n_iv * width)) / width)
+    ).count()
+    assert bad == 0
+
+
+def test_edit_distance_blocking_at_1m_docs(spark, tmp_path):
+    """The edit-distance near-dup query end-to-end at 1M synthetic
+    docs: a stop-phrase opener block of ~250k docs is excluded by the
+    block cap (otherwise ~3e10 in-block pairs), the remaining blocks
+    stay small, and the whole thing completes in suite budget."""
+    from parquet_sampler_spark.queries_ext import _q_edit_distance_pairs
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang"), (F.col("id") % 2).cast("string"))
+        .alias("lang"),
+        F.when(
+            F.col("id") % 4 == 0,  # 250k docs share the 'the' opener
+            F.concat(F.lit("the common opener text number "),
+                     (F.col("id") % 97).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("opener"),
+                ((F.col("id") / 4) % 125_000).cast("bigint").cast("string"),
+                F.lit(" body text variant "),
+                (F.col("id") % 3).cast("string"),
+            )
+        ).alias("text"),
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    path = str(tmp_path / "corpus")
+    docs.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+    pairs = _q_edit_distance_pairs(spark, path)
+    got = pairs.count()
+    # non-capped blocks: (lang, openerK, length-bucket) of ~4 docs with
+    # distance-<=4 prefixes -> up to C(4,2)=6 pairs per block; the
+    # capped 'the' blocks contribute nothing. Bound: 6 * 250k blocks.
+    assert 0 < got <= 6 * 250_000, got
+    # cap effectiveness: no emitted pair opens with the stop phrase
+    d = spark.read.parquet(f"{path}/documents.parquet").select(
+        F.col("doc_id").alias("a"),
+        F.substring_index(F.trim(F.lower("text")), " ", 1).alias("__t1"),
+    )
+    the_pairs = pairs.join(d, "a").filter(F.col("__t1") == "the").count()
+    assert the_pairs == 0
+
+
+def test_zorder_second_column_file_skip(spark, tmp_path):
+    """Z-order's reason to exist: after clustering on [a, b], parquet
+    footer min/max stats on the SECOND column must exclude most files
+    for a point probe — while linear range clustering on [a, b] leaves
+    b's per-file range full-width (nothing skippable). Measured from
+    the actual written footers, not the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.plans.layout import (
+        cluster_by_range,
+        cluster_by_zorder,
+    )
+
+    n, files, probe = 200_000, 16, 777
+    df = spark.range(n).select(
+        (F.col("id") % 1024).alias("a"),
+        ((F.col("id") * 7919) % 1024).alias("b"),
+    )
+
+    def skippable(path: str) -> tuple[int, int]:
+        skipped = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("b")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min), maxs.append(st.max)
+            total += 1
+            if min(mins) > probe or max(maxs) < probe:
+                skipped += 1
+        return skipped, total
+
+    zp = str(tmp_path / "zorder")
+    cluster_by_zorder(df, ["a", "b"], num_files=files, bits=10) \
+        .write.mode("overwrite").parquet(zp)
+    rp = str(tmp_path / "ranged")
+    cluster_by_range(df, ["a", "b"], num_files=files) \
+        .write.mode("overwrite").parquet(rp)
+
+    z_skip, z_total = skippable(zp)
+    r_skip, r_total = skippable(rp)
+    assert z_total >= files and r_total >= files
+    # z-order: a point probe on b must skip at least half the files;
+    # range clustering on leading column a skips essentially none on b
+    assert z_skip >= z_total // 2, (z_skip, z_total)
+    assert z_skip > r_skip, (z_skip, r_skip)
