@@ -158,21 +158,42 @@ def _decode_fake(payload: bytes) -> np.ndarray:
 def _pixel_features(arr: np.ndarray) -> np.ndarray:
     """8-dim feature from a decoded ``(h, w, 3)`` pixel array, every
     component in [0, 1]: per-channel means, 2×global std (clipped),
-    and the four quadrant luminance means."""
-    a = arr.astype(np.float64) / 255.0
-    lum = a.mean(axis=2)
-    h, w = lum.shape
+    and the four quadrant luminance means.
+
+    Every statistic is an EXACT integer pixel sum followed by a fixed
+    sequence of float64 ops (one division per term) — not np.mean/std,
+    whose pairwise summation order is version-dependent. That makes
+    each value bit-reproducible from the closed-form pixel function, so
+    the multimodal_features oracle can recompute it in SQL."""
+    h, w = arr.shape[:2]
+    px = arr.astype(np.int64)
+    n = h * w
+    sr, sg, sb = (int(px[:, :, c].sum()) for c in range(3))
+    s2 = int((px * px).sum())  # Σv² over all 3 channels
     hy, hx = max(h // 2, 1), max(w // 2, 1)
+    lum_i = px.sum(axis=2)  # integer r+g+b per pixel
+    q = [
+        int(lum_i[:hy, :hx].sum()),
+        int(lum_i[:hy, hx:].sum()),
+        int(lum_i[hy:, :hx].sum()),
+        int(lum_i[hy:, hx:].sum()),
+    ]
+    qn = [
+        hy * hx, hy * (w - hx), (h - hy) * hx, (h - hy) * (w - hx),
+    ]
+    mean_all = (sr + sg + sb) / (255.0 * 3 * n)
+    e2 = s2 / (65025.0 * 3 * n)  # 65025 = 255²
+    std = float(np.sqrt(max(e2 - mean_all * mean_all, 0.0)))
     return np.array(
         [
-            a[:, :, 0].mean(),
-            a[:, :, 1].mean(),
-            a[:, :, 2].mean(),
-            min(a.std() * 2.0, 1.0),
-            lum[:hy, :hx].mean(),
-            lum[:hy, hx:].mean() if hx < w else 0.0,
-            lum[hy:, :hx].mean() if hy < h else 0.0,
-            lum[hy:, hx:].mean() if hy < h and hx < w else 0.0,
+            sr / (255.0 * n),
+            sg / (255.0 * n),
+            sb / (255.0 * n),
+            min(std * 2.0, 1.0),
+            q[0] / (765.0 * qn[0]),  # 765 = 3·255
+            q[1] / (765.0 * qn[1]) if qn[1] else 0.0,
+            q[2] / (765.0 * qn[2]) if qn[2] else 0.0,
+            q[3] / (765.0 * qn[3]) if qn[3] else 0.0,
         ],
         dtype=np.float32,
     )
@@ -236,11 +257,10 @@ def frame_sample(
 def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
     """Deterministic synthetic media table for tests — no external
     files. Image rows carry REAL encoded 64×48 BMPs (pixel value is a
-    closed-form function of (seed, media_id, x, y) — reproducible
-    forever, RNG-free); audio/video rows carry seeded opaque bytes."""
-    import random
-
-    rng = random.Random(seed)
+    closed-form function of (seed, media_id, x, y)); audio/video rows
+    carry opaque bytes that are ALSO closed-form in (seed, media_id,
+    byte index) — reproducible forever, RNG-free throughout, so a SQL
+    oracle can recompute byte- and pixel-derived features exactly."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -259,7 +279,9 @@ def synthetic_media(spark, n: int = 64, seed: int = 7) -> DataFrame:
             payload = bmp_encode(px)
             rows.append((i, kind, payload, "image/bmp", w, h, None))
         else:
-            payload = bytes(rng.randrange(256) for _ in range(64 + i))
+            payload = bytes(
+                (seed * 97 + i * 31 + j * 7) % 256 for j in range(64 + i)
+            )
             rows.append((
                 i, kind, payload, f"application/x-{kind}",
                 None, None, 5000 if kind == "video" else None,

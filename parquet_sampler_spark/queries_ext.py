@@ -781,15 +781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # ann_ivf / multimodal_features / multimodal_resize intentionally
-    # absent: the IVF quantizer is data-fitted (centroids unknowable in
-    # static SQL); features/resize emit pixel/codec arithmetic over
-    # binary payloads. Those keep rows-only checks + pytest contracts.
+    # ann_ivf / multimodal_resize intentionally absent: the IVF
+    # quantizer is data-fitted (centroids unknowable in static SQL);
+    # resize emits re-ENCODED binary (building BMP bytes in SQL is not
+    # reasonable). Those keep rows-only checks + pytest contracts.
     return {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
         "ann_lsh": _sql_ann_lsh(),
         "simhash_pairs": _sql_simhash_pairs(),
+        "multimodal_features": _sql_multimodal_features(),
         "text_stats": _sql_text_stats(),
         "text_clean": _sql_text_clean(),
         "dataset_split": _sql_dataset_split(),
@@ -996,9 +997,12 @@ def _q_multimodal_features(spark, sf_dir):
     (seeded — no external files; image rows are REAL encoded BMPs) →
     mapInPandas feature extraction with actual pixel decode for images
     (``deterministic_fake=False``; audio/video keep the byte-derived
-    fake — no a/v codec in this environment). Rows-only check (binary
-    payload arithmetic isn't portable SQL); schema/batch/pixel
-    contracts pinned in tests/test_multimodal.py.
+    fake — no a/v codec in this environment). Full value-hash oracle:
+    payload bytes/pixels are closed-form in (seed, media_id, position)
+    and every feature is an exact integer sum + fixed float64
+    expression, so _sql_multimodal_features recomputes all of it from
+    the generating formulas. Schema/batch/pixel contracts stay pinned
+    in tests/test_multimodal.py.
 
     The ``feature array<float>`` column is exploded to scalar
     ``(feat_idx, feat_value)`` rows — the driver's canonicalizer sorts
@@ -1016,6 +1020,91 @@ def _q_multimodal_features(spark, sf_dir):
         "media_id", "kind", "n_bytes",
         F.posexplode("feature").alias("feat_idx", "feat_value"),
     )
+
+def _sql_multimodal_features() -> str:
+    """DuckDB twin of _q_multimodal_features: synthetic_media payloads
+    are closed-form in (seed=7, media_id, position), and
+    _pixel_features/_decode_fake are exact integer sums followed by a
+    fixed float64 expression — so the oracle recomputes every feature
+    from the generating formulas, no binary decode needed. BMP
+    encode→decode is lossless (pure uint8 codec), making the pixel
+    formula and the decoded array identical."""
+    h, w, n = 48, 64, 48 * 64
+    mean_den = repr(255.0 * n)              # per-channel mean
+    all_den = repr(255.0 * 3 * n)           # global mean
+    e2_den = repr(65025.0 * 3 * n)          # global E[x²], 65025 = 255²
+    qn = (h // 2) * (w // 2)
+    q_den = repr(765.0 * qn)                # quadrant luminance mean
+    img_f = (
+        f"CASE r.k "
+        f"WHEN 0 THEN CAST(sr / {mean_den} AS REAL) "
+        f"WHEN 1 THEN CAST(sg / {mean_den} AS REAL) "
+        f"WHEN 2 THEN CAST(sb / {mean_den} AS REAL) "
+        f"WHEN 3 THEN CAST(least(sqrt(greatest("
+        f"s2 / {e2_den} - ((sr + sg + sb) / {all_den}) * "
+        f"((sr + sg + sb) / {all_den}), 0.0)) * 2.0, 1.0) AS REAL) "
+        f"WHEN 4 THEN CAST(q0 / {q_den} AS REAL) "
+        f"WHEN 5 THEN CAST(q1 / {q_den} AS REAL) "
+        f"WHEN 6 THEN CAST(q2 / {q_den} AS REAL) "
+        f"WHEN 7 THEN CAST(q3 / {q_den} AS REAL) END"
+    )
+    # BMP size: 54-byte header + h rows of 4-byte-padded BGR
+    bmp_bytes = 54 + h * (((w * 3) + 3) // 4 * 4)
+    return f"""
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS media_id, i,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM range(0, 64) t(i)
+),
+imgpx AS (
+  SELECT m.i, x.x AS x, y.y AS y,
+         (x.x * 7 + y.y * 13 + (7 + m.i) * 31) % 256 AS r,
+         (x.x * 3 + y.y * 5 + (7 + m.i) * 17) % 256 AS g,
+         (x.x * 11 + y.y * 2 + (7 + m.i) * 23) % 256 AS b
+  FROM m CROSS JOIN range({w}) x(x) CROSS JOIN range({h}) y(y)
+  WHERE m.i % 3 = 0
+),
+imgs AS (
+  SELECT i, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+         sum(r*r + g*g + b*b) AS s2,
+         sum(CASE WHEN y < {h//2} AND x < {w//2} THEN r+g+b ELSE 0 END) AS q0,
+         sum(CASE WHEN y < {h//2} AND x >= {w//2} THEN r+g+b ELSE 0 END) AS q1,
+         sum(CASE WHEN y >= {h//2} AND x < {w//2} THEN r+g+b ELSE 0 END) AS q2,
+         sum(CASE WHEN y >= {h//2} AND x >= {w//2} THEN r+g+b ELSE 0 END) AS q3
+  FROM imgpx GROUP BY i
+),
+av AS (SELECT i, 64 + i AS len FROM m WHERE i % 3 <> 0),
+avchunks AS (
+  -- np.array_split(arr, 8): first len%8 chunks get len//8+1 elements
+  SELECT av.i, r.k AS k,
+         CASE WHEN r.k < len % 8 THEN len // 8 + 1
+              ELSE len // 8 END AS sz,
+         CASE WHEN r.k < len % 8 THEN r.k * (len // 8 + 1)
+              ELSE (len % 8) * (len // 8 + 1)
+                   + (r.k - len % 8) * (len // 8) END AS st
+  FROM av CROSS JOIN range(8) r(k)
+),
+avf AS (
+  -- payload byte j of media i: (7*97 + i*31 + j*7) % 256
+  SELECT c.i, c.k,
+         CAST((sum((679 + c.i * 31 + j.j * 7) % 256) % 997) / 997.0
+              AS REAL) AS v
+  FROM avchunks c CROSS JOIN range(0, 200) j(j)
+  WHERE j.j >= c.st AND j.j < c.st + c.sz
+  GROUP BY c.i, c.k
+)
+SELECT m.media_id, m.kind,
+       CAST(CASE WHEN m.i % 3 = 0 THEN {bmp_bytes}
+                 ELSE 64 + m.i END AS BIGINT) AS n_bytes,
+       CAST(r.k AS INTEGER) AS feat_idx,
+       CASE WHEN m.i % 3 = 0 THEN {img_f}
+            ELSE (SELECT v FROM avf WHERE avf.i = m.i AND avf.k = r.k)
+       END AS feat_value
+FROM m CROSS JOIN range(8) r(k)
+LEFT JOIN imgs ON imgs.i = m.i
+"""
+
 
 def _q_multimodal_frames(spark, sf_dir):
     """Video frame-sampling plan (media.frame_sample): one row per
