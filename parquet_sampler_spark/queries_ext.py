@@ -777,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": _q_top_terms,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "funnel": _q_funnel,
+        "sequence_pack": _q_sequence_pack,
+        "corpus_mixture": _q_corpus_mixture,
     }
 
 
@@ -823,6 +825,8 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _SQL_TOP_TERMS,
         "edit_distance_pairs": _SQL_EDIT_DISTANCE_PAIRS,
         "funnel": _SQL_FUNNEL,
+        "sequence_pack": _sql_sequence_pack(),
+        "corpus_mixture": _sql_corpus_mixture(),
     }
 
 # ---------------------------------------------------------------------------
@@ -1667,3 +1671,109 @@ SELECT (SELECT count(*) FROM v) AS n_view,
        (SELECT count(*) FROM c) AS n_view_click,
        (SELECT count(*) FROM p) AS n_full_funnel
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data assembly: sequence packing + mixture resampling
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512   # tokens per training sequence
+_PACK_SHARD = 200    # doc_ids per packing shard (bounds each window)
+
+
+def _q_sequence_pack(spark, sf_dir):
+    """Training-sequence packing: assign each document to a
+    fixed-token-budget training sequence by greedy contiguous fill —
+    a doc goes to the sequence its running-start offset falls in.
+
+    100 TB shape: packing is LOCAL to a (lang, doc_id-shard) window, so
+    the cumulative sum never becomes a global single-partition sort —
+    shards pack independently and in parallel (how production pipelines
+    shard packing); the budget boundary is deterministic from the data,
+    so both engines assign identical sequences."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.token_count("text").alias("n_tok"),
+    ).withColumn(
+        "shard",
+        F.floor(F.col("doc_id") / _PACK_SHARD).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.withColumn("__cum", F.sum("n_tok").over(w)).select(
+        "doc_id", "lang", "n_tok", "shard",
+        F.floor(
+            (F.col("__cum") - F.col("n_tok")).cast("double") / _PACK_BUDGET
+        ).cast("bigint").alias("seq_idx"),
+    )
+
+
+def _sql_sequence_pack() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, {TX.token_count_sql('text')} AS n_tok,
+         CAST(floor(doc_id / {_PACK_SHARD}.0) AS BIGINT) AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok, shard,
+         sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n_tok, shard,
+       CAST(floor(CAST(cum - n_tok AS DOUBLE) / {_PACK_BUDGET})
+            AS BIGINT) AS seq_idx
+FROM c
+"""
+
+
+# per-language keep rates (mixture reweighting); integer thresholds on
+# the portable hash make the comparison exact in both engines
+_MIX_SEED = 29
+_MIX_RATES = {"en": 1.0, "zh": 0.8, "es": 0.6, "de": 0.4, "fr": 0.2}
+_MIX_DEFAULT = 0.1
+
+
+def _q_corpus_mixture(spark, sf_dir):
+    """Mixture resampling: downweight per-language corpus shares with
+    deterministic Bernoulli-by-hash keeps (the data-mixture step of a
+    training pipeline, e.g. upweighting English while thinning others).
+
+    100 TB shape: a stateless per-row filter on a seeded integer hash —
+    pushes to the scan, shuffles nothing, and any row's keep decision
+    is recomputable from its key alone (auditable sampling, same
+    property as dataset_split)."""
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        lehmer_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    thr = F.lit(int(_MIX_DEFAULT * MODULUS))
+    for lang, rate in _MIX_RATES.items():
+        thr = F.when(
+            F.col("lang") == lang, F.lit(int(rate * MODULUS))
+        ).otherwise(thr)
+    return d.filter(
+        lehmer_hash(["doc_id"], _MIX_SEED) < thr
+    ).select("doc_id", "lang", "source")
+
+
+def _sql_corpus_mixture() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        lehmer_hash_sql,
+    )
+
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * MODULUS)}"
+        for lang, rate in _MIX_RATES.items()
+    )
+    return (
+        f"SELECT doc_id, lang, source FROM documents "
+        f"WHERE {lehmer_hash_sql(['doc_id'], _MIX_SEED)} < "
+        f"CASE lang {whens} ELSE {int(_MIX_DEFAULT * MODULUS)} END"
+    )
