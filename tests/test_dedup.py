@@ -304,3 +304,23 @@ def test_decontaminate_drops_benchmark_overlap(spark):
     kept = sorted(r.doc_id for r in decontaminate(
         corpus, bench, "doc_id", "text", n=2, threshold=0.5).collect())
     assert kept == [101]
+
+
+def test_minhash_query_params_recall_is_one(documents):
+    """The minhash_pairs driver oracle is the exact threshold-pairs SQL,
+    valid because recall at the REGISTERED query's parameters is
+    deterministically 1 on this corpus (seeded signatures, no RNG). Pin
+    the full equality — including jaccard values — so parameter or data
+    drift fails here before it fails the driver gate."""
+    from parquet_sampler_spark.queries_ext import _JACCARD_N, _JACCARD_T
+
+    exact = {(r.id_a, r.id_b, r.jaccard)
+             for r in ngram_jaccard_pairs(
+                 documents, "doc_id", "text",
+                 n=_JACCARD_N, threshold=_JACCARD_T).collect()}
+    approx = {(r.id_a, r.id_b, r.jaccard)
+              for r in minhash_lsh_pairs(
+                  documents, "doc_id", "text",
+                  n=_JACCARD_N, threshold=_JACCARD_T,
+                  num_hashes=32, bands=8).collect()}
+    assert approx == exact

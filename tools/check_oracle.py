@@ -55,8 +55,14 @@ def value_hash(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as e
     from parquet_sampler_spark.session import get_spark
@@ -70,6 +76,7 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,9 +87,15 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures += 1
+            report[name] = {"err": f"spark: {ex}"}
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only)")
+            report[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -91,10 +104,16 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: oracle error: {ex}")
             failures += 1
+            report[name] = {"err": f"oracle: {ex}"}
             continue
         ok_count = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
         ok_hash = value_hash(srows, scols) == value_hash(orows, ocols)
+        report[name] = {
+            "rows_match": ok_count, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         status = "ok" if (ok_count and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
@@ -109,6 +128,14 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={len(srows)}")
     print(f"\n{failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "failures": failures, "queries": report}, f,
+                      indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

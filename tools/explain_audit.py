@@ -140,6 +140,43 @@ def main() -> int:
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # 12. q8's 7-relation tree: dims broadcast, no nested loop anywhere
+    check(
+        "tpch_q8",
+        R.queries()["tpch_q8"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    # 13. q20's nested-IN + correlated scalar agg must decorrelate to
+    # semi joins + aggregates — never a per-row nested loop
+    check(
+        "tpch_q20",
+        R.queries()["tpch_q20"](spark, sf_dir),
+        must_contain=["LeftSemi"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    # 14. q21's EXISTS / NOT EXISTS pair decorrelates to semi + anti
+    check(
+        "tpch_q21",
+        R.queries()["tpch_q21"](spark, sf_dir),
+        must_contain=["LeftSemi", "LeftAnti"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    # 15. mixture resampling is a pure scan-side filter: zero exchanges
+    check(
+        "corpus_mixture",
+        R.queries()["corpus_mixture"](spark, sf_dir),
+        must_not=["Exchange"],
+    )
+    # 16. sequence packing windows per (lang, shard), never a global
+    # single-partition sort
+    check(
+        "sequence_pack",
+        R.queries()["sequence_pack"](spark, sf_dir),
+        must_contain=["Window"],
+        must_not=["SinglePartition"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
