@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
+        "cdc_time_travel": _q_cdc_time_travel,
     }
 
 
@@ -257,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": _SQL_TPCH_Q12,
         "tpch_q20": _SQL_TPCH_Q20,
         "tpch_q21": _SQL_TPCH_Q21,
+        "cdc_time_travel": _SQL_CDC_TIME_TRAVEL,
     }
 
 # ---------------------------------------------------------------------------
@@ -657,16 +659,10 @@ def _q_approx_distinct(spark, sf_dir):
 _MERGE_CACHE: dict = {}
 
 
-def _q_merge_upsert(spark, sf_dir):
-    """CDC MERGE emulation: apply a deterministic synthetic update batch
-    (every 100th customer re-priced, every 250th deleted, 3 inserts) to
-    the customer snapshot."""
-    from parquet_sampler_spark.operators.merge import merge_upsert
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _MERGE_CACHE:
-        return _MERGE_CACHE[key]
-
+def _merge_batch(spark, sf_dir):
+    """The deterministic synthetic CDC batch: every 100th customer
+    re-priced, every 250th deleted, 3 inserts. Shared by merge_upsert
+    and cdc_time_travel."""
     c = _t(spark, sf_dir, "customer")
     updates = c.filter(F.col("c_custkey") % 100 == 0).select(
         "c_custkey", "c_name", "c_nationkey",
@@ -680,7 +676,21 @@ def _q_merge_upsert(spark, sf_dir):
         "c_custkey long, c_name string, c_nationkey int, "
         "c_acctbal double, c_mktsegment string, is_deleted boolean",
     )
-    batch = updates.unionByName(inserts)
+    return updates.unionByName(inserts)
+
+
+def _q_merge_upsert(spark, sf_dir):
+    """CDC MERGE emulation: apply a deterministic synthetic update batch
+    (every 100th customer re-priced, every 250th deleted, 3 inserts) to
+    the customer snapshot."""
+    from parquet_sampler_spark.operators.merge import merge_upsert
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _MERGE_CACHE:
+        return _MERGE_CACHE[key]
+
+    c = _t(spark, sf_dir, "customer")
+    batch = _merge_batch(spark, sf_dir)
     merged = merge_upsert(
         c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
                  "c_mktsegment"),
@@ -1509,3 +1519,42 @@ def _q_tpch_q21(spark, sf_dir):
     decorrelation in the suite. Same SQL text as the oracle."""
     _tpch_views(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
     return spark.sql(_SQL_TPCH_Q21)
+
+
+def _q_cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel (streaming/sinks.py VERSION-AS-OF read):
+    publish two versions through the real commit protocol — v0 = the
+    full customer snapshot as the initial load, v1 = the CDC batch
+    merge_upsert applies — with retain_versions=2, then read BACK
+    version 0 after v1 is live. The oracle is the raw customer table:
+    time travel must return the pre-merge state byte-for-byte even
+    though the pointer has moved on. Re-running in one session is a
+    no-op by the sink's exactly-once batch-id skip."""
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.sinks import (
+        apply_cdc_batch,
+        read_merge_snapshot,
+    )
+
+    base = f"{session_tmp_dir(spark, 'cdc_tt')}/customer_versions"
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    initial = _t(spark, sf_dir, "customer").select(*cols).withColumn(
+        "is_deleted", F.lit(False)
+    )
+    apply_cdc_batch(
+        initial, 0, base, ["c_custkey"], delete_col="is_deleted",
+        retain_versions=2,
+    )
+    batch = _merge_batch(spark, sf_dir)
+    apply_cdc_batch(
+        batch, 1, base, ["c_custkey"], delete_col="is_deleted",
+        retain_versions=2,
+    )
+    return read_merge_snapshot(spark, base, version=0)
+
+
+_SQL_CDC_TIME_TRAVEL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer
+"""

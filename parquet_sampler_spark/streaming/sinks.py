@@ -37,7 +37,9 @@ Real deployments use a transactional table format (Delta/Iceberg —
 jars not present in this environment); this module is the engine-level
 emulation of the same commit protocol (versioned data files + an
 atomically-swapped pointer is exactly Delta's ``_last_checkpoint`` /
-Iceberg's ``version-hint.text`` scheme, reduced to one live version).
+Iceberg's ``version-hint.text`` scheme). ``retain_versions`` keeps the
+newest N published snapshots, and ``read_merge_snapshot(version=...)``
+time-travels to any retained one — the ``VERSION AS OF`` read path.
 Local-filesystem paths only: ``os.replace`` atomicity is a POSIX
 rename guarantee; on S3 this layer is replaced by the table format.
 """
@@ -70,14 +72,42 @@ def current_snapshot_path(base_path: str) -> str | None:
     return os.path.join(base_path, name)
 
 
-def read_merge_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
-    """Read the live snapshot of a :func:`stream_merge_sink` table."""
+def read_merge_snapshot(
+    spark: SparkSession, base_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot of a :func:`stream_merge_sink` table.
+
+    ``version=None`` reads the live snapshot (pointer-resolved).
+    Passing a batch id time-travels to that published version if it is
+    still retained (``retain_versions`` on the sink); reading a pruned
+    or never-published version raises with the retained list — the
+    engine-level equivalent of Delta's ``VERSION AS OF``."""
+    if version is not None:
+        p = os.path.join(base_path, f"v{version:08d}")
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"version {version} not retained at {base_path}; "
+                f"available: {list_snapshot_versions(base_path)}"
+            )
+        return spark.read.parquet(p)
     snap = current_snapshot_path(base_path)
     if snap is None:
         raise FileNotFoundError(
             f"no published snapshot at {base_path} (no {_POINTER})"
         )
     return spark.read.parquet(snap)
+
+
+def list_snapshot_versions(base_path: str) -> list[int]:
+    """Batch ids of the retained snapshot versions, oldest first."""
+    if not os.path.isdir(base_path):
+        return []
+    out = []
+    for d in os.listdir(base_path):
+        if d.startswith("v") and d[1:].isdigit() \
+                and os.path.isdir(os.path.join(base_path, d)):
+            out.append(int(d[1:]))
+    return sorted(out)
 
 
 def _published_batch_id(base_path: str) -> int | None:
@@ -98,13 +128,79 @@ def _publish(base_path: str, version_name: str) -> None:
     os.replace(tmp, ptr)
 
 
-def _prune(base_path: str, keep: str) -> None:
-    """Remove snapshot dirs other than ``keep``. Safe to crash mid-way:
-    the pointer already names ``keep``."""
-    for d in os.listdir(base_path):
-        p = os.path.join(base_path, d)
-        if d != keep and d.startswith("v") and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+def _prune(base_path: str, keep: str, retain_versions: int = 1) -> None:
+    """Remove all but the newest ``retain_versions`` snapshot dirs
+    (``keep``, the live one, is always among them). Safe to crash
+    mid-way: the pointer already names ``keep``."""
+    versions = list_snapshot_versions(base_path)
+    keep_ids = set(versions[-max(retain_versions, 1):])
+    keep_ids.add(int(keep[1:]))
+    for v in versions:
+        if v in keep_ids:
+            continue
+        shutil.rmtree(
+            os.path.join(base_path, f"v{v:08d}"), ignore_errors=True
+        )
+
+
+def apply_cdc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    base_path: str,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    order_col: str | None = None,
+    retain_versions: int = 1,
+    _fail_before_publish: frozenset[int] | set[int] | None = None,
+) -> None:
+    """Merge ONE batch of CDC events into the versioned snapshot table
+    at ``base_path`` and publish the result — the full commit protocol
+    (write new version → atomic pointer swap → prune), usable from a
+    batch pipeline directly; :func:`stream_merge_sink` calls this per
+    micro-batch. Exactly-once: a batch id at or below the published one
+    is skipped."""
+    spark = batch_df.sparkSession
+    os.makedirs(base_path, exist_ok=True)
+    applied = _published_batch_id(base_path)
+    if applied is not None and applied >= batch_id:
+        # crash landed after publish but before the streaming
+        # checkpoint committed: this batch is already in the
+        # snapshot — exactly-once by skipping, not re-merging
+        return
+    if order_col is not None:
+        # keep-last-per-key compaction in event order
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc()
+        )
+        batch_df = (
+            batch_df.withColumn("__psx_rn", F.row_number().over(w))
+            .filter(F.col("__psx_rn") == 1)
+            .drop("__psx_rn", order_col)
+        )
+    data_cols = [c for c in batch_df.columns if c != delete_col]
+    snap = current_snapshot_path(base_path)
+    if snap is not None:
+        base = spark.read.parquet(snap)
+    else:
+        # empty base with the data schema: the first batch goes
+        # through the SAME merge path (dup-key validation, delete
+        # handling) as every later batch
+        base = batch_df.limit(0).select(*data_cols)
+    merged = merge_upsert(
+        base, batch_df, key_cols, delete_col=delete_col
+    )
+    vname = f"v{batch_id:08d}"
+    # mode=overwrite: a partial dir left by a crash mid-write of a
+    # prior attempt of THIS batch is replaced wholesale
+    merged.select(*data_cols).write.mode("overwrite").parquet(
+        os.path.join(base_path, vname)
+    )
+    if _fail_before_publish and batch_id in _fail_before_publish:
+        raise RuntimeError(
+            f"injected crash before publishing {vname}"
+        )
+    _publish(base_path, vname)
+    _prune(base_path, keep=vname, retain_versions=retain_versions)
 
 
 def stream_merge_sink(
@@ -114,6 +210,7 @@ def stream_merge_sink(
     delete_col: str | None = None,
     order_col: str | None = None,
     checkpoint_dir: str | None = None,
+    retain_versions: int = 1,
     _fail_before_publish: frozenset[int] | set[int] | None = None,
 ):
     """Return a started-ready ``DataStreamWriter`` that merges every
@@ -132,54 +229,22 @@ def stream_merge_sink(
     (``merge_upsert`` validates and raises otherwise — on every batch,
     including the first).
 
+    ``retain_versions``: how many published snapshot versions to keep
+    on disk — versions older than the newest N are pruned after each
+    publish. N > 1 enables :func:`read_merge_snapshot` time travel.
+
     ``_fail_before_publish``: crash-injection for tests only — batch
     ids that raise after the snapshot write but before the pointer
     publish, simulating a process kill in the commit window.
     """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        os.makedirs(base_path, exist_ok=True)
-        applied = _published_batch_id(base_path)
-        if applied is not None and applied >= batch_id:
-            # crash landed after publish but before the streaming
-            # checkpoint committed: this batch is already in the
-            # snapshot — exactly-once by skipping, not re-merging
-            return
-        if order_col is not None:
-            # keep-last-per-key compaction in event order
-            w = Window.partitionBy(*key_cols).orderBy(
-                F.col(order_col).desc()
-            )
-            batch_df = (
-                batch_df.withColumn("__psx_rn", F.row_number().over(w))
-                .filter(F.col("__psx_rn") == 1)
-                .drop("__psx_rn", order_col)
-            )
-        data_cols = [c for c in batch_df.columns if c != delete_col]
-        snap = current_snapshot_path(base_path)
-        if snap is not None:
-            base = spark.read.parquet(snap)
-        else:
-            # empty base with the data schema: the first batch goes
-            # through the SAME merge path (dup-key validation, delete
-            # handling) as every later batch
-            base = batch_df.limit(0).select(*data_cols)
-        merged = merge_upsert(
-            base, batch_df, key_cols, delete_col=delete_col
+        apply_cdc_batch(
+            batch_df, batch_id, base_path, key_cols,
+            delete_col=delete_col, order_col=order_col,
+            retain_versions=retain_versions,
+            _fail_before_publish=_fail_before_publish,
         )
-        vname = f"v{batch_id:08d}"
-        # mode=overwrite: a partial dir left by a crash mid-write of a
-        # prior attempt of THIS batch is replaced wholesale
-        merged.select(*data_cols).write.mode("overwrite").parquet(
-            os.path.join(base_path, vname)
-        )
-        if _fail_before_publish and batch_id in _fail_before_publish:
-            raise RuntimeError(
-                f"injected crash before publishing {vname}"
-            )
-        _publish(base_path, vname)
-        _prune(base_path, keep=vname)
 
     writer = updates.writeStream.foreachBatch(apply_batch)
     if checkpoint_dir:

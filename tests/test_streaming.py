@@ -714,3 +714,55 @@ def test_stream_merge_sink_skips_republished_batch(spark, tmp_path):
         os.path.join(base, "v00000000")) == snap_before
     got = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
     assert got == {1: 1.0}
+
+
+def test_stream_merge_sink_time_travel_retention(spark, tmp_path):
+    """retain_versions=2 keeps the previous snapshot on disk: after two
+    batches, version 0 is readable as the pre-merge state (VERSION AS
+    OF), the live read reflects batch 1, and a pruned/never-published
+    version raises with the retained list."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from parquet_sampler_spark.streaming.sinks import (
+        list_snapshot_versions,
+        read_merge_snapshot,
+        stream_merge_sink,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+            "is_deleted": pa.array([r[2] for r in rows], pa.bool_()),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    wb("a.parquet", [(1, 10.0, False), (2, 20.0, False)], 1_000_000)
+    wb("b.parquet", [(2, 21.0, False), (1, 0.0, True)], 2_000_000)
+
+    base = str(tmp_path / "snapshot")
+    stream = (spark.readStream
+              .schema("k long, v double, is_deleted boolean")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (stream_merge_sink(stream, base, ["k"], delete_col="is_deleted",
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           retain_versions=2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    assert list_snapshot_versions(base) == [0, 1]
+    v0 = {r.k: r.v for r in
+          read_merge_snapshot(spark, base, version=0).collect()}
+    assert v0 == {1: 10.0, 2: 20.0}
+    live = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
+    assert live == {2: 21.0}
+    with pytest.raises(FileNotFoundError, match=r"available: \[0, 1\]"):
+        read_merge_snapshot(spark, base, version=7)
