@@ -52,6 +52,12 @@ def main() -> None:
     t0 = time.perf_counter()
     queries_olap._q_merge_upsert(spark, sf_dir).count()
     times["setup_merge_batch"] = round(time.perf_counter() - t0, 4)
+
+    # And the IVF coarse quantizer (one-time fit, cached per session):
+    # ann_ivf's bench row should time the probe, not the training.
+    t0 = time.perf_counter()
+    queries_ext._q_ann_ivf(spark, sf_dir).count()
+    times["setup_ivf_model"] = round(time.perf_counter() - t0, 4)
     qs = registry.queries()
     # stable name order: the registry itself rotates per round (driver
     # capture rotation), which would otherwise scramble which query

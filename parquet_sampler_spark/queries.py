@@ -363,6 +363,7 @@ def _capture_order(keys: list[str]) -> list[str]:
 
     repo = Path(__file__).resolve().parent.parent
     last_round: dict[str, int] = {}
+    latest_entry: dict[str, dict] = {}
     for f in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)", f.name)
         if not m:
@@ -372,10 +373,29 @@ def _capture_order(keys: list[str]) -> list[str]:
             captured = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-        for name in captured:
-            last_round[name] = max(last_round.get(name, -1), rnd)
+        for name, entry in captured.items():
+            if rnd >= last_round.get(name, -1):
+                last_round[name] = rnd
+                if isinstance(entry, dict):
+                    latest_entry[name] = entry
+    # A query whose latest driver row is WEAKER than it can now prove
+    # (rows-only capture, but an oracle exists today — i.e. its oracle
+    # was added/upgraded since) jumps the queue with the never-captured
+    # group. Self-expiring: once a hash-green row lands, the latest
+    # entry has hash_match=true and the boost disappears.
+    with_oracle = set(oracle_sql())
     pos = {k: i for i, k in enumerate(keys)}
-    return sorted(keys, key=lambda k: (last_round.get(k, -1), pos[k]))
+
+    def key(k: str) -> tuple[int, int]:
+        rnd = last_round.get(k, -1)
+        if (
+            k in with_oracle
+            and latest_entry.get(k, {}).get("hash_match") is not True
+        ):
+            rnd = -1
+        return (rnd, pos[k])
+
+    return sorted(keys, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

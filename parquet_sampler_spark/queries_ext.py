@@ -779,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "sequence_pack": _q_sequence_pack,
         "corpus_mixture": _q_corpus_mixture,
+        "vocab_topk": _q_vocab_topk,
     }
 
 
@@ -827,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": _SQL_FUNNEL,
         "sequence_pack": _sql_sequence_pack(),
         "corpus_mixture": _sql_corpus_mixture(),
+        "vocab_topk": _SQL_VOCAB_TOPK,
     }
 
 # ---------------------------------------------------------------------------
@@ -1777,3 +1779,46 @@ def _sql_corpus_mixture() -> str:
         f"WHERE {lehmer_hash_sql(['doc_id'], _MIX_SEED)} < "
         f"CASE lang {whens} ELSE {int(_MIX_DEFAULT * MODULUS)} END"
     )
+
+
+_VOCAB_K = 500
+
+
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus-global vocabulary build: the K most frequent tokens with
+    total and document frequencies — the counting pass behind a BPE /
+    WordPiece vocab trainer. Same tokenization as top_terms.
+
+    100 TB shape: explode → one key-partitioned (term) aggregate with
+    map-side partial combine, then a TakeOrderedAndProject top-K merge
+    (per-partition K-heaps; no global sort, no collect). Deterministic
+    tie-break (count DESC, term) keeps both engines' K-th boundary
+    identical."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.col("n_total").desc(), F.col("term"))
+        .limit(_VOCAB_K)
+    )
+
+
+_SQL_VOCAB_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM toks WHERE term <> ''
+GROUP BY term
+ORDER BY n_total DESC, term
+LIMIT {_VOCAB_K}
+"""
