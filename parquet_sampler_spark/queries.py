@@ -416,6 +416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_roundtrip": _q_sink_roundtrip,
         "sink_partitioned": _q_sink_partitioned,
         "sink_orc_roundtrip": _q_sink_orc_roundtrip,
+        "sink_csv_roundtrip": _q_sink_csv_roundtrip,
+        "sink_json_roundtrip": _q_sink_json_roundtrip,
     }
     out.update(queries_ext.queries())
     out.update(queries_olap.queries())
@@ -473,6 +475,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sink_partitioned": "SELECT * FROM orders",
         "sink_orc_roundtrip": "SELECT * FROM customer",
+        "sink_csv_roundtrip": _SQL_RAW_CUSTOMER,
+        "sink_json_roundtrip": _SQL_RAW_CUSTOMER,
         **queries_ext.oracle_sql(),
         **queries_olap.oracle_sql(),
     }
+
+
+def _q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source fidelity: customer written as CSV and read back
+    with an explicit schema must equal the parquet original value for
+    value. Java's Double.toString guarantees a shortest round-tripping
+    repr, so even c_acctbal survives bit-exact; the oracle is the raw
+    table."""
+    from parquet_sampler_spark.sources.formats import read_csv, write_csv
+
+    c = table(spark, sf_dir, "customer")
+    out = f"{session_tmp_dir(spark, 'csv')}/customer"
+    write_csv(c, out)
+    return read_csv(spark, out, schema=c.schema).select(*c.columns)
+
+
+def _q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source fidelity, same contract as the CSV row."""
+    from parquet_sampler_spark.sources.formats import read_json, write_json
+
+    c = table(spark, sf_dir, "customer")
+    out = f"{session_tmp_dir(spark, 'json')}/customer"
+    write_json(c, out)
+    return read_json(spark, out, schema=c.schema).select(*c.columns)
+
+
+_SQL_RAW_CUSTOMER = "SELECT * FROM customer"

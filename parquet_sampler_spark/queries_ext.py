@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "corpus_mixture": _q_corpus_mixture,
         "vocab_topk": _q_vocab_topk,
+        "cube_pricing": _q_cube_pricing,
     }
 
 
@@ -829,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": _sql_sequence_pack(),
         "corpus_mixture": _sql_corpus_mixture(),
         "vocab_topk": _SQL_VOCAB_TOPK,
+        "cube_pricing": _SQL_CUBE_PRICING,
     }
 
 # ---------------------------------------------------------------------------
@@ -1821,4 +1823,34 @@ FROM toks WHERE term <> ''
 GROUP BY term
 ORDER BY n_total DESC, term
 LIMIT {_VOCAB_K}
+"""
+
+
+def _q_cube_pricing(spark, sf_dir):
+    """CUBE aggregation: all four grouping levels of
+    (returnflag, linestatus) in one pass — subtotals per flag, per
+    status, per pair, and the grand total, disambiguated by
+    grouping_id (a data NULL vs a subtotal NULL). Exact integer
+    quantities; completes the rollup/cube family next to
+    rollup_pricing."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+            .alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")
+    )
+
+
+_SQL_CUBE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
 """
