@@ -51,3 +51,43 @@ def salted_join(
     )
     out = big_s.join(small_s, [*keys, _SALT], how)
     return out.drop(_SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    count_alias: str | None = "n",
+    salt: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys: phase 1 aggregates
+    on (keys, salt) — the hot key's rows spread over ``salt`` reducers —
+    phase 2 merges the mergeable partials per key. The result is
+    identical to a plain groupBy for mergeable aggregates (sum/count,
+    here); the win is that no single reducer ever sees a hot key's full
+    row set.
+
+    Mostly redundant with Spark's own map-side partial aggregation
+    (which already bounds reducer input for sum/count); the explicit
+    form matters when partial aggregation is disabled or defeated —
+    e.g. high-cardinality composite aggregates, or
+    ``spark.sql.aggregate.partialaggregate`` heuristics bailing — and
+    documents the pattern for aggregates Spark cannot partial-combine
+    (exact distinct counts go through a different rewrite).
+    """
+    sum_cols = list(sum_cols or [])
+    salted = df.withColumn(
+        _SALT,
+        (F.xxhash64(*df.columns, F.lit(seed)) % salt + salt) % salt,
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[F.sum(c).alias(f"__ps_{c}") for c in sum_cols],
+        F.count(F.lit(1)).alias("__pn"),
+    )
+    finals = [
+        F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sum_cols
+    ]
+    if count_alias:
+        finals.append(F.sum("__pn").alias(count_alias))
+    return partial.groupBy(*keys).agg(*finals)

@@ -781,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": _q_corpus_mixture,
         "vocab_topk": _q_vocab_topk,
         "cube_pricing": _q_cube_pricing,
+        "salted_agg_events": _q_salted_agg_events,
     }
 
 
@@ -831,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mixture": _sql_corpus_mixture(),
         "vocab_topk": _SQL_VOCAB_TOPK,
         "cube_pricing": _SQL_CUBE_PRICING,
+        "salted_agg_events": _SQL_SALTED_AGG_EVENTS,
     }
 
 # ---------------------------------------------------------------------------
@@ -1853,4 +1855,35 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _q_salted_agg_events(spark, sf_dir):
+    """Hot-key-safe aggregation as a query: per-event-type totals via
+    plans/skew.salted_agg — phase 1 on (key, salt16), phase 2 merge.
+    Identical result to a plain groupBy (the oracle IS the plain GROUP
+    BY); exact-cents integer sums keep the two-phase summation order
+    irrelevant. The pattern for when one key dominates a 100 TB shuffle
+    and map-side partial aggregation alone can't bound the reducer."""
+    from parquet_sampler_spark.plans.skew import salted_agg
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    out = salted_agg(e, ["event_type"], sum_cols=["value_c"],
+                     count_alias="n")
+    return out.select(
+        "event_type",
+        (F.col("sum_value_c") / 100.0).alias("total_value"),
+        "n",
+    )
+
+
+_SQL_SALTED_AGG_EVENTS = """
+SELECT event_type,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       count(*) AS n
+FROM events
+GROUP BY event_type
 """

@@ -126,3 +126,30 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    """salted_agg must be result-identical to a plain groupBy for
+    mergeable aggregates, on data where one key holds 90% of rows."""
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.plans.skew import salted_agg
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 37).cast("string")))
+        .alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    got = {
+        (r.k): (r.sum_v, r.n)
+        for r in salted_agg(df, ["k"], sum_cols=["v"]).collect()
+    }
+    want = {
+        (r.k): (r.sum_v, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
