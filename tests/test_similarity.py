@@ -185,3 +185,35 @@ def test_neardup_lsh_infers_dim(spark):
                df, "vec_id", "embedding", threshold=0.95, method="lsh",
                lsh_bits=4, lsh_tables=8).collect()}
     assert (0, 100) in got
+
+
+def test_ivf_scores_contained_in_exact_ranking(embeddings, queries):
+    """Every (query, neighbor, score) ann_ivf emits must appear in the
+    exact brute-force ranking with a matching score — the containment
+    property its driver row cannot check (rows-only: the data-fitted
+    centroids are unknowable in static SQL). Recall is approximate;
+    emitted PAIRS and SCORES never are. Scores agree to float64
+    summation-order tolerance (IVF scores candidates with a vectorized
+    kernel, the brute-force path with a left-to-right fold — ≤ dim·eps
+    apart)."""
+    import math
+
+    from parquet_sampler_spark.operators.similarity import ivf_topk
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in cosine_topk(
+            embeddings, queries, "vec_id", "embedding",
+            k=embeddings.count(),
+        ).collect()
+    }
+    got = ivf_topk(
+        embeddings, queries, "vec_id", "embedding",
+        k=10, nlist=16, nprobe=8,
+    ).collect()
+    assert got, "ivf returned nothing"
+    for r in got:
+        key = (r.query_id, r.neighbor_id)
+        assert key in exact, key
+        assert math.isclose(r.score, exact[key], rel_tol=1e-12,
+                            abs_tol=1e-12), (key, r.score, exact[key])
