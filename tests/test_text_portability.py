@@ -117,3 +117,36 @@ def test_mixed_string_hash_cross_engine(spark):
     # the raw rolling hash keeps them < 2^16 and SimHash bands go dead
     short = [got[i] for i, t in enumerate(toks) if t.strip() and len(t) <= 2]
     assert short and all(h >= (1 << 24) for h in short), short
+
+
+def test_mixed_string_hash_wild_unicode_fuzz(spark):
+    """300 seeded random strings over a deliberately hostile alphabet —
+    ASCII, latin-1, CJK, combining marks, astral-plane emoji/Gothic,
+    NUL, DEL — must hash identically in Spark and DuckDB. The simhash
+    oracle's validity reduces to exactly this agreement."""
+    import random
+
+    from parquet_sampler_spark.functions.hashing import (
+        mixed_string_hash,
+        mixed_string_hash_sql,
+    )
+
+    rng = random.Random(99)
+    alphabet = [chr(c) for c in list(range(32, 127))
+                + [0xE9, 0x4E14, 0x1F600, 0x301, 0x10348, 0x0, 0x7F]]
+    toks = ["".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 12)))
+            for _ in range(300)]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "i long, tok string"
+    )
+    got = {r.i: r.h for r in
+           sdf.select("i", mixed_string_hash("tok").alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wild (i BIGINT, tok VARCHAR)")
+    for i, t in enumerate(toks):
+        con.execute("INSERT INTO wild VALUES (?, ?)", [i, t])
+    want = {r[0]: r[1] for r in con.execute(
+        f"SELECT i, {mixed_string_hash_sql('tok')} FROM wild"
+    ).fetchall()}
+    assert got == want
