@@ -782,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "cube_pricing": _q_cube_pricing,
         "salted_agg_events": _q_salted_agg_events,
+        "gap_fill_events": _q_gap_fill_events,
     }
 
 
@@ -833,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "cube_pricing": _SQL_CUBE_PRICING,
         "salted_agg_events": _SQL_SALTED_AGG_EVENTS,
+        "gap_fill_events": _SQL_GAP_FILL_EVENTS,
     }
 
 # ---------------------------------------------------------------------------
@@ -1886,4 +1888,76 @@ SELECT event_type,
        count(*) AS n
 FROM events
 GROUP BY event_type
+"""
+
+
+def _q_gap_fill_events(spark, sf_dir):
+    """Time-series regularization: resample per-type event values onto
+    a dense hourly grid with last-observation-carried-forward — the
+    missing member of the rollup/sessionize family (feature pipelines
+    need gapless series). Grid = distinct types × full hour range (one
+    broadcast 1-row bounds agg); LOCF = last(ignorenulls) over an
+    unbounded-preceding window per type. ``is_gap`` marks synthesized
+    rows. Hour count is bounded by the time span, not the event count —
+    the grid explode stays tiny at any data scale, and the window
+    partitions by type."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(_value_e4_sum().alias("sum_value"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("__lo"),
+        F.date_trunc("hour", F.max("ts")).alias("__hi"),
+    )
+    grid = (
+        hourly.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour",
+            F.last("sum_value", ignorenulls=True).over(w)
+            .alias("value_filled"),
+            F.col("sum_value").isNull().alias("is_gap"),
+        )
+    )
+
+
+_SQL_GAP_FILL_EVENTS = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         {_VALUE_E4_SUM_SQL} AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.hour
+  FROM (SELECT DISTINCT event_type FROM hourly) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+              AS hour FROM bounds) g
+)
+SELECT grid.event_type, grid.hour,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY grid.event_type ORDER BY grid.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_filled,
+       h.sum_value IS NULL AS is_gap
+FROM grid LEFT JOIN hourly h
+  ON h.event_type = grid.event_type AND h.hour = grid.hour
 """
