@@ -783,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": _q_cube_pricing,
         "salted_agg_events": _q_salted_agg_events,
         "gap_fill_events": _q_gap_fill_events,
+        "rolling_window_events": _q_rolling_window_events,
     }
 
 
@@ -835,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_pricing": _SQL_CUBE_PRICING,
         "salted_agg_events": _SQL_SALTED_AGG_EVENTS,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
+        "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
     }
 
 # ---------------------------------------------------------------------------
@@ -1960,4 +1962,39 @@ SELECT grid.event_type, grid.hour,
        h.sum_value IS NULL AS is_gap
 FROM grid LEFT JOIN hourly h
   ON h.event_type = grid.event_type AND h.hour = grid.hour
+"""
+
+
+_ROLL_US = 3 * 3600 * 1_000_000  # trailing 3-hour window, microseconds
+
+
+def _q_rolling_window_events(spark, sf_dir):
+    """Time-interval rolling aggregate: per event, the trailing-3-hour
+    event count and exact value sum within its type — a RANGE frame
+    over event-time microseconds (the window family's time-based frame,
+    complementing window_suite's ROWS frames). RANGE includes peer rows
+    at equal timestamps identically in both engines; integer e4 sums
+    keep the frame sum exact. Partitioned by type — no global sort."""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_ROLL_US, 0)
+    )
+    val_c = F.round(F.col("value") * 10000).cast("bigint")
+    return e.select(
+        "event_id", "event_type",
+        F.count(F.lit(1)).over(w).alias("n_3h"),
+        (F.sum(val_c).over(w) / 10000.0).alias("sum_3h"),
+    )
+
+
+_SQL_ROLLING_WINDOW_EVENTS = f"""
+SELECT event_id, event_type,
+       count(*) OVER w AS n_3h,
+       sum(CAST(round(value * 10000) AS BIGINT)) OVER w / 10000.0
+         AS sum_3h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW)
 """
