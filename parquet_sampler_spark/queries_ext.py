@@ -784,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": _q_salted_agg_events,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
+        "value_histogram": _q_value_histogram,
     }
 
 
@@ -837,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg_events": _SQL_SALTED_AGG_EVENTS,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
+        "value_histogram": _SQL_VALUE_HISTOGRAM,
     }
 
 # ---------------------------------------------------------------------------
@@ -1997,4 +1999,48 @@ SELECT event_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
              RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+_HIST_BINS = 20
+
+
+def _q_value_histogram(spark, sf_dir):
+    """Equal-width histogram of event values in 20 bins — the profiling
+    primitive behind data-quality dashboards. All-integer binning:
+    values are e4 fixed-point, bounds come from one broadcast 1-row
+    aggregate, and the bin index is an exact integer expression
+    ((v - lo) * bins) / (hi - lo + 1) — so the bin boundaries cannot
+    drift between engines. One scan + one tiny aggregate."""
+    e = _events(spark, sf_dir)
+    v = e.select(
+        F.round(F.col("value") * 10000).cast("bigint").alias("__vc")
+    )
+    bounds = v.agg(
+        F.min("__vc").alias("__lo"), F.max("__vc").alias("__hi")
+    )
+    binned = v.crossJoin(F.broadcast(bounds)).select(
+        F.floor(
+            ((F.col("__vc") - F.col("__lo")) * _HIST_BINS).cast("double")
+            / (F.col("__hi") - F.col("__lo") + 1).cast("double")
+        ).cast("int").alias("bin"),
+        "__vc", "__lo", "__hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__vc").alias("min_vc"),
+        F.max("__vc").alias("max_vc"),
+    )
+
+
+_SQL_VALUE_HISTOGRAM = f"""
+WITH v AS (
+  SELECT CAST(round(value * 10000) AS BIGINT) AS vc FROM events
+),
+bounds AS (SELECT min(vc) AS lo, max(vc) AS hi FROM v)
+SELECT CAST(floor(CAST((vc - lo) * {_HIST_BINS} AS DOUBLE)
+                  / CAST(hi - lo + 1 AS DOUBLE)) AS INTEGER) AS bin,
+       count(*) AS n, min(vc) AS min_vc, max(vc) AS max_vc
+FROM v CROSS JOIN bounds
+GROUP BY 1
 """

@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "cdc_time_travel": _q_cdc_time_travel,
+        "unpivot_events": _q_unpivot_events,
     }
 
 
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q20": _SQL_TPCH_Q20,
         "tpch_q21": _SQL_TPCH_Q21,
         "cdc_time_travel": _SQL_CDC_TIME_TRAVEL,
+        "unpivot_events": _SQL_UNPIVOT_EVENTS,
     }
 
 # ---------------------------------------------------------------------------
@@ -1557,4 +1559,34 @@ def _q_cdc_time_travel(spark, sf_dir):
 _SQL_CDC_TIME_TRAVEL = """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
 FROM customer
+"""
+
+
+def _q_unpivot_events(spark, sf_dir):
+    """Pivot's inverse (DataFrame.unpivot / melt): the wide daily
+    event-type matrix from pivot_events back to long (day, event_type,
+    n) form. Zero-filled cells are kept (every day × type appears), so
+    the oracle is the dense grid: day range × type with per-cell
+    counts. Round-tripping wide↔long is the standard reshape pair a
+    feature pipeline needs in both directions."""
+    wide = _q_pivot_events(spark, sf_dir)
+    return wide.unpivot(
+        ids=["day"], values=_EVENT_TYPES,
+        variableColumnName="event_type", valueColumnName="n",
+    )
+
+
+_SQL_UNPIVOT_EVENTS = """
+WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events),
+types AS (SELECT unnest(['click', 'view', 'purchase', 'signup',
+                         'error']) AS event_type),
+cells AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM days d CROSS JOIN types t
+LEFT JOIN cells c ON c.day = d.day AND c.event_type = t.event_type
 """
