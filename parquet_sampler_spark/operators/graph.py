@@ -1,0 +1,104 @@
+"""Iterative graph algorithms over edge relations: PageRank in integer
+fixed-point arithmetic.
+
+Floating-point PageRank cannot be hash-compared across engines (the
+per-node inbound sum's addition order differs), so scores here are
+integers at a fixed scale: each iteration floors ``pr/outdeg`` per
+source once, sums exact integers per destination, and applies damping
+as ``(d_pct · sum) // 100``. Every operation is order-independent
+integer arithmetic — a DuckDB oracle unrolling the same iterations
+reproduces the scores bit-for-bit (the same strategy as the unrolled
+connected-components oracle in queries_ext).
+
+Scale shape: each iteration is one (edges ⋈ ranks) shuffle keyed on the
+edge source plus one destination-keyed aggregate — the standard
+large-scale PageRank plan. Ranks are persisted per round and lineage is
+truncated the same way duplicate_clusters does; iterations is a fixed
+small constant (rank queries want a handful of sweeps, not
+convergence-to-epsilon).
+
+Dangling nodes (no out-edges) contribute nothing — their rank mass
+leaks, which keeps the arithmetic exact; the conventional
+redistribution term would need a global float division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _idiv(a: Column, b: Column | int) -> Column:
+    """Exact integer floor division for non-negative operands:
+    (a - a mod b) is divisible by b, so the double quotient is an
+    integer well under 2^53 and casts back exactly."""
+    bl = F.lit(b) if isinstance(b, int) else b
+    return ((a - F.pmod(a, bl)) / bl).cast("bigint")
+
+
+def pagerank(
+    edges: DataFrame,
+    num_iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Integer fixed-point PageRank.
+
+    ``edges``: directed (src, dst) pairs — pass both directions for an
+    undirected graph. ``nodes``: optional (id) relation defining the
+    vertex set (defaults to every endpoint of ``edges``); extra nodes
+    rank at the base value. Returns ``(id, pr)`` with ``pr`` at
+    ``scale`` fixed-point (initial rank = scale).
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    if num_iterations < 1:
+        raise ValueError("num_iterations must be >= 1")
+    e = edges.select(F.col("src"), F.col("dst"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    base = (100 - damping_pct) * scale // 100
+
+    pr = nodes.select("id", F.lit(scale).cast("bigint").alias("pr"))
+    cached = pr.persist()
+    pr = cached
+    for _ in range(num_iterations):
+        contrib = (
+            e.join(pr, pr["id"] == e["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst"), _idiv(F.col("pr"), F.col("__deg")).alias("__c")
+            )
+        )
+        inbound = contrib.groupBy("dst").agg(F.sum("__c").alias("__s"))
+        new_pr = (
+            pr.join(inbound, pr["id"] == inbound["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + _idiv(
+                        F.lit(damping_pct)
+                        * F.coalesce(F.col("__s"), F.lit(0).cast("bigint")),
+                        100,
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        cached.unpersist()
+        cached = new_pr
+        pr = new_pr
+
+    from parquet_sampler_spark.plans.cache import register
+
+    register(cached)
+    return pr

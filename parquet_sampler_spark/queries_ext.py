@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
+        "pagerank_dups": _q_pagerank_dups,
     }
 
 
@@ -839,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
+        "pagerank_dups": _sql_pagerank_dups(),
     }
 
 # ---------------------------------------------------------------------------
@@ -2044,3 +2046,60 @@ SELECT CAST(floor(CAST((vc - lo) * {_HIST_BINS} AS DOUBLE)
 FROM v CROSS JOIN bounds
 GROUP BY 1
 """
+
+
+_PR_ITERS, _PR_DAMP, _PR_SCALE = 5, 85, 10**9
+
+
+def _q_pagerank_dups(spark, sf_dir):
+    """PageRank over the duplicate-similarity graph (jaccard >= 0.5
+    pairs, symmetrized) — centrality of each document in its duplicate
+    cluster, the second iterative graph algorithm beside connected
+    components. Integer fixed-point throughout (operators/graph.py), so
+    the oracle unrolls the same 5 iterations in SQL and matches scores
+    bit-for-bit. Dangling docs (no near-dups) rank at base + leak."""
+    from parquet_sampler_spark.operators.graph import pagerank
+
+    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+    ))
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return pagerank(
+        edges, num_iterations=_PR_ITERS, damping_pct=_PR_DAMP,
+        scale=_PR_SCALE, nodes=d,
+    ).select(F.col("id").alias("doc_id"), "pr")
+
+
+def _sql_pagerank_dups() -> str:
+    base = (100 - _PR_DAMP) * _PR_SCALE // 100
+    ctes = [f"p0 AS (SELECT doc_id, CAST({_PR_SCALE} AS BIGINT) AS pr "
+            f"FROM documents)"]
+    for k in range(_PR_ITERS):
+        ctes.append(f"""
+p{k + 1} AS (
+  SELECT n.doc_id,
+         CAST({base} + ({_PR_DAMP} * coalesce(s.s, 0)) // 100
+              AS BIGINT) AS pr
+  FROM p{k} n LEFT JOIN (
+    SELECT e.dst, sum(p.pr // d.d) AS s
+    FROM edges e
+    JOIN p{k} p ON p.doc_id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.dst = n.doc_id
+)""")
+    return (
+        "WITH " + _SQL_SHINGLES2 + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jpairs WHERE jaccard >= 0.5
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+""" + ",".join(ctes)
+        + f" SELECT doc_id, pr FROM p{_PR_ITERS}"
+    )

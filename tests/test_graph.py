@@ -1,0 +1,50 @@
+"""Integer fixed-point PageRank: structural invariants on a known
+graph, determinism, and validation errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.operators.graph import pagerank
+
+SCALE = 10**9
+BASE = 15 * SCALE // 100  # damping 85
+
+
+@pytest.fixture(scope="module")
+def triangle_plus_isolated(spark):
+    # undirected triangle 1-2-3 plus isolated node 9
+    e = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
+    return edges, nodes
+
+
+def test_pagerank_triangle_symmetry_and_isolated(triangle_plus_isolated):
+    edges, nodes = triangle_plus_isolated
+    pr = {r.id: r.pr for r in pagerank(edges, nodes=nodes).collect()}
+    assert set(pr) == {1, 2, 3, 9}
+    # symmetric triangle: identical scores, above the isolated node
+    assert pr[1] == pr[2] == pr[3]
+    # isolated node receives nothing: exactly the base term
+    assert pr[9] == BASE
+    assert pr[1] > pr[9]
+    # triangle scores stay near the initial mass (floor losses only):
+    # each iteration maps scale -> base + 85% of scale
+    assert 0.9 * SCALE < pr[1] <= SCALE
+
+
+def test_pagerank_deterministic(triangle_plus_isolated):
+    edges, nodes = triangle_plus_isolated
+    a = sorted(map(tuple, pagerank(edges, nodes=nodes).collect()))
+    b = sorted(map(tuple, pagerank(edges, nodes=nodes).collect()))
+    assert a == b
+
+
+def test_pagerank_validation(triangle_plus_isolated):
+    edges, nodes = triangle_plus_isolated
+    with pytest.raises(ValueError):
+        pagerank(edges, damping_pct=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, num_iterations=0)
