@@ -786,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
         "pagerank_dups": _q_pagerank_dups,
+        "udtf_chunk_windows": _q_udtf_chunk_windows,
     }
 
 
@@ -841,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
         "pagerank_dups": _sql_pagerank_dups(),
+        "udtf_chunk_windows": _SQL_UDTF_CHUNK_WINDOWS,
     }
 
 # ---------------------------------------------------------------------------
@@ -2103,3 +2105,43 @@ deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
 """ + ",".join(ctes)
         + f" SELECT doc_id, pr FROM p{_PR_ITERS}"
     )
+
+
+_CHUNK_W, _CHUNK_STRIDE = 120, 100
+
+
+def _q_udtf_chunk_windows(spark, sf_dir):
+    """Overlapping context-window chunking (the LLM-training text
+    chunker: 120-char windows every 100 chars) implemented as a Python
+    UDTF in a LATERAL join — covering the third user-function surface
+    (UDF: pandas kernels, UDAF: grouped quantiles, UDTF: here). The
+    same windows are expressible JVM-side with substr over a sequence;
+    this query deliberately routes through the UDTF API so the surface
+    is exercised and oracle-checked. Chunk starts: range(0, max(n, 1),
+    stride) — an empty text yields one empty chunk."""
+    from pyspark.sql.functions import udtf
+
+    w, stride = _CHUNK_W, _CHUNK_STRIDE
+
+    @udtf(returnType="chunk_idx: int, chunk: string")
+    class ChunkText:
+        def eval(self, text: str):
+            t = text or ""
+            for st in range(0, max(len(t), 1), stride):
+                yield st // stride, t[st:st + w]
+
+    spark.udtf.register("psx_chunk_text", ChunkText)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk "
+        "FROM documents d, LATERAL psx_chunk_text(d.text) c"
+    )
+
+
+_SQL_UDTF_CHUNK_WINDOWS = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
+       substr(text, r.i * {_CHUNK_STRIDE} + 1, {_CHUNK_W}) AS chunk
+FROM d CROSS JOIN range(0, 1000) r(i)
+WHERE r.i * {_CHUNK_STRIDE} < greatest(n, 1)
+"""
