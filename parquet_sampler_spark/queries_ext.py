@@ -787,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "pagerank_dups": _q_pagerank_dups,
         "udtf_chunk_windows": _q_udtf_chunk_windows,
+        "normalize_values": _q_normalize_values,
+        "hourly_deltas": _q_hourly_deltas,
     }
 
 
@@ -843,6 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _SQL_VALUE_HISTOGRAM,
         "pagerank_dups": _sql_pagerank_dups(),
         "udtf_chunk_windows": _SQL_UDTF_CHUNK_WINDOWS,
+        "normalize_values": _SQL_NORMALIZE_VALUES,
+        "hourly_deltas": _SQL_HOURLY_DELTAS,
     }
 
 # ---------------------------------------------------------------------------
@@ -2144,4 +2148,87 @@ SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
        substr(text, r.i * {_CHUNK_STRIDE} + 1, {_CHUNK_W}) AS chunk
 FROM d CROSS JOIN range(0, 1000) r(i)
 WHERE r.i * {_CHUNK_STRIDE} < greatest(n, 1)
+"""
+
+
+def _q_normalize_values(spark, sf_dir):
+    """Per-group min-max feature scaling: each event's value normalized
+    to [0, 1] within its event type — the feature-engineering step
+    before model input. One grouped bounds aggregate broadcast back
+    (never a per-row window over the full partition); the scaled value
+    is a single double division of exact e4 integers, so both engines
+    compute the identical float64."""
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 10000).cast("bigint").alias("__vc"),
+    )
+    bounds = v.groupBy("event_type").agg(
+        F.min("__vc").alias("__lo"), F.max("__vc").alias("__hi")
+    )
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.when(
+                F.col("__hi") == F.col("__lo"), F.lit(0.0)
+            ).otherwise(
+                (F.col("__vc") - F.col("__lo")).cast("double")
+                / (F.col("__hi") - F.col("__lo")).cast("double")
+            ).alias("value_scaled"),
+        )
+    )
+
+
+_SQL_NORMALIZE_VALUES = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 10000) AS BIGINT) AS vc
+  FROM events
+),
+b AS (SELECT event_type, min(vc) AS lo, max(vc) AS hi
+      FROM v GROUP BY event_type)
+SELECT event_id, v.event_type,
+       CASE WHEN hi = lo THEN 0.0
+            ELSE CAST(vc - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+       END AS value_scaled
+FROM v JOIN b ON v.event_type = b.event_type
+"""
+
+
+def _q_hourly_deltas(spark, sf_dir):
+    """Hour-over-hour deltas and percent change per event type — the
+    lag-based derivative series every monitoring dashboard computes.
+    Counts are exact integers; pct_change is one double division of
+    integers (identical float64 both engines); the first hour of each
+    type has NULL delta/pct."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    prev = F.lag("n").over(w)
+    return hourly.select(
+        "hour", "event_type", "n",
+        (F.col("n") - prev).alias("delta"),
+        F.when(prev.isNull() | (prev == 0), F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("n") - prev).cast("double") / prev.cast("double")
+        ).alias("pct_change"),
+    )
+
+
+_SQL_HOURLY_DELTAS = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n,
+       n - lag(n) OVER w AS delta,
+       CASE WHEN lag(n) OVER w IS NULL OR lag(n) OVER w = 0 THEN NULL
+            ELSE CAST(n - lag(n) OVER w AS DOUBLE)
+                 / CAST(lag(n) OVER w AS DOUBLE)
+       END AS pct_change
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
 """
