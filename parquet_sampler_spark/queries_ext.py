@@ -944,15 +944,22 @@ def _sql_anti_join_orders():
 
 def _q_rollup_pricing(spark, sf_dir):
     """ROLLUP aggregation: subtotals per returnflag and grand total.
-    grouping_id disambiguates NULL-as-subtotal from NULL data."""
+    gid disambiguates NULL-as-subtotal from NULL data; like
+    cube_pricing it is assembled from single-column grouping() flags
+    on both engines (multi-arg GROUPING bit packing is
+    version-sensitive in DuckDB)."""
     li = _t(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag").cast("bigint") * 2
+        + F.grouping("l_linestatus").cast("bigint")
+    )
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
             # must be computed inside the grouping aggregate
-            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+            gid.alias("gid"),
         )
         .select("l_returnflag", "l_linestatus", "sum_qty", "n_rows", "gid")
     )
@@ -962,7 +969,8 @@ _SQL_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        count(*) AS n_rows,
-       grouping(l_returnflag, l_linestatus) AS gid
+       CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+            AS BIGINT) AS gid
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
@@ -1850,10 +1858,18 @@ def _q_cube_pricing(spark, sf_dir):
     quantities; completes the rollup/cube family next to
     rollup_pricing."""
     li = _t(spark, sf_dir, "lineitem")
+    # gid is built from SINGLE-column grouping() flags on both engines:
+    # multi-arg GROUPING(a, b) bit order has drifted between DuckDB
+    # versions (r4 driver red vs local green), so neither side relies
+    # on an engine's composite bit packing. flag = MSB, status = LSB.
+    gid = (
+        F.grouping("l_returnflag").cast("bigint") * 2
+        + F.grouping("l_linestatus").cast("bigint")
+    )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping_id().alias("gid"),
+            gid.alias("gid"),
             F.sum(F.round(F.col("l_quantity")).cast("bigint"))
             .alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
@@ -1864,7 +1880,8 @@ def _q_cube_pricing(spark, sf_dir):
 
 _SQL_CUBE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
+            AS BIGINT) AS gid,
        sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
        count(*) AS n
 FROM lineitem

@@ -596,11 +596,15 @@ FROM embeddings
 def _q_tpch_q4(spark, sf_dir):
     """Q4 order-priority checking (adapted: no commit/receipt dates in
     this schema — "late" = any lineitem shipped > 60 days after the
-    order date). Compound-condition left semi-join + aggregate."""
+    order date). Compound-condition left semi-join + aggregate.
+    Integer-epoch 60-day predicate (not timestamp + INTERVAL) for
+    cross-engine/version portability — same rationale as tpch_q12."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sixty_days_us = 60 * 86400 * 1000000
     cond = (o["o_orderkey"] == li["l_orderkey"]) & (
-        li["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAY")
+        F.timestamp_diff("MICROSECOND", o["o_orderdate"], li["l_shipdate"])
+        > F.lit(sixty_days_us)
     )
     return (
         o.join(li, cond, "left_semi")
@@ -614,7 +618,8 @@ SELECT o_orderpriority, count(*) AS order_count
 FROM orders o
 WHERE EXISTS (SELECT 1 FROM lineitem l
               WHERE l.l_orderkey = o.o_orderkey
-                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                AND epoch_us(l.l_shipdate) -
+                    epoch_us(o.o_orderdate) > 5184000000000)
 GROUP BY o_orderpriority
 """
 
@@ -1410,20 +1415,30 @@ def _q_tpch_q12(spark, sf_dir):
     """Q12 shipping-priority classes (adapted: late = shipped more than
     60 days after order date; grouped by l_returnflag — the testdata
     has no l_shipmode/commitdate/receiptdate): the CASE-pivot count of
-    critical vs non-critical order priorities among 1996's late lines."""
+    critical vs non-critical order priorities among 1996's late lines.
+
+    The 60-day predicate compares an exact integer microsecond
+    difference (timestamp_diff on Spark's TIMESTAMP_NTZ, epoch_us
+    subtraction on DuckDB's naive timestamps) instead of timestamp +
+    INTERVAL — interval coercion onto timestamps is version-sensitive
+    in DuckDB and was the r4 driver-red cause; integer comparison is
+    coercion- and timezone-free on both engines. Year bound via year()
+    for the same reason."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
     li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1997-01-01")
+        F.year("l_shipdate") == 1996
     ).select("l_orderkey", "l_shipdate", "l_returnflag")
     crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    sixty_days_us = 60 * 86400 * 1000000
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .filter(
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            F.timestamp_diff(
+                "MICROSECOND", F.col("o_orderdate"), F.col("l_shipdate")
+            )
+            > F.lit(sixty_days_us)
         )
         .groupBy("l_returnflag")
         .agg(
@@ -1440,9 +1455,8 @@ SELECT l_returnflag,
        sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 0 ELSE 1 END) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1997-01-01'
-  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+WHERE year(l_shipdate) = 1996
+  AND epoch_us(l_shipdate) - epoch_us(o_orderdate) > 5184000000000
 GROUP BY l_returnflag
 """
 
