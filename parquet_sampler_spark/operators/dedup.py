@@ -509,8 +509,10 @@ def simhash_pairs(
     just blocks slightly more)."""
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
-    if hash_fn is None:
-        hash_fn = F.xxhash64
+    # NB: do not default hash_fn here - the `if hash_fn is None` dispatch
+    # below selects the xxhash64 + numpy vote kernel fast path, and an
+    # early default would route everything through the slower pure-JVM
+    # HOF expression kernel (r4 ADVICE finding).
     w = bits // bands
     mask = (1 << w) - 1
 

@@ -1516,6 +1516,10 @@ def _q_range_join_events(spark, sf_dir):
 
 _SQL_RANGE_JOIN_EVENTS = """
 WITH iv AS (
+  -- ts + INTERVAL pinned as safe (oracle audit r5): the interval is
+  -- ADDED to a same-type naive timestamp to produce a value (exact
+  -- 1.8e9 us on both engines) - no cross-type comparison coercion,
+  -- which is where DuckDB versions drift (see tpch_q12).
   SELECT event_id AS window_id, ts AS w_start,
          ts + INTERVAL 30 MINUTE AS w_end
   FROM events ORDER BY value DESC, event_id LIMIT 50
@@ -1976,6 +1980,11 @@ bounds AS (
   FROM events
 ),
 grid AS (
+  -- generate_series pinned as safe (oracle audit r5): endpoints are
+  -- both hour-aligned (date_trunc), the step divides the span exactly,
+  -- and DuckDB's generate_series is documented inclusive-of-stop
+  -- (range() is the exclusive variant) - matching Spark's inclusive
+  -- F.sequence. No boundary row can appear/disappear across versions.
   SELECT t.event_type, g.hour
   FROM (SELECT DISTINCT event_type FROM hourly) t
   CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
@@ -2160,10 +2169,16 @@ def _q_udtf_chunk_windows(spark, sf_dir):
 
 
 _SQL_UDTF_CHUNK_WINDOWS = f"""
-WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+-- chunk-index bound derived from the data (r4 ADVICE: a fixed 1000 cap
+-- would silently diverge on 100k+ char documents); scalar list range()
+-- because the range() TABLE function cannot take subquery arguments
+b AS (SELECT greatest(coalesce(max(n), 1), 1) // {_CHUNK_STRIDE} + 1
+      AS hi FROM d),
+r AS (SELECT unnest(range(0, hi)) AS i FROM b)
 SELECT doc_id, CAST(r.i AS INT) AS chunk_idx,
        substr(text, r.i * {_CHUNK_STRIDE} + 1, {_CHUNK_W}) AS chunk
-FROM d CROSS JOIN range(0, 1000) r(i)
+FROM d CROSS JOIN r
 WHERE r.i * {_CHUNK_STRIDE} < greatest(n, 1)
 """
 

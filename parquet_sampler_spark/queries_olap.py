@@ -1465,6 +1465,15 @@ GROUP BY l_returnflag
 # — the point is the correlated-subquery planner (nested IN + correlated
 # scalar agg in q20; EXISTS + NOT EXISTS double correlation in q21),
 # which Catalyst must decorrelate into aggregate/semi/anti joins.
+#
+# Portability (oracle audit r5): q20's TIMESTAMP '1998-01-01' literal is
+# compared against a same-type naive timestamp column — no coercion, and
+# literal-vs-column timestamp comparison has been driver-green since r1
+# across many queries (pricing_summary etc.), so it stays. q21's 90-day
+# lateness predicate is DATE-vs-DATE integer arithmetic (not timestamp +
+# INTERVAL, which is version-sensitive in DuckDB and was q12's r4 driver
+# red); exact because the generator emits midnight-only order/ship
+# timestamps (asserted in tests/test_tpch_adaptations.py).
 
 _SQL_TPCH_Q20 = """
 SELECT s_suppkey, s_name, s_acctbal
@@ -1492,7 +1501,7 @@ FROM supplier, lineitem l1, orders o1, nation
 WHERE s_suppkey = l1.l_suppkey
   AND o1.o_orderkey = l1.l_orderkey
   AND o1.o_orderstatus = 'F'
-  AND l1.l_shipdate > o1.o_orderdate + INTERVAL 90 DAY
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o1.o_orderdate AS DATE) + 90
   AND EXISTS (SELECT 1 FROM lineitem l2
               WHERE l2.l_orderkey = l1.l_orderkey
                 AND l2.l_suppkey <> l1.l_suppkey)
@@ -1500,7 +1509,8 @@ WHERE s_suppkey = l1.l_suppkey
                   WHERE o2.o_orderkey = l3.l_orderkey
                     AND l3.l_orderkey = l1.l_orderkey
                     AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+                    AND CAST(l3.l_shipdate AS DATE) >
+                        CAST(o2.o_orderdate AS DATE) + 90)
   AND s_nationkey = n_nationkey
   AND n_name = 'NATION_7'
 GROUP BY s_name
@@ -1552,7 +1562,13 @@ def _q_cdc_time_travel(spark, sf_dir):
         read_merge_snapshot,
     )
 
-    base = f"{session_tmp_dir(spark, 'cdc_tt')}/customer_versions"
+    # key the snapshot dir by sf_dir: without it, a second scale factor
+    # in the same session would hit the exactly-once batch-id skip and
+    # serve the FIRST sf's snapshot (r4 ADVICE finding)
+    import hashlib as _hl
+
+    sf_tag = _hl.sha256(str(sf_dir).encode()).hexdigest()[:10]
+    base = f"{session_tmp_dir(spark, f'cdc_tt_{sf_tag}')}/customer_versions"
     cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
             "c_mktsegment"]
     initial = _t(spark, sf_dir, "customer").select(*cols).withColumn(

@@ -81,10 +81,15 @@ def read_merge_snapshot(
     Passing a batch id time-travels to that published version if it is
     still retained (``retain_versions`` on the sink); reading a pruned
     or never-published version raises with the retained list — the
-    engine-level equivalent of Delta's ``VERSION AS OF``."""
+    engine-level equivalent of Delta's ``VERSION AS OF``. A ``v*``
+    directory whose id is beyond the published pointer (a crash landed
+    in the commit window between snapshot write and pointer swap) is
+    uncommitted data and is never served (r4 ADVICE finding)."""
     if version is not None:
         p = os.path.join(base_path, f"v{version:08d}")
-        if not os.path.isdir(p):
+        published = _published_batch_id(base_path)
+        if not os.path.isdir(p) or published is None \
+                or version > published:
             raise FileNotFoundError(
                 f"version {version} not retained at {base_path}; "
                 f"available: {list_snapshot_versions(base_path)}"
@@ -99,13 +104,20 @@ def read_merge_snapshot(
 
 
 def list_snapshot_versions(base_path: str) -> list[int]:
-    """Batch ids of the retained snapshot versions, oldest first."""
+    """Batch ids of the retained PUBLISHED snapshot versions, oldest
+    first. A ``v*`` directory beyond the published pointer (crash in
+    the commit window) is uncommitted and excluded; the replay of its
+    batch overwrites it wholesale."""
     if not os.path.isdir(base_path):
+        return []
+    published = _published_batch_id(base_path)
+    if published is None:
         return []
     out = []
     for d in os.listdir(base_path):
         if d.startswith("v") and d[1:].isdigit() \
-                and os.path.isdir(os.path.join(base_path, d)):
+                and os.path.isdir(os.path.join(base_path, d)) \
+                and int(d[1:]) <= published:
             out.append(int(d[1:]))
     return sorted(out)
 

@@ -654,6 +654,17 @@ def test_stream_merge_sink_survives_crash_before_publish(spark, tmp_path):
     got = {r.k: r.v for r in read_merge_snapshot(spark, base).collect()}
     assert got == {1: 10.0, 2: 20.0}
 
+    # batch 1's dir was WRITTEN but never published: it is uncommitted
+    # data and must be neither listed nor servable as a version read
+    from parquet_sampler_spark.streaming.sinks import (
+        list_snapshot_versions,
+    )
+
+    assert os.path.isdir(os.path.join(base, "v00000001"))
+    assert list_snapshot_versions(base) == [0]
+    with pytest.raises(FileNotFoundError, match=r"available: \[0\]"):
+        read_merge_snapshot(spark, base, version=1)
+
     # run 2: same checkpoint, no fault — batch 1 replays and publishes
     q = (stream_merge_sink(make_stream(), base, ["k"],
                            delete_col="is_deleted", checkpoint_dir=ckpt)

@@ -59,6 +59,10 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [sf_dir] [name ...] "
+                  "[--json OUT_PATH]", file=sys.stderr)
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
