@@ -407,6 +407,48 @@ def _signbit_candidates(
         .dropDuplicates(["id_a", "id_b"])
     )
 
+# quantization scale for IVF cell distances: vector components and
+# centroids are mapped to integers via floor(x * 2^20). Multiplying a
+# float by a power of two and flooring are both IEEE-exact, so Spark's
+# numpy kernel and a SQL oracle compute IDENTICAL int64 squared
+# distances — cell assignment/probing become exactly replicable (no
+# float summation-order ambiguity). Precision loss (≤ 2^-20 per
+# component) only perturbs which cell a near-boundary vector lands in;
+# the exact cosine rerank is unaffected.
+_IVF_QSCALE = 1 << 20
+
+
+def _ivf_quantize(m: np.ndarray) -> np.ndarray:
+    return np.floor(m * _IVF_QSCALE).astype(np.int64)
+
+
+def ivf_train_centroids_numpy(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    nlist: int,
+    seed: int,
+    train_per_cell: int = 256,
+    train_max_iter: int = 20,
+) -> np.ndarray:
+    """Exactly :func:`ivf_topk`'s quantizer fit, from in-memory arrays:
+    portable Lehmer sketch selection (smallest hash, ties by id), then
+    the same seeded Lloyd fit. The DuckDB oracle builder calls this on
+    the raw parquet to reproduce the operator's centroids bit-for-bit
+    without a Spark session."""
+    from parquet_sampler_spark.functions.hashing import (
+        COLUMN_MULTIPLIERS,
+        MODULUS,
+        _seed_params,
+    )
+
+    sm, sa = _seed_params(seed)
+    ids = np.asarray(ids, dtype=np.int64)
+    h = (ids * COLUMN_MULTIPLIERS[0] % MODULUS * sm + sa) % MODULUS
+    order = np.lexsort((ids, h))[: train_per_cell * nlist]
+    X = np.asarray(vecs, dtype=np.float64)[order]
+    return _lloyd_kmeans(X, min(nlist, len(X)), seed, train_max_iter)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -436,15 +478,23 @@ def ivf_topk(
     real embedding corpora cluster and do much better.
 
     Quantizer training is FAISS-style: a BOUNDED deterministic sketch of
-    ``train_per_cell·nlist`` corpus rows (selected by smallest
-    xxhash64(id) — a one-job TakeOrderedAndProject, stable across
-    partitionings) is collected and clustered driver-side with numpy
+    ``train_per_cell·nlist`` corpus rows (selected by smallest portable
+    Lehmer hash of the id, ties by id — a one-job
+    TakeOrderedAndProject, stable across partitionings AND reproducible
+    outside Spark) is collected and clustered driver-side with numpy
     Lloyd's + kmeans++ init. ``nlist`` coarse centroids need only a
     sketch of the density; cell ASSIGNMENT still covers every corpus row
     via one Arrow-batched map pass against the broadcast centroids. The
     driver-side collect is size-bounded by construction (not O(corpus)),
     and replaces ~25 Spark jobs of distributed-KMeans overhead — at
     100 TB the index build stays one scan + one top-k.
+
+    Exact-oracle parity: sketch selection is engine-portable, Lloyd runs
+    in shared numpy code (:func:`ivf_train_centroids_numpy`), and cell
+    assignment/probing compare INTEGER quantized distances (see
+    ``_IVF_QSCALE``) with deterministic tie-breaks (lowest cell id), so
+    a DuckDB oracle holding the centroid literals reproduces the whole
+    assign→probe→rerank pipeline value-for-value.
 
     ``model_cache``/``cache_key`` amortize training across invocations
     against the same corpus (the IVF index is built once, queried many
@@ -453,11 +503,14 @@ def ivf_topk(
     if model_cache is not None and cache_key in model_cache:
         centroids = model_cache[cache_key]
     else:
+        from parquet_sampler_spark.functions.hashing import lehmer_hash
+
         sketch = (
             spread(corpus)
-            .select(F.col(vec_col).alias("__v"),
-                    F.xxhash64(F.col(id_col)).alias("__h"))
-            .orderBy("__h")
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"),
+                    lehmer_hash([id_col], seed).alias("__h"))
+            .orderBy("__h", "__id")
             .limit(train_per_cell * nlist)
             .collect()
         )
@@ -467,40 +520,51 @@ def ivf_topk(
         if model_cache is not None:
             model_cache[cache_key] = centroids
 
+    cq = _ivf_quantize(centroids)  # (nlist, dim) int64
+
     @F.pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        # argmin takes the FIRST minimum: ties break to the lowest cell
+        # id, mirroring the oracle's ORDER BY dist, cell
         return pd.Series(d.argmin(axis=1).astype("int32"))
 
     assigned = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
         cell_of(F.col(vec_col)).alias("__cell"),
     )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vs: pd.Series) -> pd.Series:
-        m = np.array(vs.tolist(), dtype=np.float64)
-        d = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1)[:, :nprobe]
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        # stable sort: equal distances keep ascending cell order
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(order.astype("int32").tolist())
 
     q = spread(queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        F.col(id_col).alias("query_id"),
         F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
     )
     cand = (
         assigned.join(F.broadcast(q), "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", cosine("__qv", "__cv"))
+    )
+    qv = _normalized(queries, id_col, vec_col, "query_id", "__qv")
+    cv = _normalized(corpus, id_col, vec_col, "neighbor_id", "__cv")
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", _unit_dot("__qv", "__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn(_RN, F.row_number().over(w))
+        scored.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) <= k)
         .select("query_id", "neighbor_id", "score",
                 F.col(_RN).alias("rank"))

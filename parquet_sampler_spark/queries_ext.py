@@ -519,16 +519,109 @@ SELECT query_id, neighbor_id, score, rank FROM (
 _IVF_MODEL_CACHE: dict = {}
 
 
+_IVF_NLIST, _IVF_NPROBE, _IVF_SEED = 16, 8, 42
+
+
 def _q_ann_ivf(spark, sf_dir):
-    """IVF (KMeans coarse quantizer) approximate top-k. Rows-only
-    check; recall vs brute force pinned in tests/test_similarity.py."""
+    """IVF (KMeans coarse quantizer) approximate top-k, full value-hash
+    oracle since r5: the quantizer is data-fitted but DETERMINISTIC —
+    portable Lehmer sketch selection + seeded numpy Lloyd — so the
+    oracle builder (_sql_ann_ivf) re-trains the identical centroids from
+    the raw parquet and embeds them as integer literals, replicating
+    assign→probe→rerank entirely in DuckDB. Cell distances are
+    integer-quantized (similarity._IVF_QSCALE) to be bit-exact across
+    engines; recall vs brute force stays pinned in
+    tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
         e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
-        k=_ANN_K, nlist=16, nprobe=8,
+        k=_ANN_K, nlist=_IVF_NLIST, nprobe=_IVF_NPROBE, seed=_IVF_SEED,
         model_cache=_IVF_MODEL_CACHE,
-        cache_key=(spark.sparkContext.applicationId, sf_dir, 16, 42),
+        cache_key=(spark.sparkContext.applicationId, sf_dir,
+                   _IVF_NLIST, _IVF_SEED),
     )
+
+
+def _sql_ann_ivf() -> str:
+    """DuckDB twin of _q_ann_ivf. The centroids depend on the corpus,
+    so the oracle is built for the sf dir the driver compares at
+    (sf0.01; override with $SPARK_GRAFT_ORACLE_SF_DIR —
+    tools/check_oracle.py sets it to its sf_dir): the builder re-runs
+    the operator's exact sketch + Lloyd fit via
+    ivf_train_centroids_numpy on the raw parquet and inlines the
+    floor-quantized integer centroids. Assignment and probing compare
+    int64 squared distances (exact in both engines); the rerank is the
+    same normalized left-to-right dot as ann_topk/ann_lsh."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.similarity import (
+        _IVF_QSCALE,
+        ivf_train_centroids_numpy,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cents = ivf_train_centroids_numpy(
+        ids, vecs, nlist=_IVF_NLIST, seed=_IVF_SEED
+    )
+    ci = np.floor(cents * _IVF_QSCALE).astype(np.int64)
+    rows = ",\n".join(
+        f"({j}, [{', '.join(str(int(x)) for x in c)}]::BIGINT[])"
+        for j, c in enumerate(ci)
+    )
+    sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+              "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
+    cos = unit_dot_sql("q.v", "c.v")
+    return f"""
+WITH {normalized_cte_sql()},
+cents(cell, cv) AS (VALUES
+{rows}
+),
+vi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QSCALE})
+                       AS BIGINT)) AS v
+  FROM embeddings
+),
+dist AS (
+  SELECT vi.vec_id, cents.cell, {sqdist} AS d
+  FROM vi CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist WHERE vec_id < {_ANN_NQ}) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.vec_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS score,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {cos} DESC, cand.neighbor_id) AS rank
+  FROM cand JOIN normed q ON q.vec_id = cand.query_id
+            JOIN normed c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
 
 
 _ANN_LSH_BITS, _ANN_LSH_TABLES, _ANN_LSH_DIM, _ANN_LSH_SEED = 4, 16, 64, 42
@@ -793,14 +886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # ann_ivf / multimodal_resize intentionally absent: the IVF
-    # quantizer is data-fitted (centroids unknowable in static SQL);
-    # resize emits re-ENCODED binary (building BMP bytes in SQL is not
-    # reasonable). Those keep rows-only checks + pytest contracts.
+    # multimodal_resize intentionally absent: resize emits re-ENCODED
+    # binary (building BMP bytes in SQL is not reasonable); it keeps a
+    # rows-only check + pytest contracts. ann_ivf joined the exact
+    # oracles in r5 (deterministic re-trained centroid literals).
     return {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
         "ann_lsh": _sql_ann_lsh(),
+        "ann_ivf": _sql_ann_ivf(),
         "simhash_pairs": _sql_simhash_pairs(),
         "multimodal_features": _sql_multimodal_features(),
         "text_stats": _sql_text_stats(),

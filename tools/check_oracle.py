@@ -68,6 +68,11 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
+    # data-fitted oracles (ann_ivf) are built for this sf dir
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as e
     from parquet_sampler_spark.session import get_spark
 
