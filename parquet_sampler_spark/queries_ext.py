@@ -2104,18 +2104,74 @@ def _q_rolling_window_events(spark, sf_dir):
     over event-time microseconds (the window family's time-based frame,
     complementing window_suite's ROWS frames). RANGE includes peer rows
     at equal timestamps identically in both engines; integer e4 sums
-    keep the frame sum exact. Partitioned by type — no global sort."""
+    keep the frame sum exact.
+
+    Scale shape (r4 verdict fix): a plain
+    ``Window.partitionBy(event_type)`` caps parallelism at #types (~5)
+    — at 100 TB one type's entire history is one task's sort. Instead
+    the window partitions by (type, 3h-aligned time bucket): because
+    the frame length equals the bucket width, a row's frame can only
+    reach its own bucket and the previous one, so each row is also
+    UNIONED into its successor bucket tagged carry-only — frames are
+    complete within every (type, bucket) partition, carry rows are
+    dropped from the output, and parallelism grows with the time span
+    (#types × #buckets) instead of #types. Cost: one duplicated pass of
+    the rows through one narrow shuffle. Identical answer (the oracle
+    is the flat single-window formulation)."""
     e = _events(spark, sf_dir)
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts")))
-        .rangeBetween(-_ROLL_US, 0)
-    )
+    us = F.unix_micros(F.col("ts"))
     val_c = F.round(F.col("value") * 10000).cast("bigint")
-    return e.select(
+    base = e.select(
+        "event_id", "event_type", us.alias("__us"),
+        val_c.alias("__vc"),
+    )
+    out = bucketed_trailing_range(
+        base, "event_type", "__us", "__vc", _ROLL_US
+    )
+    return out.select(
         "event_id", "event_type",
-        F.count(F.lit(1)).over(w).alias("n_3h"),
-        (F.sum(val_c).over(w) / 10000.0).alias("sum_3h"),
+        F.col("__n").alias("n_3h"),
+        (F.col("__sum") / 10000.0).alias("sum_3h"),
+    )
+
+
+def bucketed_trailing_range(
+    df, part_col: str, us_col: str, val_col: str, window_us: int
+):
+    """Trailing ``[t - window_us, t]`` RANGE count/sum per row,
+    partition-parallel in TIME: the window partitions by (part_col,
+    window_us-aligned bucket) rather than part_col alone. Since the
+    frame length equals the bucket width, a frame only reaches the
+    row's bucket and its predecessor — each row is therefore also
+    unioned into its successor bucket as a carry-only copy, making
+    every frame complete within one (part, bucket) partition; carry
+    rows are dropped from the output. Adds ``__n`` / ``__sum``.
+
+    One duplicated row pass + one narrow shuffle buys parallelism
+    proportional to #parts × #buckets instead of #parts — the
+    difference between 5 giant sorted tasks and thousands of bounded
+    ones at 100 TB."""
+    bkt = F.floor(F.col(us_col) / window_us).cast("bigint")
+    native = df.select(
+        "*", bkt.alias("__bkt"), F.lit(False).alias("__carry")
+    )
+    carry = df.select(
+        "*", (bkt + 1).alias("__bkt"), F.lit(True).alias("__carry")
+    )
+    w = (
+        Window.partitionBy(part_col, "__bkt")
+        .orderBy(us_col)
+        .rangeBetween(-window_us, 0)
+    )
+    return (
+        native.unionByName(carry)
+        .select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("__n"),
+            F.sum(val_col).over(w).alias("__sum"),
+        )
+        .filter(~F.col("__carry"))
+        .drop("__carry", "__bkt")
     )
 
 

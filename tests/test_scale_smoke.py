@@ -244,3 +244,59 @@ def test_zorder_second_column_file_skip(spark, tmp_path):
     # range clustering on leading column a skips essentially none on b
     assert z_skip >= z_total // 2, (z_skip, z_total)
     assert z_skip > r_skip, (z_skip, r_skip)
+
+
+def test_bucketed_rolling_window_at_10m_rows(spark):
+    """The r4 verdict's scale-killer fix: the trailing-RANGE window must
+    NOT partition by event type alone (parallelism = #types). At 10M
+    rows / 5 types the bucketed two-pass plan must (a) window-partition
+    on (type, bucket) with far more groups than types, and (b) match
+    the flat single-window formulation exactly — carries included,
+    duplicate timestamps included."""
+    from pyspark.sql import Window
+
+    from parquet_sampler_spark.queries_ext import bucketed_trailing_range
+
+    n, types, w_us = 10_000_000, 5, 3 * 3600 * 1_000_000
+    # ~35 days of microsecond-spaced events; // 7 forces duplicate
+    # timestamps (RANGE peers) across neighbouring ids
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % types).cast("string").alias("part"),
+        F.expr("id * 300000000 div 7").alias("us"),
+        (F.col("id") % 1000).alias("vc"),
+    )
+    out = bucketed_trailing_range(df, "part", "us", "vc", w_us)
+
+    # (a) the executed Window partitions on the bucket, and the data
+    # really spreads over many (part, bucket) groups
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan, plan[:2000]
+    n_groups = (
+        df.select("part", F.floor(F.col("us") / w_us).alias("b"))
+        .distinct().count()
+    )
+    assert n_groups > 50 * types, n_groups
+
+    # (b) exact equality with the flat formulation on a slice (full
+    # 10M collect would be driver-bound): compare one type's rows in a
+    # narrow id window that straddles many bucket boundaries
+    flat_w = (
+        Window.partitionBy("part").orderBy("us")
+        .rangeBetween(-w_us, 0)
+    )
+    flat = df.select(
+        "event_id",
+        F.count(F.lit(1)).over(flat_w).alias("n"),
+        F.sum("vc").over(flat_w).alias("s"),
+    )
+    lo, hi = 4_000_000, 4_050_000
+    got = {
+        r["event_id"]: (r["__n"], r["__sum"])
+        for r in out.filter(F.col("event_id").between(lo, hi)).collect()
+    }
+    want = {
+        r.event_id: (r.n, r.s)
+        for r in flat.filter(F.col("event_id").between(lo, hi)).collect()
+    }
+    assert got == want and len(got) == hi - lo + 1
