@@ -886,15 +886,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # multimodal_resize intentionally absent: resize emits re-ENCODED
-    # binary (building BMP bytes in SQL is not reasonable); it keeps a
-    # rows-only check + pytest contracts. ann_ivf joined the exact
-    # oracles in r5 (deterministic re-trained centroid literals).
+    # every queries_ext entry now carries an exact oracle: ann_ivf
+    # (deterministic re-trained centroid literals) and
+    # multimodal_resize (closed-form BMP byte stream + in-SQL crc32)
+    # joined in r5.
     return {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
         "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
+        "multimodal_resize": _sql_multimodal_resize(),
         "simhash_pairs": _sql_simhash_pairs(),
         "multimodal_features": _sql_multimodal_features(),
         "text_stats": _sql_text_stats(),
@@ -1273,8 +1274,10 @@ def _q_multimodal_resize(spark, sf_dir):
     (``deterministic_fake=False``). Surfaced as scalar columns (byte
     length + crc32 of the resized payload — the canonicalizer needs
     hashable cells, and the checksum pins the resampled bytes).
-    Rows-only check; a known checkerboard downsample is value-checked
-    in tests/test_multimodal.py."""
+    Full value-hash oracle since r5: _sql_multimodal_resize rebuilds
+    the exact BMP byte stream from the closed-form pixel formulas and
+    computes the same IEEE crc32 in SQL. A known checkerboard
+    downsample stays value-checked in tests/test_multimodal.py."""
     from parquet_sampler_spark.multimodal.media import (
         resize_images,
         synthetic_media,
@@ -1288,6 +1291,104 @@ def _q_multimodal_resize(spark, sf_dir):
         F.length("payload").alias("n_bytes"),
         F.crc32("payload").alias("payload_crc"),
     )
+
+
+def _sql_multimodal_resize() -> str:
+    """DuckDB twin of _q_multimodal_resize — full value-hash oracle
+    since r5. Everything is closed-form integer arithmetic: source
+    pixels are modular-linear in (seed, media_id, x, y); the box
+    resample (48×64 → 8×16, exact 6×4 boxes) is a round-half-up
+    integer mean; the re-encoded payload is the constant 54-byte BMP
+    header plus bottom-up BGR rows (stride 48 = no padding); and
+    crc32 (the same IEEE polynomial as Spark's F.crc32 /
+    java.util.zip.CRC32) runs as a list_reduce over the byte list with
+    the 256-entry table inlined. Audio/video rows pass through: their
+    payload bytes are closed-form in (seed, media_id, j)."""
+    import struct
+
+    tw, th, sw, sh = 16, 8, 64, 48
+    bw, bh = sw // tw, sh // th            # exact 4×6 boxes
+    stride = (tw * 3 + 3) & ~3             # 48 — no row padding
+    img_size = stride * th
+    n_img_bytes = 54 + img_size
+    header = struct.pack("<2sIHHI", b"BM", n_img_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, tw, th, 1, 24, 0,
+                       img_size, 2835, 2835, 0, 0)
+    hdr_list = "[" + ", ".join(
+        f"CAST({b} AS BIGINT)" for b in header + info
+    ) + "]"
+    tab = []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tab.append(c)
+    crc_tab = "[" + ", ".join(
+        f"CAST({x} AS BIGINT)" for x in tab
+    ) + "]"
+
+    def crc_of(byte_list: str) -> str:
+        return (
+            f"xor(list_reduce("
+            f"list_prepend(CAST(4294967295 AS BIGINT), {byte_list}), "
+            f"(acc, b) -> xor(acc >> 8, tab[(xor(acc, b) & 255) + 1])), "
+            f"CAST(4294967295 AS BIGINT))"
+        )
+
+    return f"""
+WITH t AS (SELECT {crc_tab} AS tab),
+m AS (
+  SELECT CAST(i AS BIGINT) AS media_id, i,
+         CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM range(0, 64) t(i)
+),
+rs AS (
+  -- box-average resample straight from the pixel formula: boxes align
+  -- exactly (ty = y // {bh}, tx = x // {bw}), round half up
+  SELECT i, ty, tx,
+         (sum(pr) + {bw * bh // 2}) // {bw * bh} AS r,
+         (sum(pg) + {bw * bh // 2}) // {bw * bh} AS g,
+         (sum(pb) + {bw * bh // 2}) // {bw * bh} AS b
+  FROM (
+    SELECT m.i, y.y // {bh} AS ty, x.x // {bw} AS tx,
+           (x.x * 7 + y.y * 13 + (7 + m.i) * 31) % 256 AS pr,
+           (x.x * 3 + y.y * 5 + (7 + m.i) * 17) % 256 AS pg,
+           (x.x * 11 + y.y * 2 + (7 + m.i) * 23) % 256 AS pb
+    FROM m CROSS JOIN range({sw}) x(x) CROSS JOIN range({sh}) y(y)
+    WHERE m.i % 3 = 0
+  ) GROUP BY i, ty, tx
+),
+body AS (
+  -- serialize: bottom-up rows (storage row yy = {th - 1} - ty), BGR
+  SELECT i, list(CAST(v AS BIGINT)
+                 ORDER BY ({th - 1} - ty) * {tw * 3} + tx * 3 + c) AS bl
+  FROM (
+    SELECT i, ty, tx, c.c AS c,
+           CASE c.c WHEN 0 THEN b WHEN 1 THEN g ELSE r END AS v
+    FROM rs CROSS JOIN range(3) c(c)
+  ) GROUP BY i
+),
+imgcrc AS (
+  SELECT i, {crc_of(f"list_concat({hdr_list}, bl)")} AS crc
+  FROM body, t
+),
+avcrc AS (
+  SELECT i, {crc_of(
+      "list_transform(range(0, 64 + i), "
+      "j -> (679 + i * 31 + j * 7) % 256)")} AS crc
+  FROM m, t WHERE i % 3 <> 0
+)
+SELECT m.media_id, m.kind,
+       CAST(CASE WHEN m.i % 3 = 0 THEN {tw} END AS INTEGER) AS width,
+       CAST(CASE WHEN m.i % 3 = 0 THEN {th} END AS INTEGER) AS height,
+       CAST(CASE WHEN m.i % 3 = 0 THEN {n_img_bytes}
+                 ELSE 64 + m.i END AS INTEGER) AS n_bytes,
+       CAST(CASE WHEN m.i % 3 = 0 THEN ic.crc ELSE ac.crc END
+            AS BIGINT) AS payload_crc
+FROM m LEFT JOIN imgcrc ic ON ic.i = m.i
+       LEFT JOIN avcrc ac ON ac.i = m.i
+"""
 
 
 def _q_dup_clusters(spark, sf_dir):
