@@ -542,6 +542,11 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+# built oracle strings keyed by sf_dir: training the quantizer twice
+# per queries()/oracle_sql() pair would be wasted work
+_IVF_SQL_CACHE: dict[str, str] = {}
+
+
 def _sql_ann_ivf() -> str:
     """DuckDB twin of _q_ann_ivf. The centroids depend on the corpus,
     so the oracle is built for the sf dir the driver compares at
@@ -565,6 +570,8 @@ def _sql_ann_ivf() -> str:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
+    if sf_dir in _IVF_SQL_CACHE:
+        return _IVF_SQL_CACHE[sf_dir]
     tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -581,7 +588,7 @@ def _sql_ann_ivf() -> str:
     sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
               "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
     cos = unit_dot_sql("q.v", "c.v")
-    return f"""
+    sql = f"""
 WITH {normalized_cte_sql()},
 cents(cell, cv) AS (VALUES
 {rows}
@@ -622,6 +629,8 @@ SELECT query_id, neighbor_id, score, rank FROM (
             JOIN normed c ON c.vec_id = cand.neighbor_id
 ) WHERE rank <= {_ANN_K}
 """
+    _IVF_SQL_CACHE[sf_dir] = sql
+    return sql
 
 
 _ANN_LSH_BITS, _ANN_LSH_TABLES, _ANN_LSH_DIM, _ANN_LSH_SEED = 4, 16, 64, 42
@@ -890,11 +899,10 @@ def oracle_sql() -> dict[str, str]:
     # (deterministic re-trained centroid literals) and
     # multimodal_resize (closed-form BMP byte stream + in-SQL crc32)
     # joined in r5.
-    return {
+    out = {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
         "ann_lsh": _sql_ann_lsh(),
-        "ann_ivf": _sql_ann_ivf(),
         "multimodal_resize": _sql_multimodal_resize(),
         "simhash_pairs": _sql_simhash_pairs(),
         "multimodal_features": _sql_multimodal_features(),
@@ -943,6 +951,15 @@ def oracle_sql() -> dict[str, str]:
         "normalize_values": _SQL_NORMALIZE_VALUES,
         "hourly_deltas": _SQL_HOURLY_DELTAS,
     }
+    # ann_ivf's oracle is trained from the comparison sf dir's parquet;
+    # if that dir is absent (unusual environment), degrade the one
+    # query to a rows-only check instead of breaking the whole oracle
+    # contract (queries() consults oracle_sql() for capture ordering)
+    try:
+        out["ann_ivf"] = _sql_ann_ivf()
+    except OSError:
+        pass
+    return out
 
 # ---------------------------------------------------------------------------
 # OLAP round 2: stratified sample, as-of join, anti-join, rollup, multi-join
