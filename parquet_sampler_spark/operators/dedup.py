@@ -509,10 +509,8 @@ def simhash_pairs(
     just blocks slightly more)."""
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
-    # NB: do not default hash_fn here - the `if hash_fn is None` dispatch
-    # below selects the xxhash64 + numpy vote kernel fast path, and an
-    # early default would route everything through the slower pure-JVM
-    # HOF expression kernel (r4 ADVICE finding).
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     w = bits // bands
     mask = (1 << w) - 1
 
@@ -534,27 +532,28 @@ def simhash_pairs(
             out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
         return pd.Series(out)
 
-    if hash_fn is None:
-        # default path: xxhash64 tokens JVM-side, numpy vote kernel
-        tokens_hashed = spread(df).select(
-            F.col(id_col),
-            F.transform(
-                F.array_distinct(F.split(F.trim(F.col(text_col)), " ")),
-                lambda t: F.xxhash64(t),
-            ).alias("__th"),
-        )
-        fp = tokens_hashed.select(
-            F.col(id_col), simhash_udf(F.col("__th")).alias("__fp")
-        )
-    else:
-        # custom hash (e.g. the portable per-character rolling hash):
-        # nested higher-order lambdas can't feed a pandas UDF (Spark
-        # cannot evaluate HOF expressions as UDF children), so compute
-        # the whole fingerprint with the pure-JVM expression kernel
-        fp = spread(df).select(
-            F.col(id_col),
-            simhash(text_col, bits=bits, hash_fn=hash_fn).alias("__fp"),
-        )
+    # one path for every hash_fn: tokens hashed JVM-side, then the
+    # numpy vote kernel (measured ~1.5x faster than the pure-JVM
+    # per-bit vote expression for the portable rolling hash; kernel
+    # bit-equality is pinned in tests/test_dedup.py). The repartition
+    # between the two projections is a required EXCHANGE BARRIER, not a
+    # load-balancing nicety: without it CollapseProject nests the
+    # hash-HOF lambda under the pandas UDF, which whole-stage codegen
+    # cannot compile (INTERNAL_ERROR in the banded self-join). The
+    # shuffled payload is just (id, array<int64> token hashes) — tiny.
+    tokens_hashed = spread(df).select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), " ")),
+            lambda t: hash_fn(t),
+        ).alias("__th"),
+    )
+    n_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism, 8
+    )
+    fp = tokens_hashed.repartition(n_parts).select(
+        F.col(id_col), simhash_udf(F.col("__th")).alias("__fp")
+    )
     banded = fp.select(
         id_col, "__fp",
         F.explode(
