@@ -2268,7 +2268,12 @@ def bucketed_trailing_range(
     One duplicated row pass + one narrow shuffle buys parallelism
     proportional to #parts × #buckets instead of #parts — the
     difference between 5 giant sorted tasks and thousands of bounded
-    ones at 100 TB."""
+    ones at 100 TB.
+
+    Negative timestamps are fine: F.floor rounds toward -inf, so
+    bucket ids stay aligned across zero."""
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
     bkt = F.floor(F.col(us_col) / window_us).cast("bigint")
     native = df.select(
         "*", bkt.alias("__bkt"), F.lit(False).alias("__carry")
