@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_incremental": _q_cdc_incremental,
         "unpivot_events": _q_unpivot_events,
     }
 
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q20": _SQL_TPCH_Q20,
         "tpch_q21": _SQL_TPCH_Q21,
         "cdc_time_travel": _SQL_CDC_TIME_TRAVEL,
+        "cdc_incremental": _SQL_MERGE_UPSERT,
         "unpivot_events": _SQL_UNPIVOT_EVENTS,
     }
 
@@ -1590,6 +1592,43 @@ _SQL_CDC_TIME_TRAVEL = """
 SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
 FROM customer
 """
+
+
+def _q_cdc_incremental(spark, sf_dir):
+    """Bucket-granular copy-on-write CDC (streaming/incremental.py):
+    the customer snapshot loads as batch 0, the shared synthetic CDC
+    batch applies as batch 1 — but unlike cdc_time_travel's full-copy
+    versions, only the buckets the batch's keys hash into are
+    rewritten; every untouched bucket FILE is shared verbatim between
+    the two retained manifests (Delta/Iceberg's storage model, built
+    on parquet + an atomic manifest pointer — the jars are absent in
+    this environment). The oracle is the plain MERGE result: the
+    incremental path must be value-identical to the one-shot
+    merge_upsert."""
+    import hashlib as _hl
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.incremental import (
+        apply_cdc_batch_incremental,
+        read_incremental_snapshot,
+    )
+
+    sf_tag = _hl.sha256(str(sf_dir).encode()).hexdigest()[:10]
+    base = f"{session_tmp_dir(spark, f'cdc_inc_{sf_tag}')}/customer_cow"
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"]
+    initial = _t(spark, sf_dir, "customer").select(*cols).withColumn(
+        "is_deleted", F.lit(False)
+    )
+    apply_cdc_batch_incremental(
+        initial, 0, base, ["c_custkey"], nbuckets=16,
+        delete_col="is_deleted", retain_versions=2,
+    )
+    apply_cdc_batch_incremental(
+        _merge_batch(spark, sf_dir), 1, base, ["c_custkey"],
+        nbuckets=16, delete_col="is_deleted", retain_versions=2,
+    )
+    return read_incremental_snapshot(spark, base).select(*cols)
 
 
 def _q_unpivot_events(spark, sf_dir):
