@@ -34,6 +34,13 @@ on a 100 TB snapshot. ``nbuckets`` is the rewrite-granularity knob
 (more buckets = finer rewrites + more files; size it so a bucket ≈ a
 healthy parquet file). Reads are manifest-addressed parquet; time
 travel to any retained version costs one manifest read, no log replay.
+
+Local-filesystem paths only (``os.replace`` atomicity is a POSIX
+rename guarantee), and — like the full-copy sink — a reader holding a
+version that falls out of retention mid-read can lose files to the
+prune; real deployments put a table format's snapshot-isolation layer
+(Delta/Iceberg) here. ``nbuckets`` is part of the table layout: never
+change it on an existing table (manifests would mix hash spaces).
 """
 
 from __future__ import annotations
