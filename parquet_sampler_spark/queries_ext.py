@@ -2098,7 +2098,7 @@ _SQL_CUBE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus)
             AS BIGINT) AS gid,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
