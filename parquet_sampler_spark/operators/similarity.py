@@ -258,9 +258,18 @@ def embedding_neardup_pairs(
       all-pairs. The 100 TB path when "near-dup" means near-identical.
     * ``"exact"`` — the original broadcast-nested-loop brute force
       (reference baseline for tests; strictly dominated by "block").
+    * ``"auto"`` — ``"lsh"`` when ``threshold >= 0.9`` (the
+      near-identical regime where sign-bit banding recall ≈ 1), else
+      ``"block"`` (exact; loose thresholds have wide angles where
+      blocking either misses pairs or degenerates to all-pairs). This
+      encodes the 100 TB policy: a true near-dup sweep takes the
+      sub-quadratic path, an exploratory loose-threshold scan pays the
+      (inherent) exact n² FLOPs at BLAS rate.
     """
     if threshold <= 0:
         raise ValueError("threshold must be positive")
+    if method == "auto":
+        method = "lsh" if threshold >= 0.9 else "block"
     a = _normalized(df, id_col, vec_col, "id_a", "__va")
     if method == "exact":
         b = _normalized(df, id_col, vec_col, "id_b", "__vb")

@@ -463,17 +463,79 @@ FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 1
 """
 
 
-_NEARDUP_T = 0.4
+_NEARDUP_T = 0.4        # loose/exploratory threshold → exact block plan
+_NEARDUP_HI = 0.92      # near-identical threshold → sub-quadratic LSH plan
+_NEARDUP_DUP_MOD = 7    # every 7th vector gets a scaled twin (see below)
+_NEARDUP_DUP_OFF = 100_000
 
 
 def _q_embedding_neardup(spark, sf_dir):
+    """Near-IDENTICAL embedding dedup via the sub-quadratic plan:
+    ``method="auto"`` resolves to sign-bit LSH banding + exact verify at
+    threshold ≥ 0.9 — the registered plan IS the 100 TB one (no block
+    GEMM grid; candidate cost is bucket collisions, not n²).
+
+    The synthetic embeddings table is near-dup-free (max pairwise cosine
+    ≈ 0.51 at every sf), so the near-identical regime is exercised by
+    augmenting it with scaled twins of every ``_NEARDUP_DUP_MOD``-th
+    vector: doubling is IEEE-exact (×2 and the final ÷nrm round to the
+    same quotients), so a twin's unit vector is BIT-IDENTICAL to the
+    original's in both engines — its sign-bit signature matches in every
+    LSH table and recall for the qualifying pairs is exactly 1, not
+    probabilistically ≈1. Output: one (i, i+offset) pair per twin with
+    cos_sim = the unit self-dot, oracle-checked by value hash; all
+    cross pairs sit below 0.52 and can never leak past the 0.92 verify.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(
+        F.col("vec_id") % _NEARDUP_DUP_MOD == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_DUP_OFF).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(twins)
+    return embedding_neardup_pairs(
+        aug, "vec_id", "embedding", threshold=_NEARDUP_HI, method="auto",
+    )
+
+
+def _sql_embedding_neardup():
+    cos = unit_dot_sql("a.v", "b.v")
+    # ×2.0 in DOUBLE then back to REAL is exact (power-of-two scale,
+    # result in float range) — the twin of the Spark-side transform
+    aug = (
+        f"aug AS (SELECT vec_id, embedding FROM embeddings "
+        f"UNION ALL "
+        f"SELECT vec_id + {_NEARDUP_DUP_OFF}, "
+        f"list_transform(embedding, x -> "
+        f"CAST(CAST(x AS DOUBLE) * 2.0 AS REAL)) "
+        f"FROM embeddings WHERE vec_id % {_NEARDUP_DUP_MOD} = 0)"
+    )
+    return (
+        f"WITH {aug}, {normalized_cte_sql(table='aug')} "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim "
+        f"FROM normed a JOIN normed b ON a.vec_id < b.vec_id "
+        f"WHERE {cos} >= {_NEARDUP_HI}"
+    )
+
+
+def _q_embedding_neardup_block(spark, sf_dir):
+    """Loose-threshold (exploratory) near-dup sweep via the EXACT
+    block-GEMM plan. Below ~0.9 the pair angle is wide enough that any
+    blocking scheme either misses pairs or degenerates to all-pairs, so
+    the n²·dim FLOPs are inherent to the semantics — this plan spends
+    them at BLAS rate over a bounded block-pair grid (see
+    operators/similarity.embedding_neardup_pairs). Non-empty at every
+    sf (the data's cosine mass sits in [0.4, 0.52])."""
     return embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=_NEARDUP_T,
     )
 
 
-def _sql_embedding_neardup():
+def _sql_embedding_neardup_block():
     cos = unit_dot_sql("a.v", "b.v")
     return (
         f"WITH {normalized_cte_sql()} "
@@ -858,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_block": _q_embedding_neardup_block,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -918,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "jaccard_dedup": _SQL_JACCARD_DEDUP,
         "embedding_neardup": _sql_embedding_neardup(),
+        "embedding_neardup_block": _sql_embedding_neardup_block(),
         "ann_topk": _sql_ann_topk(),
         "pricing_summary": _SQL_PRICING,
         "topk_orders": _SQL_TOPK_ORDERS,

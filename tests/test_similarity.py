@@ -217,3 +217,41 @@ def test_ivf_scores_contained_in_exact_ranking(embeddings, queries):
         assert key in exact, key
         assert math.isclose(r.score, exact[key], rel_tol=1e-12,
                             abs_tol=1e-12), (key, r.score, exact[key])
+
+
+def test_auto_method_selects_lsh_at_high_threshold(embeddings):
+    """method="auto" policy: ≥0.9 → sign-bit LSH (no block-GEMM grid in
+    the plan), <0.9 → exact block plan. Pinned via the physical plan:
+    the block path runs FlatMapGroupsInPandas (the per-block GEMM);
+    the LSH path must not."""
+    hi = embedding_neardup_pairs(
+        embeddings, "vec_id", "embedding", threshold=0.92, method="auto")
+    lo = embedding_neardup_pairs(
+        embeddings, "vec_id", "embedding", threshold=0.4, method="auto")
+    hi_plan = hi._jdf.queryExecution().executedPlan().toString()
+    lo_plan = lo._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in hi_plan
+    assert "FlatMapGroupsInPandas" in lo_plan
+
+
+def test_registered_neardup_is_sub_quadratic_and_exact(spark):
+    """The REGISTERED embedding_neardup query must take the LSH plan
+    (100 TB path) and still agree exactly with the brute-force result
+    on its augmented input — twin vectors are IEEE-exact scaled copies,
+    so LSH recall for qualifying pairs is exactly 1, not ≈1."""
+    from parquet_sampler_spark.queries_ext import (
+        _NEARDUP_DUP_MOD,
+        _NEARDUP_DUP_OFF,
+        _q_embedding_neardup,
+    )
+
+    df = _q_embedding_neardup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    got = {(r.id_a, r.id_b) for r in df.collect()}
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    expected = {
+        (i, i + _NEARDUP_DUP_OFF)
+        for i in range(0, n, _NEARDUP_DUP_MOD)
+    }
+    assert got == expected

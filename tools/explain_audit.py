@@ -80,11 +80,22 @@ def main() -> int:
         must_contain=["BroadcastHashJoin"],
         must_not=["SortMergeJoin"],
     )
-    # 6. embedding near-dup: the block-GEMM plan, never a nested loop /
-    # cartesian over the corpus
+    # 6. embedding near-dup: the registered (high-threshold) query must
+    # take the sub-quadratic sign-bit LSH plan — no block-GEMM grid
+    # (FlatMapGroupsInPandas), no nested loop / cartesian; the loose-
+    # threshold sibling is the one allowed to spend exact block FLOPs
     check(
         "embedding_neardup",
         R.queries()["embedding_neardup"](spark, sf_dir),
+        must_not=[
+            "FlatMapGroupsInPandas",
+            "BroadcastNestedLoopJoin",
+            "CartesianProduct",
+        ],
+    )
+    check(
+        "embedding_neardup_block",
+        R.queries()["embedding_neardup_block"](spark, sf_dir),
         must_contain=["FlatMapGroupsInPandas"],
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
