@@ -263,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _SQL_CDC_TIME_TRAVEL,
         "cdc_incremental": _SQL_MERGE_UPSERT,
         "unpivot_events": _SQL_UNPIVOT_EVENTS,
+        "approx_distinct": _SQL_APPROX_DISTINCT,
     }
 
 # ---------------------------------------------------------------------------
@@ -648,18 +649,51 @@ FROM customer GROUP BY c_mktsegment
 """
 
 def _q_approx_distinct(spark, sf_dir):
-    """HLL++ approximate distinct counts next to the exact answer — the
-    one-pass mergeable-sketch pattern that replaces countDistinct at
-    100 TB (re-aggregatable across partitions/rollups; countDistinct is
-    not). Rows-only check: sketch estimates are engine-specific; the
-    error bound and merge property are pinned in tests/test_sketches.py."""
+    """HLL++ approximate distinct counts checked against the exact
+    answer — the one-pass mergeable-sketch pattern that replaces
+    countDistinct at 100 TB (re-aggregatable across partitions/rollups;
+    countDistinct is not).
+
+    Oracle-checkable by VALUE: the raw estimate is engine-specific, so
+    the output carries the exact counts plus per-group booleans
+    ``|est − exact| / exact < 0.05`` (2.5× the rsd=0.02 the sketch is
+    configured for); the DuckDB oracle asserts the booleans TRUE. Spark's
+    HLL++ is hash-deterministic, so a drift past the bound is a real
+    regression, not flakiness. The tighter error-bound curve and the
+    sketch merge property stay pinned in tests/test_sketches.py."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    eps = 0.05
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__ao"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__ap"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            F.abs(F.col("__ao") - F.col("exact_orders"))
+            / F.col("exact_orders")
+            < eps
+        ).alias("orders_within_bound"),
+        (
+            F.abs(F.col("__ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < eps
+        ).alias("parts_within_bound"),
+    )
+
+
+_SQL_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS orders_within_bound,
+       TRUE AS parts_within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # merge_upsert's result feeds both its own query and diff_snapshots;
