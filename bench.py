@@ -113,10 +113,19 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT", str(REPO / "BENCH_LOCAL.json")
     )
     try:
-        with open(out_path, "w") as f:
+        # temp file + atomic replace: a partial write must never leave a
+        # stale/corrupt BENCH_LOCAL.json masquerading as this round's
+        # result (the very data-loss mode this file exists to prevent)
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump(payload, f, indent=1)
-    except OSError:
-        pass
+        os.replace(tmp_path, out_path)
+    except OSError as ex:
+        print(
+            f"warning: failed to persist full bench record to "
+            f"{out_path}: {ex}",
+            file=sys.stderr,
+        )
     # The per-query dict above now exceeds the driver's fixed tail-capture
     # window (BENCH_r03 recorded parsed:null); repeat the headline metric
     # as one compact line so the tail always contains a parseable record.

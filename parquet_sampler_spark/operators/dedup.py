@@ -36,6 +36,9 @@ _RN = "__psx_rn"
 # session-lifetime registry (plans/cache.py), drained by
 # queries.clear_caches()
 from parquet_sampler_spark.plans.cache import persist as _persist  # noqa: E402
+from parquet_sampler_spark.plans.lineage import (  # noqa: E402
+    truncate_lineage as _truncate_lineage,
+)
 
 
 def exact_dedup(
@@ -598,6 +601,7 @@ def duplicate_clusters(
     max_iterations: int = 50,
     checkpoint_interval: int = 5,
     on_nonconverged: str = "raise",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive-closure duplicate clusters: label every row with the
     MINIMUM id reachable through the similarity graph (``pairs`` from
@@ -616,9 +620,16 @@ def duplicate_clusters(
     and the loop stops when no label changes (driver-side count).
 
     Every ``checkpoint_interval`` rounds the label relation is
-    ``localCheckpoint()``-ed: without truncation, round r's plan
-    contains ALL prior rounds' joins, so lineage (and optimizer time)
-    grows linearly — the standard guard for iterative Spark algorithms.
+    checkpointed: without truncation, round r's plan contains ALL prior
+    rounds' joins, so lineage (and optimizer time) grows linearly — the
+    standard guard for iterative Spark algorithms. By default the
+    truncation is ``localCheckpoint()`` (executor-storage blocks — fast,
+    but LOST if an executor dies, which on a real cluster kills the
+    job mid-iteration with no recompute path). Pass ``checkpoint_dir``
+    (an HDFS/object-store path on a cluster) to use reliable
+    ``checkpoint()`` instead — blocks land in fault-tolerant storage at
+    the cost of a write per truncation. The 100 TB default should be a
+    reliable dir; local benches keep the fast path.
 
     If the fixpoint is not reached within ``max_iterations``, labels are
     only partially merged; ``on_nonconverged`` controls the signal:
@@ -673,7 +684,7 @@ def duplicate_clusters(
         if (i + 1) % checkpoint_interval == 0:
             # truncate lineage: materializes eagerly and replaces the
             # logical plan with the stored blocks
-            new_full = new_full.localCheckpoint()
+            new_full = _truncate_lineage(new_full, checkpoint_dir)
         else:
             new_full = new_full.persist()
         changed = new_full.agg(F.sum("__chg")).first()[0] or 0

@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from parquet_sampler_spark.plans.lineage import (
+    truncate_lineage as _truncate_lineage,
+)
+
 
 def _idiv(a: Column, b: Column | int) -> Column:
     """Exact integer floor division for non-negative operands:
@@ -42,6 +46,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**9,
     nodes: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank.
 
@@ -50,6 +55,11 @@ def pagerank(
     vertex set (defaults to every endpoint of ``edges``); extra nodes
     rank at the base value. Returns ``(id, pr)`` with ``pr`` at
     ``scale`` fixed-point (initial rank = scale).
+
+    Each iteration truncates lineage (plans/lineage.py): by default via
+    ``localCheckpoint()`` (executor-storage blocks — fast, but lost on
+    executor death); pass ``checkpoint_dir`` (fault-tolerant path) on a
+    real cluster so a lost executor costs a re-read, not the job.
     """
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
@@ -92,8 +102,8 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
+        new_pr = _truncate_lineage(new_pr, checkpoint_dir)
         cached.unpersist()
         cached = new_pr
         pr = new_pr

@@ -471,6 +471,7 @@ def ivf_topk(
     cache_key=None,
     train_per_cell: int = 256,
     train_max_iter: int = 20,
+    broadcast_queries: bool | str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into ``nlist`` cells; each query scores only
@@ -508,6 +509,22 @@ def ivf_topk(
     ``model_cache``/``cache_key`` amortize training across invocations
     against the same corpus (the IVF index is built once, queried many
     times): pass any dict and a corpus-identifying key.
+
+    ``broadcast_queries`` — the probe join ships the exploded query set
+    (``|queries| × nprobe`` rows) and the rerank join ships the
+    normalized query vectors to every executor. ``"auto"``/``True``
+    broadcasts both (right for the typical ANN shape: queries ≪
+    corpus); pass ``False`` when the query side is itself large
+    (batch-scoring millions of queries — broadcast would OOM executors
+    or stall the driver past
+    ``spark.sql.autoBroadcastJoinThreshold``-scale sizes): both joins
+    then fall back to shuffle joins on ``__cell`` / ``query_id``.
+
+    Zero-norm semantics: rerank joins candidates against
+    :func:`_normalized`, which DROPS zero-norm vectors — a zero-norm
+    corpus row never appears as a neighbor (it formerly surfaced with
+    score 0 via raw cosine) and a zero-norm query returns no rows,
+    matching :func:`cosine_topk` / :func:`lsh_topk` and the SQL oracle.
     """
     if model_cache is not None and cache_key in model_cache:
         centroids = model_cache[cache_key]
@@ -556,8 +573,10 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
     )
+    bc = broadcast_queries in (True, "auto")
+    small = F.broadcast if bc else (lambda d: d)
     cand = (
-        assigned.join(F.broadcast(q), "__cell")
+        assigned.join(small(q), "__cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
@@ -565,7 +584,7 @@ def ivf_topk(
     qv = _normalized(queries, id_col, vec_col, "query_id", "__qv")
     cv = _normalized(corpus, id_col, vec_col, "neighbor_id", "__cv")
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
+        cand.join(small(qv), "query_id")
         .join(cv, "neighbor_id")
         .withColumn("score", _unit_dot("__qv", "__cv"))
     )

@@ -1021,8 +1021,17 @@ def oracle_sql() -> dict[str, str]:
     # contract (queries() consults oracle_sql() for capture ordering)
     try:
         out["ann_ivf"] = _sql_ann_ivf()
-    except OSError:
-        pass
+    except Exception as ex:  # noqa: BLE001 — pyarrow raises
+        # ArrowInvalid/KeyError (not just OSError) on a corrupt or
+        # schema-drifted embeddings file; one unreadable file must
+        # degrade ann_ivf to rows-only, not take down every oracle
+        import sys
+
+        print(
+            f"warning: ann_ivf oracle unavailable ({ex!r}); "
+            "degrading to rows-only",
+            file=sys.stderr,
+        )
     return out
 
 # ---------------------------------------------------------------------------
@@ -2334,11 +2343,17 @@ def bucketed_trailing_range(
     difference between 5 giant sorted tasks and thousands of bounded
     ones at 100 TB.
 
-    Negative timestamps are fine: F.floor rounds toward -inf, so
-    bucket ids stay aligned across zero."""
+    Negative timestamps are fine: pmod is non-negative, so the
+    subtract-then-divide floors toward -inf and bucket ids stay
+    aligned across zero."""
     if window_us <= 0:
         raise ValueError(f"window_us must be positive, got {window_us}")
-    bkt = F.floor(F.col(us_col) / window_us).cast("bigint")
+    # pure integer floor division — F.floor(col / lit) goes through
+    # DOUBLE and silently misbuckets once |us| exceeds 2^53 (fine for
+    # epoch-µs until ~2255, wrong for nanosecond or synthetic domains);
+    # (x - pmod(x, w)) / w is exact over the full int64 range
+    x = F.col(us_col)
+    bkt = ((x - F.pmod(x, F.lit(window_us))) / window_us).cast("bigint")
     native = df.select(
         "*", bkt.alias("__bkt"), F.lit(False).alias("__carry")
     )

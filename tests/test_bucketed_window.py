@@ -95,3 +95,22 @@ def test_single_row_partitions_and_invalid_window(spark):
                                "rid long, part string, us long, vc long")
     with pytest.raises(ValueError, match="window_us"):
         bucketed_trailing_range(df, "part", "us", "vc", 0)
+
+
+def test_bucket_ids_exact_beyond_2_53(spark):
+    """Bucket alignment must be exact over the full int64 range: the
+    old double-division floor misbuckets once |us| > 2^53 (e.g. a
+    nanosecond-resolution or synthetic large domain)."""
+    base = (1 << 60) + 7        # not representable in double
+    w = 1000
+    rows = [("p", base + d, 1.0) for d in (-1, 0, 1, w - 1, w)]
+    df = spark.createDataFrame(rows, "part string, us long, vc double")
+    out = bucketed_trailing_range(df, "part", "us", "vc", w)
+    got = {r["us"]: r["__n"] for r in out.collect()}
+    # exact integer trailing [us-w, us] counts, verified against a
+    # python reference
+    xs = sorted(r[1] for r in rows)
+    expect = {
+        x: sum(1 for y in xs if x - w <= y <= x) for x in xs
+    }
+    assert got == expect

@@ -324,3 +324,30 @@ def test_minhash_query_params_recall_is_one(documents):
                   n=_JACCARD_N, threshold=_JACCARD_T,
                   num_hashes=32, bands=8).collect()}
     assert approx == exact
+
+
+def test_clusters_reliable_checkpoint_dir(spark, tmp_path):
+    """duplicate_clusters with checkpoint_dir: same labels as the
+    localCheckpoint path on a chain graph long enough to cross the
+    checkpoint_interval boundary."""
+    from parquet_sampler_spark.operators.dedup import duplicate_clusters
+
+    n = 12
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    fast = {
+        r.doc_id: r.cluster
+        for r in duplicate_clusters(
+            df, pairs, "doc_id", checkpoint_interval=2
+        ).collect()
+    }
+    reliable = {
+        r.doc_id: r.cluster
+        for r in duplicate_clusters(
+            df, pairs, "doc_id", checkpoint_interval=2,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    }
+    assert fast == reliable == {i: 0 for i in range(n)}

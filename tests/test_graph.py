@@ -48,3 +48,25 @@ def test_pagerank_validation(triangle_plus_isolated):
         pagerank(edges, damping_pct=0)
     with pytest.raises(ValueError):
         pagerank(edges, num_iterations=0)
+
+
+def test_pagerank_reliable_checkpoint_dir(triangle_plus_isolated, tmp_path):
+    """checkpoint_dir selects reliable checkpoint() over
+    localCheckpoint(): identical scores, and RDD checkpoint files
+    actually land in the fault-tolerant dir."""
+    edges, nodes = triangle_plus_isolated
+    ckpt = str(tmp_path / "ckpt")
+    fast = {r.id: r.pr for r in pagerank(edges, nodes=nodes).collect()}
+    reliable = {
+        r.id: r.pr
+        for r in pagerank(
+            edges, nodes=nodes, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert fast == reliable
+    import os
+
+    written = []
+    for root, _dirs, files in os.walk(ckpt):
+        written.extend(os.path.join(root, f) for f in files)
+    assert written, "no checkpoint files written to checkpoint_dir"

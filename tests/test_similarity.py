@@ -255,3 +255,21 @@ def test_registered_neardup_is_sub_quadratic_and_exact(spark):
         for i in range(0, n, _NEARDUP_DUP_MOD)
     }
     assert got == expected
+
+
+def test_ivf_non_broadcast_path_matches(embeddings, queries):
+    """broadcast_queries=False (huge-query-set shuffle fallback) must
+    return exactly the broadcast plan's results, and its analyzed plan
+    must carry no broadcast hint on the probe/rerank joins."""
+    from parquet_sampler_spark.operators.similarity import ivf_topk
+
+    kw = dict(k=5, nlist=8, nprobe=3, seed=42)
+    bc = ivf_topk(embeddings, queries, "vec_id", "embedding", **kw)
+    nobc = ivf_topk(
+        embeddings, queries, "vec_id", "embedding",
+        broadcast_queries=False, **kw)
+    assert "UnresolvedHint broadcast" not in nobc._jdf.queryExecution() \
+        .analyzed().toString()
+    rows = lambda df: {
+        (r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+    assert rows(bc) == rows(nobc)
