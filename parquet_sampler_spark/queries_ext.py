@@ -937,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multi_rollup": _q_events_multi_rollup,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_dedup": _q_streaming_dedup,
         "sample_weighted": _q_sample_weighted,
         "range_join_events": _q_range_join_events,
         "top_terms": _q_top_terms,
@@ -997,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
+        "streaming_dedup": _SQL_STREAMING_DEDUP,
         "sample_weighted": _sql_sample_weighted(),
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "top_terms": _SQL_TOP_TERMS,
@@ -1556,6 +1558,60 @@ def _q_cluster_dedup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _STREAM_SEQ = iter(range(1_000_000))
+
+
+def _q_streaming_dedup(spark, sf_dir):
+    """Bounded-state streaming deduplication
+    (``dropDuplicatesWithinWatermark``) with a batch oracle: the events
+    file is replayed as TWO stream files (every event delivered twice —
+    the retry/replay duplication this operator exists for), and the
+    deduplicated stream must reduce back to EXACTLY the batch relation
+    (oracle: plain SELECT over events — event_id is unique there).
+
+    Unlike ``dropDuplicates`` on a stream (state grows forever), state
+    here expires once the watermark passes a key's event time + delay —
+    the production shape for a long-running feed. For the parity check
+    the delay is set past the replayed span (31 days > the 30-day file)
+    so no key can expire mid-drain: the output is then deterministic
+    under ANY microbatch split of the two files, which is what makes an
+    exact value-hash oracle possible. The bounded-state behavior itself
+    (short delay, late duplicate NOT dropped) is pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.sampling import (
+        read_event_stream,
+        streaming_dedup,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"stream_dedup_{tag}")
+    for copy in ("a", "b"):
+        dst = os.path.join(d, f"events_{copy}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{sf_dir}/events.parquet", dst)
+    src = read_event_stream(spark, d)
+    deduped = streaming_dedup(src, ["event_id"], "ts", "31 days")
+    name = f"psx_stream_dedup_{next(_STREAM_SEQ)}"
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id", "event_type", "value",
+    )
+
+
+_SQL_STREAMING_DEDUP = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+"""
 
 
 def _q_streaming_hourly(spark, sf_dir):

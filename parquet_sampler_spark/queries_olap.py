@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_udaf_quantiles": _q_grouped_udaf,
         "merge_upsert": _q_merge_upsert,
         "approx_distinct": _q_approx_distinct,
+        "approx_quantiles": _q_approx_quantiles,
+        "column_stats": _q_column_stats,
         "tpch_q13": _q_tpch_q13,
         "tpch_q15": _q_tpch_q15,
         "tpch_q16": _q_tpch_q16,
@@ -264,6 +266,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental": _SQL_MERGE_UPSERT,
         "unpivot_events": _SQL_UNPIVOT_EVENTS,
         "approx_distinct": _SQL_APPROX_DISTINCT,
+        "approx_quantiles": _SQL_APPROX_QUANTILES,
+        "column_stats": _SQL_COLUMN_STATS,
     }
 
 # ---------------------------------------------------------------------------
@@ -693,6 +697,118 @@ SELECT l_returnflag,
        TRUE AS orders_within_bound,
        TRUE AS parts_within_bound
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_approx_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (``percentile_approx``, Greenwald-
+    Khanna) checked against the exact answer — the sketch that replaces
+    exact per-group sorts for quantiles at 100 TB: partial sketches
+    merge associatively across partitions/rollups, so the plan is one
+    pass + a tiny merge, where exact ``percentile`` must hold each
+    group's values.
+
+    Same oracle pattern as ``approx_distinct``: the raw sketch output
+    is engine-specific, so the query emits the EXACT interpolated
+    percentiles (bit-identical to DuckDB ``quantile_cont``) plus
+    booleans pinning the sketch value inside the exact [p−0.02, p+0.02]
+    rank envelope; the oracle asserts TRUE. accuracy=10000 → rank error
+    ≤ n/10000, far inside the envelope; GK is deterministic for a given
+    partition layout of the driver testdata, and the boolean only moves
+    if the estimate leaves the envelope — a real regression."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+        F.expr("percentile(l_extendedprice, 0.48)").alias("__lo50"),
+        F.expr("percentile(l_extendedprice, 0.52)").alias("__hi50"),
+        F.expr("percentile(l_extendedprice, 0.88)").alias("__lo90"),
+        F.expr("percentile(l_extendedprice, 0.92)").alias("__hi90"),
+        F.expr(
+            "percentile_approx(l_extendedprice, 0.5, 10000)"
+        ).alias("__a50"),
+        F.expr(
+            "percentile_approx(l_extendedprice, 0.9, 10000)"
+        ).alias("__a90"),
+    )
+    return agg.select(
+        "l_returnflag", "exact_p50", "exact_p90",
+        F.col("__a50").between(F.col("__lo50"), F.col("__hi50"))
+        .alias("p50_within_bound"),
+        F.col("__a90").between(F.col("__lo90"), F.col("__hi90"))
+        .alias("p90_within_bound"),
+    )
+
+
+_SQL_APPROX_QUANTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _q_column_stats(spark, sf_dir):
+    """ANALYZE-style one-pass table profile: per-column row/null/ndv
+    counts and min/max for lineitem, unpivoted to one row per column.
+    The stats feed a cost-based optimizer or a data-quality gate; at
+    100 TB the whole profile is ONE scan + one tiny aggregate per
+    column (all partial-aggregatable map-side), never a per-column
+    pass. min/max are emitted as exact doubles (no sums — engine-
+    portable); ndv is exact count(DISTINCT) here, the HLL variant is
+    ``approx_distinct``."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__ndv_{c}"),
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__null_{c}").alias("n_null"),
+                    F.col(f"__ndv_{c}").alias("ndv"),
+                    F.col(f"__min_{c}").alias("min_val"),
+                    F.col(f"__max_{c}").alias("max_val"),
+                )
+                for c in cols
+            ])
+        ).alias("s")
+    )
+    return stacked.select("s.*")
+
+
+_SQL_COLUMN_STATS = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+         count(*) - count(l_quantity) AS n_null,
+         count(DISTINCT l_quantity) AS ndv,
+         min(l_quantity) AS min_val, max(l_quantity) AS max_val
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+         count(DISTINCT l_extendedprice),
+         min(l_extendedprice), max(l_extendedprice)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(*), count(*) - count(l_discount),
+         count(DISTINCT l_discount), min(l_discount), max(l_discount)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', count(*), count(*) - count(l_tax),
+         count(DISTINCT l_tax), min(l_tax), max(l_tax)
+  FROM lineitem
+)
 """
 
 

@@ -777,3 +777,75 @@ def test_stream_merge_sink_time_travel_retention(spark, tmp_path):
     assert live == {2: 21.0}
     with pytest.raises(FileNotFoundError, match=r"available: \[0, 1\]"):
         read_merge_snapshot(spark, base, version=7)
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state is BOUNDED: a duplicate
+    arriving within the delay is dropped; one arriving after the
+    watermark expired its key's state is NOT (that's the contract that
+    keeps state finite on an infinite stream — vs dropDuplicates which
+    would dedup both but leak state forever)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.sampling import (
+        read_event_stream,
+        streaming_dedup,
+    )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_batch(name, rows, mtime):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        })
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # batch A: key 1 at hour 0, key 2 at hour 0:30 — and an in-batch
+    # duplicate of key 1 (dropped: state is fresh)
+    write_batch("a.parquet", [
+        (1, t0, 1, "view", 1.0),
+        (1, t0 + dt.timedelta(minutes=5), 1, "view", 1.0),
+        (2, t0 + dt.timedelta(minutes=30), 1, "view", 1.0),
+    ], mtime=1_000_000)
+    # batch B: advance the watermark far past key 1's expiry
+    # (delay = 1h → key-1 state expires once watermark > t0:05 + 1h)
+    write_batch("b.parquet", [
+        (9, t0 + dt.timedelta(hours=10), 1, "view", 1.0),
+    ], mtime=2_000_000)
+    # batch C: one more batch — state eviction runs at END of batch, so
+    # key 1's entry is actually removed after this batch (wm 9h)
+    write_batch("c.parquet", [
+        (8, t0 + dt.timedelta(hours=10, minutes=30), 1, "view", 1.0),
+    ], mtime=3_000_000)
+    # batch D: key 1 again, above the 9:30 watermark so not LATE, and
+    # its dedup state was evicted at the end of batch C — EMITTED again
+    write_batch("d.parquet", [
+        (1, t0 + dt.timedelta(hours=9, minutes=45), 1, "view", 1.0),
+    ], mtime=4_000_000)
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    dd = streaming_dedup(stream, ["event_id"], "ts", "1 hour")
+    q = (
+        dd.writeStream.format("memory").queryName("t_sdd_bounded")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.event_id, r.ts.minute + 60 * r.ts.hour)
+        for r in spark.table("t_sdd_bounded").collect()
+    )
+    # key 1 appears TWICE (fresh emit + post-expiry re-emit), the
+    # within-delay duplicate at minute 5 is dropped, keys 2/8/9 once
+    assert got == [(1, 0), (1, 585), (2, 30), (8, 630), (9, 600)]

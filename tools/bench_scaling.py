@@ -36,6 +36,17 @@ SF_DIRS = [
     ("0.1", "/root/testdata/sf0.1"),
 ]
 
+# locally-amplified sf1 (tools/make_sf1.py) — only customer/events/
+# documents exist there, so include it only when present AND every
+# requested query reads one of those tables (the sf1 allowlist below)
+SF1_DIR = REPO / ".scratch" / "sf1"
+SF1_QUERIES = {
+    "streaming_sessionize", "streaming_hourly", "cdc_incremental",
+    "merge_upsert", "simhash_pairs", "minhash_pairs", "jaccard_pairs",
+    "pagerank_dups", "dup_clusters", "cluster_dedup", "dedup_exact",
+    "text_stats", "top_terms",
+}
+
 # the most expensive entries of BENCH_r02 — the queries whose growth
 # behavior decides whether the suite survives a scale-up
 DEFAULT_QUERIES = [
@@ -67,8 +78,13 @@ def main() -> None:
     # warmup: JVM + codegen before any timed run
     spark.read.parquet(f"{SF_DIRS[0][1]}/lineitem.parquet").count()
 
+    sf_dirs = list(SF_DIRS)
+    with_sf1 = SF1_DIR.is_dir() and all(n in SF1_QUERIES for n in names)
+    if with_sf1:
+        sf_dirs.append(("1", str(SF1_DIR)))
+
     times: dict[str, dict[str, float]] = {n: {} for n in names}
-    for sf, sf_dir in SF_DIRS:
+    for sf, sf_dir in sf_dirs:
         for name in names:
             best = math.inf
             for _ in range(REPS):
@@ -87,24 +103,30 @@ def main() -> None:
         t = times[name]
         a_small = alpha(t["0.001"], t["0.01"])
         a_big = alpha(t["0.01"], t["0.1"])
+        a_sf1 = alpha(t["0.1"], t["1"]) if "1" in t else None
         note = ""
-        if a_big > SUPERLINEAR_ALPHA:
+        if max(a_big, a_sf1 or 0.0) > SUPERLINEAR_ALPHA:
             note = "SUPER-LINEAR"
             flagged.append(name)
         rows.append((name, t["0.001"], t["0.01"], t["0.1"],
-                     a_small, a_big, note))
+                     t.get("1"), a_small, a_big, a_sf1, note))
 
-    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | "
-          "α(0.001→0.01) | α(0.01→0.1) | flag |")
-    print("|---|---|---|---|---|---|---|")
-    for r in rows:
-        print(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | "
-              f"{r[4]} | {r[5]} | {r[6]} |")
+    sf1_cols = " sf1 s |" if with_sf1 else ""
+    sf1_alpha = " α(0.1→1) |" if with_sf1 else ""
+    print(f"| query | sf0.001 s | sf0.01 s | sf0.1 s |{sf1_cols} "
+          f"α(0.001→0.01) | α(0.01→0.1) |{sf1_alpha} flag |")
+    print("|---|" + "---|" * (5 + (2 if with_sf1 else 0) + 1))
+    for name, t001, t01, t1_, tsf1, a_s, a_b, a_1, note in rows:
+        mid = f" {tsf1} |" if with_sf1 else ""
+        tail = f" {a_1} |" if with_sf1 else ""
+        print(f"| {name} | {t001} | {t01} | {t1_} |{mid} "
+              f"{a_s} | {a_b} |{tail} {note} |")
 
     print(json.dumps({
         "metric": "scaling_exponents",
         "queries": {n: times[n] for n in names},
-        "alpha_big_step": {r[0]: r[5] for r in rows},
+        "alpha_big_step": {r[0]: r[6] for r in rows},
+        "alpha_sf1_step": {r[0]: r[7] for r in rows if r[7] is not None},
         "superlinear": flagged,
     }))
     sys.exit(1 if flagged else 0)
