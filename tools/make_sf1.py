@@ -90,6 +90,20 @@ def regenerate_documents(con: duckdb.DuckDBPyConnection) -> None:
         " ".join(words[rng.integers(0, len(words), size=n)])
         for n in lens
     ]
+    # plant near-duplicates at the rate observed in the driver data
+    # (jaccard_pairs finds ~256 qualifying pairs per 5k docs at sf0.1):
+    # ~5% of docs become a 1-word-substituted copy of an earlier doc, so
+    # the high-Jaccard dup graph grows LINEARLY with corpus size (the
+    # real-corpus shape) on top of the quadratic random-collision
+    # background the 31-word vocab produces at any sf
+    n_planted = N_DOCS // 20
+    for i in rng.choice(
+        np.arange(N_DOCS // 10, N_DOCS), size=n_planted, replace=False
+    ):
+        src_doc = texts[int(i) - N_DOCS // 10].split(" ")
+        pos = int(rng.integers(0, len(src_doc)))
+        src_doc[pos] = str(words[int(rng.integers(0, len(words)))])
+        texts[int(i)] = " ".join(src_doc)
     doc_lang = rng.choice(lang_names, size=N_DOCS, p=lang_w)
     doc_src = rng.choice(sources, size=N_DOCS)
 
