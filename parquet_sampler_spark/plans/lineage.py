@@ -14,16 +14,35 @@ Two truncation modes:
   truncation buys executor-loss survival — the correct default for
   long iterative jobs at cluster scale.
 
-The directory is applied lazily per-SparkContext: the first truncation
-with a ``checkpoint_dir`` calls ``setCheckpointDir`` if the context
-does not already have one (an explicitly pre-configured dir wins — two
-operators passing different dirs would otherwise fight over global
-state mid-job).
+``setCheckpointDir`` is SparkContext-global and appends a random UUID
+subdirectory, so the dir in effect is ``<base>/<uuid>``. A caller's
+``checkpoint_dir`` must actually be honored — silently keeping a
+previously-set base would write blocks to a path the caller may have
+already retired (and breaks the contract that the blocks land where
+the fault-tolerant storage was provisioned). We therefore re-point the
+context whenever the dir in effect is not under the requested base;
+repeated truncations with the same base (the per-iteration loop case)
+compare by prefix and do NOT re-set, so one operator run keeps one
+UUID directory.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def _under(current: str, base: str) -> bool:
+    """True iff the checkpoint dir in effect (``<base>/<uuid>``, scheme-
+    qualified by Spark, e.g. ``file:/x`` or ``hdfs://nn/x``) lives under
+    the requested base path/URI."""
+    cur = current.rstrip("/")
+    req = base.rstrip("/")
+    # strip a URI scheme Spark added that the caller omitted
+    if ":" in cur.split("/", 1)[0] and ":" not in req.split("/", 1)[0]:
+        cur = cur.split(":", 1)[1]
+        while cur.startswith("//"):  # file://host/x -> /x
+            cur = cur[1:]
+    return cur == req or cur.startswith(req + "/")
 
 
 def truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
@@ -32,6 +51,7 @@ def truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint()
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
+    current = sc.getCheckpointDir()
+    if current is None or not _under(current, checkpoint_dir):
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint()
