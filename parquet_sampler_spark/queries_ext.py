@@ -178,6 +178,103 @@ def _sql_repetition_stats():
     )
 
 
+_QUOTA_CAP = 10
+_QUOTA_SEED = 7
+
+
+def _q_source_quota(spark, sf_dir):
+    """Per-source document quota (the RefinedWeb/C4-style per-domain
+    cap): keep at most ``_QUOTA_CAP`` docs per source, chosen by the
+    seeded portable hash — so the kept set is a uniform within-source
+    sample, reproducible from each row's key alone on any engine.
+
+    Plan: one shuffle on ``source`` + a per-key row_number window.
+    100 TB note: a heavy domain makes its window partition a per-key
+    sort; for billion-doc domains, prefilter with the closed-form hash
+    threshold first (operators/sample.py's prefilter math: keep rows
+    with ``pr < c·cap/n_domain·M`` before the exact window) so the sort
+    input is ~cap rows per domain, then apply the same window. The
+    selection is identical because the hash ordering is global."""
+    from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+    d = _t(spark, sf_dir, "documents")
+    pr = lehmer_hash(["doc_id"], seed=_QUOTA_SEED)
+    w = Window.partitionBy("source").orderBy(pr.asc(), F.col("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUOTA_CAP)
+        .select("doc_id", "source", "rn")
+    )
+
+
+def _sql_source_quota():
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+
+    pr = lehmer_hash_sql(["doc_id"], _QUOTA_SEED)
+    return f"""
+SELECT doc_id, source, rn FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {pr} ASC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= {_QUOTA_CAP}
+"""
+
+
+def _q_bigram_novelty(spark, sf_dir):
+    """N-gram language-model commonality score per document: the mean
+    corpus document-frequency of a doc's distinct bigrams — high means
+    the doc is made of phrases everyone uses (boilerplate), low means
+    novel phrasing. The count-based stand-in for an LM perplexity
+    filter that stays integer-exact (a real logprob would put libm
+    floats in the hash-compared output; the single final division of
+    two exact BIGINTs is IEEE-identical across engines).
+
+    Plan: explode distinct bigrams → one (gram) aggregate with map-side
+    combine → join back on gram → one (doc_id) aggregate. 100 TB notes:
+    the gram-level df relation is vocabulary-bounded (broadcastable for
+    most corpora); hot stop-phrase grams skew the join — AQE skew-join
+    handles it, or cap df like the dedup shingle path."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            TX.word_ngrams(F.lower(F.col("text")), 2, distinct=True)
+        ).alias("gram"),
+    )
+    df_ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(df_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("df").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_df",
+            (F.col("sum_df").cast("double") / F.col("n_grams"))
+            .alias("commonality"),
+        )
+    )
+
+
+def _sql_bigram_novelty():
+    grams = TX.word_ngrams_sql("lower(text)", 2, distinct=True)
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+),
+df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(df) AS BIGINT) AS sum_df,
+       CAST(CAST(sum(df) AS BIGINT) AS DOUBLE) / count(*) AS commonality
+FROM g JOIN df USING (gram)
+GROUP BY doc_id
+"""
+
+
 # decontamination demo split: docs below the cut play the "benchmark"
 # set, the rest are the training corpus
 _BENCH_CUT = 20
@@ -938,6 +1035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_dedup": _q_streaming_dedup,
+        "streaming_attribution": _q_streaming_attribution,
+        "source_quota": _q_source_quota,
+        "bigram_novelty": _q_bigram_novelty,
         "sample_weighted": _q_sample_weighted,
         "range_join_events": _q_range_join_events,
         "top_terms": _q_top_terms,
@@ -999,6 +1099,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
         "streaming_dedup": _SQL_STREAMING_DEDUP,
+        "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
+        "source_quota": _sql_source_quota(),
+        "bigram_novelty": _sql_bigram_novelty(),
         "sample_weighted": _sql_sample_weighted(),
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "top_terms": _SQL_TOP_TERMS,
@@ -1611,6 +1714,60 @@ def _q_streaming_dedup(spark, sf_dir):
 _SQL_STREAMING_DEDUP = """
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
 FROM events
+"""
+
+
+def _q_streaming_attribution(spark, sf_dir):
+    """Watermarked STREAM-STREAM interval join (purchases x clicks from
+    the same user within a 1-hour lookback), value-checked against the
+    batch interval-join SQL over the same file — the third
+    streaming/batch parity row (aggregation = streaming_hourly, custom
+    state = streaming_sessionize, this = two-sided join state).
+
+    Determinism of the value hash: the events file is delivered as ONE
+    microbatch (single file, maxFilesPerTrigger=1), so every match is
+    intra-batch, and the inner stream-stream join emits matches eagerly
+    in append mode; the 62-day watermark (past the file's ~30-day span)
+    additionally guarantees no join-state eviction under ANY microbatch
+    split, so the drained output equals the batch join exactly. The
+    bounded-state behavior itself (state dropped past the watermark) is
+    what makes the same plan runnable on an unbounded feed."""
+    from parquet_sampler_spark.streaming.joins import (
+        stream_stream_attribution,
+    )
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    joined = stream_stream_attribution(
+        src.filter(F.col("event_type") == "purchase"),
+        src.filter(F.col("event_type") == "click"),
+        lookback="1 hour",
+        watermark="62 days",
+    )
+    name = f"psx_stream_attr_{next(_STREAM_SEQ)}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("p_ts_us"),
+        "click_id",
+        F.unix_micros("c_ts").alias("c_ts_us"),
+    )
+
+
+_SQL_STREAMING_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       epoch_us(p.ts) AS p_ts_us,
+       c.event_id AS click_id, epoch_us(c.ts) AS c_ts_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
 """
 
 
