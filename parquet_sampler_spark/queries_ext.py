@@ -15,6 +15,7 @@ Determinism notes (driver hashes values):
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1036,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_attribution": _q_streaming_attribution,
+        "streaming_reservoir": _q_streaming_reservoir,
         "source_quota": _q_source_quota,
         "bigram_novelty": _q_bigram_novelty,
         "sample_weighted": _q_sample_weighted,
@@ -1100,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
         "streaming_dedup": _SQL_STREAMING_DEDUP,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
+        "streaming_reservoir": _sql_streaming_reservoir(),
         "source_quota": _sql_source_quota(),
         "bigram_novelty": _sql_bigram_novelty(),
         "sample_weighted": _sql_sample_weighted(),
@@ -1663,6 +1666,30 @@ def _q_cluster_dedup(spark, sf_dir):
 _STREAM_SEQ = iter(range(1_000_000))
 
 
+@contextmanager
+def _stream_shuffle(spark, n: int | None = None):
+    """Scope a lower ``spark.sql.shuffle.partitions`` around a streaming
+    drain. Stateful streaming cost here is dominated by per-partition
+    state stores (a stream-stream join maintains four per partition;
+    measured at sf0.1: 32 partitions -> 10.3 s, 8 -> 3.2 s for the
+    attribution join, with identical output — partitioning never
+    changes results). Local drains want few, fat state partitions; on a
+    real cluster size this to the executor count instead
+    (``SPARK_GRAFT_STREAM_SHUFFLE`` overrides). The conf is restored on
+    exit so batch queries keep the session's shuffle width; it binds at
+    stream START, so the whole build+drain sits inside the scope."""
+    import os
+
+    if n is None:
+        n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _q_streaming_dedup(spark, sf_dir):
     """Bounded-state streaming deduplication
     (``dropDuplicatesWithinWatermark``) with a batch oracle: the events
@@ -1696,14 +1723,15 @@ def _q_streaming_dedup(spark, sf_dir):
         dst = os.path.join(d, f"events_{copy}.parquet")
         if not os.path.exists(dst):
             shutil.copyfile(f"{sf_dir}/events.parquet", dst)
-    src = read_event_stream(spark, d)
-    deduped = streaming_dedup(src, ["event_id"], "ts", "31 days")
-    name = f"psx_stream_dedup_{next(_STREAM_SEQ)}"
-    q = (
-        deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, d)
+        deduped = streaming_dedup(src, ["event_id"], "ts", "31 days")
+        name = f"psx_stream_dedup_{next(_STREAM_SEQ)}"
+        q = (
+            deduped.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
@@ -1738,19 +1766,20 @@ def _q_streaming_attribution(spark, sf_dir):
     from parquet_sampler_spark.streaming.sampling import read_event_stream
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    src = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    joined = stream_stream_attribution(
-        src.filter(F.col("event_type") == "purchase"),
-        src.filter(F.col("event_type") == "click"),
-        lookback="1 hour",
-        watermark="62 days",
-    )
-    name = f"psx_stream_attr_{next(_STREAM_SEQ)}"
-    q = (
-        joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        joined = stream_stream_attribution(
+            src.filter(F.col("event_type") == "purchase"),
+            src.filter(F.col("event_type") == "click"),
+            lookback="1 hour",
+            watermark="62 days",
+        )
+        name = f"psx_stream_attr_{next(_STREAM_SEQ)}"
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "purchase_id",
         F.col("p_user").alias("user_id"),
@@ -1758,6 +1787,78 @@ def _q_streaming_attribution(spark, sf_dir):
         "click_id",
         F.unix_micros("c_ts").alias("c_ts_us"),
     )
+
+
+_RESERVOIR_K = 50
+_RESERVOIR_SEED = 42
+
+
+def _q_streaming_reservoir(spark, sf_dir):
+    """The online exact-k reservoir sampler (foreachBatch maintaining
+    "k smallest Lehmer-hash rows seen so far" as a parquet reservoir)
+    drained over the events file split into TWO stream files — two
+    microbatches, so the cross-batch reservoir merge is exercised, not
+    just a single-batch top-k. The invariant makes the value hash
+    batch-split-independent: after consuming everything, the reservoir
+    EQUALS the batch hash-top-k regardless of how files were batched or
+    ordered — that is exactly what the oracle SQL computes. This is the
+    streaming/batch parity row for the reference's own headline
+    operator (sample.rs exact-count sampling), online."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.joins import (
+        streaming_exact_sample,
+    )
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"stream_res_{tag}")
+    src_dir = os.path.join(d, "src")
+    res_path = os.path.join(d, "reservoir.parquet")
+    if not os.path.isdir(src_dir):
+        os.makedirs(src_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        half = t.num_rows // 2
+        pq.write_table(
+            t.slice(0, half), os.path.join(src_dir, "events_a.parquet")
+        )
+        pq.write_table(
+            t.slice(half), os.path.join(src_dir, "events_b.parquet")
+        )
+    # fresh reservoir per call: re-drains are idempotent by the
+    # invariant, but a reservoir left by an aborted earlier run must
+    # not leak into this one's hash
+    if os.path.exists(res_path):
+        shutil.rmtree(res_path)
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, src_dir)
+        writer = streaming_exact_sample(
+            src, _RESERVOIR_K, res_path, ["event_id"],
+            seed=_RESERVOIR_SEED,
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    return spark.read.parquet(res_path).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value",
+    )
+
+
+def _sql_streaming_reservoir():
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+
+    pr = lehmer_hash_sql(["event_id"], _RESERVOIR_SEED)
+    return f"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (ORDER BY {pr}, event_id) AS rn FROM events
+) WHERE rn <= {_RESERVOIR_K}
+"""
 
 
 _SQL_STREAMING_ATTRIBUTION = """
@@ -1786,24 +1887,27 @@ def _q_streaming_hourly(spark, sf_dir):
     # read_event_stream streams the single file via its parent dir + a
     # pathGlobFilter (the file source only lists directories) and
     # applies the same nanos→micros ts handling as the batch reader
-    src = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    agg = (
-        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            _value_e4_sum().alias("sum_value"),
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        agg = (
+            src.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                _value_e4_sum().alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("hour"), "event_type",
+                "n_events", "sum_value",
+            )
         )
-        .select(
-            F.col("w.start").alias("hour"), "event_type",
-            "n_events", "sum_value",
+        name = f"psx_stream_hourly_{next(_STREAM_SEQ)}"
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
         )
-    )
-    name = f"psx_stream_hourly_{next(_STREAM_SEQ)}"
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(name)
 
 def _q_streaming_sessionize(spark, sf_dir):
@@ -1874,16 +1978,19 @@ def _q_streaming_sessionize(spark, sf_dir):
     # advances the watermark, firing every real session's timeout.
     os.utime(os.path.join(src, "b_sentinel.parquet"))
 
-    stream = read_event_stream(spark, src).withWatermark("ts", "1 minute")
-    sessions = sessionize_stream(
-        stream, gap_minutes=30, event_time_timeout=True
-    )
-    name = f"psx_stream_sessions_{next(_STREAM_SEQ)}"
-    q = (
-        sessions.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(spark):
+        stream = read_event_stream(spark, src).withWatermark(
+            "ts", "1 minute"
+        )
+        sessions = sessionize_stream(
+            stream, gap_minutes=30, event_time_timeout=True
+        )
+        name = f"psx_stream_sessions_{next(_STREAM_SEQ)}"
+        q = (
+            sessions.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") >= 0)
 
 
