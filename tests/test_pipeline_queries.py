@@ -1,0 +1,122 @@
+"""Edge-case pins for the corpus-pipeline registry queries added in
+round 6 (source_quota, bigram_novelty): the driver's oracle gate proves
+value equality on the generated testdata, but that corpus contains no
+NULL/empty/one-token documents — these tests run the SAME Spark plan
+and DuckDB oracle SQL over a hostile corpus so the edge semantics
+(NULL text, whitespace-only, sub-n-gram docs, under-quota sources)
+can never drift between the engines."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_sampler_spark import queries_ext as QX
+
+HOSTILE_DOCS = [
+    # (doc_id, text, source)
+    (0, None, "s_small"),                       # NULL text
+    (1, "", "s_small"),                         # empty
+    (2, "   ", "s_small"),                      # whitespace only
+    (3, "single", "s_small"),                   # one token: no bigram
+    (4, "two tokens", "s_small"),               # exactly one bigram
+    (5, "the cat sat on the mat", "s_big"),
+    (6, "the cat sat on the mat", "s_big"),     # exact duplicate
+    (7, "the dog sat on the mat", "s_big"),
+    (8, "a  double  space run", "s_big"),       # multi-space tokens
+    (9, "Mixed CASE Text here", "s_big"),
+    (10, "the cat", "s_big"),
+    (11, "on the mat again", "s_big"),
+    (12, "totally novel phrasing indeed", "s_big"),
+    (13, "xyzzy", "s_exact_cap"),
+    (14, "plugh quux", "s_exact_cap"),
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_docs")
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in HOSTILE_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in HOSTILE_DOCS], pa.string()),
+            "lang": pa.array(["en"] * len(HOSTILE_DOCS)),
+            "source": pa.array([r[2] for r in HOSTILE_DOCS]),
+            "n_chars": pa.array(
+                [len(r[1] or "") for r in HOSTILE_DOCS], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _duck_rows(sql: str, docs_path: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{docs_path}/documents.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def _as_sorted(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_bigram_novelty_hostile_cross_engine(spark, hostile_dir):
+    got = _as_sorted(
+        tuple(r) for r in QX._q_bigram_novelty(spark, hostile_dir).collect()
+    )
+    want = _as_sorted(_duck_rows(QX._sql_bigram_novelty(), hostile_dir))
+    assert got == want
+    ids = {r[0] for r in got}
+    # NULL / empty / whitespace / single-token docs have no bigrams and
+    # must be ABSENT (not zero-row artifacts) in both engines
+    assert ids.isdisjoint({0, 1, 2, 3})
+    # identical duplicate docs score identically
+    by_id = {r[0]: r for r in got}
+    assert by_id[5][1:] == by_id[6][1:]
+    # commonality is exactly sum_df / n_grams (one IEEE division)
+    for _, n_grams, sum_df, commonality in got:
+        assert commonality == sum_df / n_grams
+        assert not math.isnan(commonality)
+
+
+def test_source_quota_hostile_cross_engine(spark, hostile_dir):
+    got = _as_sorted(
+        tuple(r) for r in QX._q_source_quota(spark, hostile_dir).collect()
+    )
+    want = _as_sorted(_duck_rows(QX._sql_source_quota(), hostile_dir))
+    assert got == want
+    # under-quota sources keep every doc (including NULL-text rows:
+    # the quota is a row sampler, not a text filter)
+    per_source = {}
+    for doc_id, source, rn in got:
+        per_source.setdefault(source, []).append(rn)
+    assert sorted(per_source["s_small"]) == [1, 2, 3, 4, 5]
+    assert sorted(per_source["s_exact_cap"]) == [1, 2]
+    # no source exceeds the cap and ranks are dense from 1
+    for ranks in per_source.values():
+        assert len(ranks) <= QX._QUOTA_CAP
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_source_quota_deterministic_under_repartition(spark, hostile_dir):
+    a = _as_sorted(
+        tuple(r) for r in QX._q_source_quota(spark, hostile_dir).collect()
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = _as_sorted(
+            tuple(r)
+            for r in QX._q_source_quota(spark, hostile_dir).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
