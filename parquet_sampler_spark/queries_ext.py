@@ -222,6 +222,41 @@ SELECT doc_id, source, rn FROM (
 """
 
 
+_HH_K = 30
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters over the corpus token stream: every term in
+    strictly more than 1/30 of all tokens, with exact counts — the
+    frequent-items primitive (stopword discovery, hot-key detection)
+    via the candidates-then-verify plan in
+    :func:`operators.sketches.heavy_hitters`. The sketch phase bounds
+    work (≤ k-1 candidates per partition); the verify phase makes the
+    output exact, which is why a plain-SQL HAVING oracle applies —
+    unlike HLL/GK whose raw estimates need error-envelope oracles. The
+    threshold compare stays in BIGINT (``count*k > n``), engine-exact."""
+    from parquet_sampler_spark.operators.sketches import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), " ")
+        ).alias("term")
+    ).filter(F.col("term") != "")
+    return heavy_hitters(toks, "term", _HH_K)
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(lower(text)), ' ')) AS term
+  FROM documents
+),
+t2 AS (SELECT term FROM toks WHERE term <> '')
+SELECT term, count(*) AS cnt FROM t2 GROUP BY term
+HAVING count(*) * {_HH_K} > (SELECT count(*) FROM t2)
+"""
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """N-gram language-model commonality score per document: the mean
     corpus document-frequency of a doc's distinct bigrams — high means
@@ -1040,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_reservoir": _q_streaming_reservoir,
         "source_quota": _q_source_quota,
         "bigram_novelty": _q_bigram_novelty,
+        "heavy_hitters": _q_heavy_hitters,
         "sample_weighted": _q_sample_weighted,
         "range_join_events": _q_range_join_events,
         "top_terms": _q_top_terms,
@@ -1105,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_reservoir": _sql_streaming_reservoir(),
         "source_quota": _sql_source_quota(),
         "bigram_novelty": _sql_bigram_novelty(),
+        "heavy_hitters": _SQL_HEAVY_HITTERS,
         "sample_weighted": _sql_sample_weighted(),
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "top_terms": _SQL_TOP_TERMS,

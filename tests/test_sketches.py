@@ -56,3 +56,56 @@ def test_count_min_sketch_frequencies(spark):
     for flag, cnt in exact.items():
         est = cms.estimateCount(flag)
         assert cnt <= est <= cnt + 0.005 * n * 2, (flag, cnt, est)
+
+
+def test_heavy_hitters_exact_and_adversarial_spread(spark):
+    """The candidates-then-verify heavy hitter plan must return the
+    exact HAVING-threshold answer even when a globally-heavy key is
+    spread so thinly that no partition sees it concentrated — the case
+    a naive 'locally heavy somewhere' intuition worries about, and
+    which the pigeonhole bound actually covers."""
+    from parquet_sampler_spark.operators.sketches import heavy_hitters
+
+    k = 10
+    # 1000 rows in 10 partitions: key "hot" has 150 occurrences spread
+    # exactly evenly (15 per partition, partition size 100 -> 15*10 >
+    # 100 holds, locally heavy); key "warm" has 101 > 1000/10 spread
+    # 10/11 per partition (10*10 > 100 is FALSE in most partitions but
+    # 11*10 > 100 in one -> still proposed); "cold" keys fill the rest.
+    rows = []
+    for p in range(10):
+        rows += [("hot",)] * 15
+        rows += [("warm",)] * (11 if p == 0 else 10)
+        rows += [(f"cold_{p}_{i}",) for i in range(100 - 15 - (11 if p == 0 else 10))]
+    # parallelize with explicit slices preserves the crafted layout
+    # (repartition would rehash it away)
+    rdd = spark.sparkContext.parallelize(rows, 10)
+    df = spark.createDataFrame(rdd, "term string")
+    assert df.rdd.getNumPartitions() == 10
+    got = {r.term: r.cnt for r in heavy_hitters(df, "term", k).collect()}
+    n = len(rows)
+    assert got == {"hot": 150, "warm": 101}
+    assert all(c * k > n for c in got.values())
+
+
+def test_heavy_hitters_threshold_strictness(spark):
+    """A key at EXACTLY n/k must be excluded (strict >), and NULLs are
+    ignored rather than counted as a key."""
+    from parquet_sampler_spark.operators.sketches import heavy_hitters
+
+    # n = 100 non-null rows, k = 4 -> threshold 25: "edge" has exactly
+    # 25 (excluded), "over" has 26 (included)
+    rows = [("edge",)] * 25 + [("over",)] * 26 + [
+        (f"c{i}",) for i in range(49)
+    ] + [(None,)] * 7
+    df = spark.createDataFrame(rows, "term string").repartition(3)
+    got = {r.term: r.cnt for r in heavy_hitters(df, "term", 4).collect()}
+    assert got == {"over": 26}
+
+
+def test_heavy_hitters_validates_k(spark):
+    from parquet_sampler_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([("a",)], "term string")
+    with pytest.raises(ValueError, match="k >= 2"):
+        heavy_hitters(df, "term", 1)
