@@ -58,6 +58,28 @@ def main() -> None:
     t0 = time.perf_counter()
     queries_ext._q_ann_ivf(spark, sf_dir).count()
     times["setup_ivf_model"] = round(time.perf_counter() - t0, 4)
+
+    # Absorb the one-time Structured Streaming machinery cost (state
+    # store providers, streaming listener, checkpoint plumbing) with a
+    # minimal file-stream drain over the tiny region table — otherwise
+    # the alphabetically-first streaming query pays ~5 s that belongs
+    # to session init, not to its plan.
+    t0 = time.perf_counter()
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm = (
+        spark.readStream.schema(region.schema)
+        .option("pathGlobFilter", "region.parquet")
+        .parquet(sf_dir)
+        .groupBy("r_regionkey").count()
+    )
+    wq = (
+        warm.writeStream.format("memory")
+        .queryName("psx_bench_stream_warm").outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    wq.awaitTermination()
+    times["setup_streaming"] = round(time.perf_counter() - t0, 4)
+
     qs = registry.queries()
     # stable name order: the registry itself rotates per round (driver
     # capture rotation), which would otherwise scramble which query

@@ -45,6 +45,8 @@ SF1_QUERIES = {
     "merge_upsert", "simhash_pairs", "minhash_pairs", "jaccard_pairs",
     "pagerank_dups", "dup_clusters", "cluster_dedup", "dedup_exact",
     "text_stats", "top_terms",
+    "streaming_attribution", "streaming_reservoir", "streaming_dedup",
+    "source_quota", "bigram_novelty", "heavy_hitters",
 }
 
 # the most expensive entries of BENCH_r02 — the queries whose growth
