@@ -1901,6 +1901,10 @@ SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
 """
 
 
+# interval-free comparison (epoch-µs arithmetic): `ts - INTERVAL` in a
+# comparison is the documented version-sensitive construct behind the
+# r4 tpch_q12 driver red (ORACLE_PORTABILITY.md row 1) — the 1-hour
+# lookback is exactly 3_600_000_000 µs on both engines
 _SQL_STREAMING_ATTRIBUTION = """
 SELECT p.event_id AS purchase_id, p.user_id AS user_id,
        epoch_us(p.ts) AS p_ts_us,
@@ -1908,7 +1912,8 @@ SELECT p.event_id AS purchase_id, p.user_id AS user_id,
 FROM events p JOIN events c
   ON p.user_id = c.user_id
  AND p.event_type = 'purchase' AND c.event_type = 'click'
- AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
 """
 
 

@@ -93,3 +93,22 @@ def test_known_fixed_queries_are_bigint(oracle_map, con):
         tmap = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
         for c in cols:
             assert tmap.get(c) == "BIGINT", (name, c, tmap.get(c))
+
+
+def test_no_interval_comparisons(oracle_map):
+    """`timestamp ± INTERVAL` inside a COMPARISON is the documented
+    version-sensitive coercion behind the r4 tpch_q12 driver red
+    (ORACLE_PORTABILITY.md row 1); time-window predicates must use
+    exact epoch-µs arithmetic instead. The two allowed occurrences are
+    value-producing only (the interval lands in an output column or a
+    generate_series bound, both pinned by in-SQL comments)."""
+    allowed = {"range_join_events", "gap_fill_events"}
+    offenders = [
+        name
+        for name, sql in oracle_map.items()
+        if "interval" in sql.lower() and name not in allowed
+    ]
+    assert not offenders, (
+        "new oracle uses INTERVAL — rewrite comparisons as epoch_us "
+        f"arithmetic (see ORACLE_PORTABILITY.md): {offenders}"
+    )
