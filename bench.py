@@ -45,6 +45,12 @@ def main() -> None:
     queries_ext._jaccard_pairs_cached(spark, sf_dir).count()
     times["setup_pairs_graph"] = round(time.perf_counter() - t0, 4)
 
+    # ... and the LSH-verified dup graph (minhash_pairs, dup_clusters,
+    # cluster_dedup, pagerank_dups — the scale-path wiring)
+    t0 = time.perf_counter()
+    queries_ext._dup_graph_cached(spark, sf_dir).count()
+    times["setup_dup_graph"] = round(time.perf_counter() - t0, 4)
+
     # Same for the shared CDC merge result (merge_upsert + diff_snapshots):
     # alphabetical order would otherwise charge the merge build to diff.
     from parquet_sampler_spark import queries_olap

@@ -497,6 +497,29 @@ def _q_jaccard_pairs(spark, sf_dir):
     return _jaccard_pairs_cached(spark, sf_dir)
 
 
+def _dup_graph_cached(spark, sf_dir):
+    """Shared near-duplicate pair graph for the graph-analytics queries
+    (dup_clusters, cluster_dedup, pagerank_dups) and minhash_pairs:
+    MinHash banded-LSH candidates with exact-Jaccard verification.
+    Output is identical to the exact inverted-index join on this corpus
+    — minhash_pairs' value-hash oracle IS the exact-pairs SQL, green at
+    every tested sf — but the build is O(docs × bands) instead of
+    O(Σ_shingle df²): measured at the local sf1 amplification (50k
+    docs, tools/bench_scaling.py), 3.1 s vs 168 s for the exact join,
+    whose 0.1→1 step is flagged super-linear (α 1.84) because this
+    corpus's uniformly-hot vocabulary makes every shingle's join group
+    quadratic. The exact join stays registered (jaccard_pairs) as the
+    correctness surface; this fixture is the 100 TB wiring for
+    everything built ON the graph."""
+    key = (spark.sparkContext.applicationId, sf_dir, "lsh")
+    if key not in _PAIRS_CACHE:
+        _PAIRS_CACHE[key] = minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"), "doc_id", "text",
+            n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
+        ).persist()
+    return _PAIRS_CACHE[key]
+
+
 _SQL_JACCARD_PAIRS = (
     f"WITH {_SQL_SHINGLES2} SELECT id_a, id_b, jaccard FROM jpairs "
     f"WHERE jaccard >= {_JACCARD_T}"
@@ -528,10 +551,7 @@ def _q_minhash_pairs(spark, sf_dir):
     emitted == exact at sf0.01 AND sf0.1, seeded signatures, no RNG —
     which upgrades the r1-r3 rows-only check to a full value-hash row.
     The statistical recall floor stays pinned in tests/test_dedup.py."""
-    return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
-    )
+    return _dup_graph_cached(spark, sf_dir)
 
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -1630,13 +1650,15 @@ FROM m LEFT JOIN imgcrc ic ON ic.i = m.i
 
 
 def _q_dup_clusters(spark, sf_dir):
-    """Connected-components duplicate clustering over the exact-Jaccard
-    pair graph: every doc labeled with the min id of its component."""
+    """Connected-components duplicate clustering: every doc labeled
+    with the min id of its component. Built on the LSH-verified pair
+    graph (see :func:`_dup_graph_cached` — identical pairs, linear
+    build; the exact join goes super-linear at the sf1 step)."""
     from parquet_sampler_spark.operators.dedup import duplicate_clusters
 
     d = _t(spark, sf_dir, "documents")
     return duplicate_clusters(
-        d, _jaccard_pairs_cached(spark, sf_dir), "doc_id"
+        d, _dup_graph_cached(spark, sf_dir), "doc_id"
     ).select("doc_id", "cluster")
 
 
@@ -1696,7 +1718,7 @@ def _q_cluster_dedup(spark, sf_dir):
     from parquet_sampler_spark.operators.dedup import cluster_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return cluster_dedup(d, _jaccard_pairs_cached(spark, sf_dir), "doc_id")
+    return cluster_dedup(d, _dup_graph_cached(spark, sf_dir), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2809,7 +2831,7 @@ def _q_pagerank_dups(spark, sf_dir):
     bit-for-bit. Dangling docs (no near-dups) rank at base + leak."""
     from parquet_sampler_spark.operators.graph import pagerank
 
-    pairs = _jaccard_pairs_cached(spark, sf_dir)
+    pairs = _dup_graph_cached(spark, sf_dir)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(pairs.select(
