@@ -498,6 +498,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     hash_fn=None,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into ``bands``
     chunks, block on exact chunk match (any pair within Hamming distance
@@ -509,7 +510,19 @@ def simhash_pairs(
     hash a SQL oracle can recompute character-by-character — it yields
     31 usable bits, so with bits=32 the top bit is constantly 0 (both
     signatures agree there; Hamming values are unaffected, the top band
-    just blocks slightly more)."""
+    just blocks slightly more).
+
+    ``max_band_df`` is the hot-bucket cap — the banding analog of
+    ``ngram_jaccard_pairs``'s ``max_shingle_df``. Each band chunk has
+    only ``2^(bits/bands)`` possible values, so on a highly
+    self-similar corpus bucket populations grow linearly with corpus
+    size and the blocking join's candidate count quadratically (the
+    measured sf1 super-linearity in SCALING.md). The cap drops
+    (band, chunk) buckets holding more than ``max_band_df`` docs from
+    candidate generation: recall-only approximate — a qualifying pair
+    survives iff it agrees on at least one UNDER-cap band — and
+    deterministic, so an oracle can replicate it. Precision and the
+    emitted Hamming distances stay exact (verification is unchanged)."""
     if bits % bands != 0:
         raise ValueError("bits must be divisible by bands")
     if hash_fn is None:
@@ -569,6 +582,15 @@ def simhash_pairs(
             ])
         ).alias("b"),
     ).select(id_col, "__fp", "b.band", "b.chunk")
+
+    if max_band_df is not None:
+        cool = (
+            banded.groupBy("band", "chunk")
+            .agg(F.count("*").alias("__bdf"))
+            .filter(F.col("__bdf") <= max_band_df)
+            .select("band", "chunk")
+        )
+        banded = banded.join(cool, ["band", "chunk"])
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -351,3 +351,24 @@ def test_clusters_reliable_checkpoint_dir(spark, tmp_path):
         ).collect()
     }
     assert fast == reliable == {i: 0 for i in range(n)}
+
+
+def test_simhash_band_df_cap_subset_and_identity(documents):
+    """max_band_df (the banding analog of max_shingle_df): a huge cap
+    changes nothing; a tight cap only removes pairs (precision and
+    emitted Hamming distances stay exact on the survivors)."""
+    base = {(r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(documents, "doc_id", "text",
+                                   max_hamming=3).collect()}
+    huge = {(r.id_a, r.id_b): r.hamming
+            for r in simhash_pairs(documents, "doc_id", "text",
+                                   max_hamming=3,
+                                   max_band_df=10**9).collect()}
+    assert huge == base
+    capped = {(r.id_a, r.id_b): r.hamming
+              for r in simhash_pairs(documents, "doc_id", "text",
+                                     max_hamming=3,
+                                     max_band_df=8).collect()}
+    assert set(capped) <= set(base)
+    for k, v in capped.items():
+        assert v == base[k]
