@@ -579,12 +579,48 @@ def _q_simhash_pairs(spark, sf_dir):
     )
 
 
-def _sql_simhash_pairs() -> str:
+_SIMHASH_BAND_CAP = 48
+
+
+def _q_simhash_pairs_capped(spark, sf_dir):
+    """The scale form of simhash_pairs: hot-bucket-capped banding
+    (``max_band_df`` — SCALING.md's fix for the measured sf1
+    super-linearity: 8-bit chunks ⇒ bucket growth linear in corpus
+    size ⇒ blocking join quadratic). The cap is deterministic, so the
+    oracle replicates it with one GROUP BY ... HAVING over the banded
+    relation — this row value-hash-proves the capped plan's exact
+    semantics (recall loss included), not just its speed."""
+    from parquet_sampler_spark.functions.hashing import mixed_string_hash
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        bits=32, bands=4, max_hamming=1,
+        hash_fn=mixed_string_hash, max_band_df=_SIMHASH_BAND_CAP,
+    )
+
+
+def _sql_simhash_pairs(max_band_df: int | None = None) -> str:
     """DuckDB twin of _q_simhash_pairs (31-bit mixed token hash; bit 31
-    of every signature is 0 — votes there are all -1)."""
+    of every signature is 0 — votes there are all -1). With
+    ``max_band_df``, also the twin of _q_simhash_pairs_capped: the cap
+    filters the banded relation before the blocking join, exactly as
+    the operator does."""
     from parquet_sampler_spark.functions.hashing import mixed_string_hash_sql
 
     tok_hash = mixed_string_hash_sql("tok")
+    if max_band_df is None:
+        cap_cte = ""
+        cand_src = "banded"
+    else:
+        cap_cte = f"""
+cool AS (
+  SELECT band, chunk FROM banded
+  GROUP BY band, chunk HAVING count(*) <= {max_band_df}
+),
+banded_c AS (
+  SELECT banded.* FROM banded JOIN cool USING (band, chunk)
+),"""
+        cand_src = "banded_c"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
@@ -606,11 +642,11 @@ sig AS (
 banded AS (
   SELECT doc_id, fp, r.b AS band, (fp >> (r.b * 8)) & 255 AS chunk
   FROM sig CROSS JOIN range(0, 4) r(b)
-),
+),{cap_cte}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                   a.fp AS fp_a, b.fp AS fp_b
-  FROM banded a JOIN banded b
+  FROM {cand_src} a JOIN {cand_src} b
     ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
@@ -1099,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "bigram_novelty": _q_bigram_novelty,
         "heavy_hitters": _q_heavy_hitters,
+        "simhash_pairs_capped": _q_simhash_pairs_capped,
         "sample_weighted": _q_sample_weighted,
         "range_join_events": _q_range_join_events,
         "top_terms": _q_top_terms,
@@ -1165,6 +1202,9 @@ def oracle_sql() -> dict[str, str]:
         "source_quota": _sql_source_quota(),
         "bigram_novelty": _sql_bigram_novelty(),
         "heavy_hitters": _SQL_HEAVY_HITTERS,
+        "simhash_pairs_capped": _sql_simhash_pairs(
+            max_band_df=_SIMHASH_BAND_CAP
+        ),
         "sample_weighted": _sql_sample_weighted(),
         "range_join_events": _SQL_RANGE_JOIN_EVENTS,
         "top_terms": _SQL_TOP_TERMS,
