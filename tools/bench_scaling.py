@@ -47,6 +47,7 @@ SF1_QUERIES = {
     "text_stats", "top_terms",
     "streaming_attribution", "streaming_reservoir", "streaming_dedup",
     "source_quota", "bigram_novelty", "heavy_hitters",
+    "simhash_pairs_capped",
 }
 
 # the most expensive entries of BENCH_r02 — the queries whose growth
