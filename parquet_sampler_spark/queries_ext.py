@@ -270,10 +270,12 @@ def _q_bigram_novelty(spark, sf_dir):
     COUNT window → one (doc_id) aggregate. The window shape beats the
     equivalent groupBy(gram)+self-join 2× at sf0.1 (one tokenize pass
     and two shuffles instead of two passes and three), and is the same
-    single hash-exchange on gram at any scale. 100 TB notes: hot
-    stop-phrase grams skew the gram exchange — AQE handles moderate
-    skew; for web-scale corpora cap gram df like the dedup shingle
-    path, or salt the count into a two-phase aggregate."""
+    single hash-exchange on gram at any scale. 100 TB note: a hot
+    stop-phrase gram lands its whole group in ONE window task (AQE
+    skew-splitting covers joins, not window partitions), so for
+    web-scale corpora the real mitigations are capping gram df like the
+    dedup shingle path, or replacing the window with a salted two-phase
+    (gram, salt)→gram aggregate joined back to the exploded relation."""
     d = _t(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
@@ -501,16 +503,22 @@ def _dup_graph_cached(spark, sf_dir):
     """Shared near-duplicate pair graph for the graph-analytics queries
     (dup_clusters, cluster_dedup, pagerank_dups) and minhash_pairs:
     MinHash banded-LSH candidates with exact-Jaccard verification.
-    Output is identical to the exact inverted-index join on this corpus
-    — minhash_pairs' value-hash oracle IS the exact-pairs SQL, green at
-    every tested sf — but the build is O(docs × bands) instead of
-    O(Σ_shingle df²): measured at the local sf1 amplification (50k
-    docs, tools/bench_scaling.py), 3.1 s vs 168 s for the exact join,
-    whose 0.1→1 step is flagged super-linear (α 1.84) because this
-    corpus's uniformly-hot vocabulary makes every shingle's join group
-    quadratic. The exact join stays registered (jaccard_pairs) as the
-    correctness surface; this fixture is the 100 TB wiring for
-    everything built ON the graph."""
+    Precision is structurally exact (every candidate re-verified);
+    recall follows the banding s-curve, so equality with the exact
+    inverted-index join is an EMPIRICAL property of the corpus's pair
+    spectrum, not a theorem: it holds here because the qualifying pairs
+    are planted near-dups (j ≈ 0.8+, per-pair miss < 2% at 8 bands × 4
+    rows) with no marginal pairs near the 0.5 threshold — pinned by
+    minhash_pairs' value-hash oracle, which IS the exact-pairs SQL,
+    green at every tested sf before and after this rewiring. A corpus
+    dense in barely-qualifying pairs (j ≈ 0.5-0.6) would lose a
+    fraction of them; that is the accepted LSH trade at 100 TB, and the
+    exact join stays registered (jaccard_pairs) as the
+    guaranteed-exact surface. The win: O(docs × bands) build instead of
+    O(Σ_shingle df²) — measured at the local sf1 amplification (50k
+    docs), 3.1 s vs 168 s, whose 0.1→1 step is flagged super-linear
+    (α 1.84) because this corpus's uniformly-hot vocabulary makes every
+    shingle's join group quadratic."""
     key = (spark.sparkContext.applicationId, sf_dir, "lsh")
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = minhash_lsh_pairs(
@@ -1922,16 +1930,23 @@ def _q_streaming_reservoir(spark, sf_dir):
     d = session_tmp_dir(spark, f"stream_res_{tag}")
     src_dir = os.path.join(d, "src")
     res_path = os.path.join(d, "reservoir.parquet")
-    if not os.path.isdir(src_dir):
-        os.makedirs(src_dir, exist_ok=True)
-        t = pq.read_table(f"{sf_dir}/events.parquet")
-        half = t.num_rows // 2
-        pq.write_table(
-            t.slice(0, half), os.path.join(src_dir, "events_a.parquet")
-        )
-        pq.write_table(
-            t.slice(half), os.path.join(src_dir, "events_b.parquet")
-        )
+    os.makedirs(src_dir, exist_ok=True)
+    # per-file staging with write-then-rename: a run interrupted
+    # mid-staging must not leave a partial source dir that later calls
+    # silently reuse (dir-level existence checks have exactly that
+    # failure mode; the dedup query's per-file guard avoids it too)
+    t = None
+    for name, lo, hi in (("events_a", 0.0, 0.5), ("events_b", 0.5, 1.0)):
+        dst = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t is None:
+            t = pq.read_table(f"{sf_dir}/events.parquet")
+        start = int(t.num_rows * lo)
+        stop = int(t.num_rows * hi)
+        tmp = dst + ".tmp"
+        pq.write_table(t.slice(start, stop - start), tmp)
+        os.replace(tmp, dst)
     # fresh reservoir per call: re-drains are idempotent by the
     # invariant, but a reservoir left by an aborted earlier run must
     # not leak into this one's hash

@@ -109,3 +109,34 @@ def test_heavy_hitters_validates_k(spark):
     df = spark.createDataFrame([("a",)], "term string")
     with pytest.raises(ValueError, match="k >= 2"):
         heavy_hitters(df, "term", 1)
+
+
+def test_heavy_hitters_mg_summary_is_bounded(spark):
+    """The per-partition summary is Misra-Gries: at most k-1 counters
+    regardless of the partition's distinct-key count — the property
+    that keeps 100TB-scale token streams in O(k) worker memory — and
+    the heavy key still survives the decrements."""
+    from parquet_sampler_spark.operators.sketches import (
+        _mg_update,
+        heavy_hitters,
+    )
+
+    # unit: stream 10k distinct singletons + a heavy key through one
+    # summary; the dict never exceeds k-1 entries and the heavy key
+    # is present at the end
+    counters = {}
+    k = 10
+    for i in range(10_000):
+        _mg_update(counters, f"cold_{i}", 1, k - 1)
+        assert len(counters) <= k - 1
+        if i % 3 == 0:
+            _mg_update(counters, "hot", 1, k - 1)
+    assert "hot" in counters
+
+    # end-to-end: single partition, 5k distinct cold keys, one value
+    # above the 1/4 threshold
+    rows = [("hot",)] * 2000 + [(f"c{i}",) for i in range(5000)]
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    df = spark.createDataFrame(rdd, "term string")
+    got = {r.term: r.cnt for r in heavy_hitters(df, "term", 4).collect()}
+    assert got == {"hot": 2000}
