@@ -48,6 +48,7 @@ SF1_QUERIES = {
     "streaming_attribution", "streaming_reservoir", "streaming_dedup",
     "source_quota", "bigram_novelty", "heavy_hitters",
     "simhash_pairs_capped",
+    "ann_topk", "ann_lsh", "ann_ivf", "embedding_neardup",
 }
 
 # the most expensive entries of BENCH_r02 — the queries whose growth

@@ -120,12 +120,55 @@ def regenerate_documents(con: duckdb.DuckDBPyConnection) -> None:
     pq.write_table(tbl, OUT / "documents.parquet")
 
 
+def amplify_embeddings() -> None:
+    """10 vec_id-shifted copies of the embeddings table, each copy's
+    vectors perturbed by small seeded Gaussian jitter (σ=0.02 per
+    component before renormalization is NOT applied — the raw vectors
+    are stored, as in the source data). Verbatim copies would plant 9
+    exact twins per vector — every near-dup/ANN query would measure an
+    artifact, not scale; the jitter keeps cross-copy cosines ≈ 0.999…
+    only for a vector and its own jittered copies at far-apart ids,
+    while the bulk pairwise-cosine distribution (mass in [0.4, 0.52])
+    is preserved. For scale-TREND timing only; oracle parity runs stay
+    on the driver data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    vec_ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.array(t.column("label").to_pylist())
+    rng = np.random.default_rng(SEED + 1)
+    n, dim = vecs.shape
+    stride = int(vec_ids.max()) + 1
+    all_ids, all_vecs, all_labels = [], [], []
+    for k in range(COPIES):
+        jitter = (
+            np.zeros_like(vecs) if k == 0
+            else rng.normal(0.0, 0.02, size=vecs.shape).astype(np.float32)
+        )
+        all_ids.append(vec_ids + k * stride)
+        all_vecs.append(vecs + jitter)
+        all_labels.append(labels)
+    out = pa.table({
+        "vec_id": pa.array(np.concatenate(all_ids), type=pa.int64()),
+        "embedding": pa.array(
+            [v.tolist() for v in np.concatenate(all_vecs)],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array(np.concatenate(all_labels).tolist(),
+                          type=pa.int32()),
+    })
+    pq.write_table(out, OUT / "embeddings.parquet")
+
+
 def main() -> int:
     OUT.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     amplify_keyed(con)
     regenerate_documents(con)
-    for t in ("customer", "events", "documents"):
+    amplify_embeddings()
+    for t in ("customer", "events", "documents", "embeddings"):
         n = con.execute(
             f"SELECT count(*) FROM '{OUT}/{t}.parquet'"
         ).fetchone()[0]
