@@ -49,6 +49,10 @@ SF1_QUERIES = {
     "source_quota", "bigram_novelty", "heavy_hitters",
     "simhash_pairs_capped",
     "ann_topk", "ann_lsh", "ann_ivf", "embedding_neardup",
+    # full star schema at sf1 (amplify_star keeps join integrity)
+    "sample_lineitem", "semijoin_orders", "semijoin_customer",
+    "semijoin_part", "semijoin_supplier", "pricing_summary",
+    "topk_orders", "percentiles", "tpch_q3", "tpch_q6", "tpch_q18",
 }
 
 # the most expensive entries of BENCH_r02 — the queries whose growth

@@ -44,6 +44,9 @@ N_DOCS = 50_000
 SEED = 7
 
 
+ORDER_STRIDE = 10_000_000  # > max o_orderkey, keeps orders↔lineitem joined
+
+
 def amplify_keyed(con: duckdb.DuckDBPyConnection) -> None:
     con.execute(f"CREATE VIEW c0 AS SELECT * FROM '{SRC}/customer.parquet'")
     con.execute(f"CREATE VIEW e0 AS SELECT * FROM '{SRC}/events.parquet'")
@@ -60,6 +63,41 @@ def amplify_keyed(con: duckdb.DuckDBPyConnection) -> None:
         for k in range(COPIES)
     )
     con.execute(f"COPY ({ev}) TO '{OUT}/events.parquet' (FORMAT PARQUET)")
+
+
+def amplify_star(con: duckdb.DuckDBPyConnection) -> None:
+    """Amplify the fact chain with JOIN INTEGRITY preserved: orderkey
+    and custkey shift by the same stride in every table that carries
+    them, so copy k's lineitem joins copy k's orders joins copy k's
+    customer — the reference workflow (sample → semijoin chain) and
+    the customer/orders/lineitem TPC-H adaptations run unmodified at
+    10×. part/supplier/nation/region stay verbatim (small dims; each
+    part/supplier just gains 10× fan-in, the realistic shape of a
+    bigger fact over the same catalog)."""
+    con.execute(f"CREATE VIEW o0 AS SELECT * FROM '{SRC}/orders.parquet'")
+    con.execute(
+        f"CREATE VIEW l0 AS SELECT * FROM '{SRC}/lineitem.parquet'"
+    )
+    orders = " UNION ALL ".join(
+        f"SELECT * REPLACE (o_orderkey + {k * ORDER_STRIDE} AS o_orderkey, "
+        f"o_custkey + {k * CUST_STRIDE} AS o_custkey) FROM o0"
+        for k in range(COPIES)
+    )
+    con.execute(
+        f"COPY ({orders}) TO '{OUT}/orders.parquet' (FORMAT PARQUET)"
+    )
+    li = " UNION ALL ".join(
+        f"SELECT * REPLACE (l_orderkey + {k * ORDER_STRIDE} AS l_orderkey) "
+        f"FROM l0" for k in range(COPIES)
+    )
+    con.execute(
+        f"COPY ({li}) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    for t in ("part", "supplier", "nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+            f"TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
 
 
 def regenerate_documents(con: duckdb.DuckDBPyConnection) -> None:
@@ -166,9 +204,11 @@ def main() -> int:
     OUT.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     amplify_keyed(con)
+    amplify_star(con)
     regenerate_documents(con)
     amplify_embeddings()
-    for t in ("customer", "events", "documents", "embeddings"):
+    for t in ("customer", "events", "documents", "embeddings",
+              "orders", "lineitem"):
         n = con.execute(
             f"SELECT count(*) FROM '{OUT}/{t}.parquet'"
         ).fetchone()[0]
