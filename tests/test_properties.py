@@ -104,3 +104,33 @@ def test_sampler_cross_engine_fuzz(spark):
             WHERE rn <= CAST(floor({n} * {ratio}) AS BIGINT)
         """).fetchall())
         assert got == want, (ratio, seed, len(got), len(want))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 20)),
+        min_size=0, max_size=200,
+    ),
+    st.integers(2, 12),
+)
+def test_misra_gries_undercount_bound(stream, k):
+    """The MG guarantee heavy_hitters' superset argument rests on:
+    after any weighted stream, every key's counter undercounts its
+    true weight by at most total/(cap+1) with cap=k-1 counters — so a
+    key with zero counter has true weight <= total/k, and a globally
+    heavy key must survive in at least one partition summary."""
+    from parquet_sampler_spark.operators.sketches import _mg_update
+
+    counters: dict = {}
+    true: dict = {}
+    total = 0
+    for key, w in stream:
+        _mg_update(counters, key, w, k - 1)
+        true[key] = true.get(key, 0) + w
+        total += w
+        assert len(counters) <= k - 1
+    for key, t in true.items():
+        est = counters.get(key, 0)
+        assert est <= t, (key, est, t)
+        assert t - est <= total / k, (key, est, t, total, k)
