@@ -117,7 +117,7 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     n = sum(r["__hh_n"] for r in rows if r["__hh_n"] is not None)
     keys = sorted({r["__hh_key"] for r in rows if r["__hh_key"] is not None})
     spark = df.sparkSession
-    if not keys or n == 0:
+    if not keys:
         empty = spark.createDataFrame([], schema=T.StructType(
             [key_field, T.StructField("cnt", T.LongType(), False)]
         ))

@@ -36,10 +36,15 @@ SF_DIRS = [
     ("0.1", "/root/testdata/sf0.1"),
 ]
 
-# locally-amplified sf1 (tools/make_sf1.py) — only customer/events/
-# documents exist there, so include it only when present AND every
-# requested query reads one of those tables (the sf1 allowlist below)
+# locally-amplified sf1 (tools/make_sf1.py). Round-6 generators emit
+# the full 10-table star; a .scratch/sf1 built by an older generator
+# holds fewer tables, so the gate checks the FILES, not just the dir —
+# a stale sf1 degrades to the 3-sf run instead of crashing mid-bench.
 SF1_DIR = REPO / ".scratch" / "sf1"
+SF1_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
 SF1_QUERIES = {
     "streaming_sessionize", "streaming_hourly", "cdc_incremental",
     "merge_upsert", "simhash_pairs", "minhash_pairs", "jaccard_pairs",
@@ -87,7 +92,17 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIRS[0][1]}/lineitem.parquet").count()
 
     sf_dirs = list(SF_DIRS)
-    with_sf1 = SF1_DIR.is_dir() and all(n in SF1_QUERIES for n in names)
+    with_sf1 = (
+        all((SF1_DIR / f"{t}.parquet").is_file() for t in SF1_TABLES)
+        and all(n in SF1_QUERIES for n in names)
+    )
+    if SF1_DIR.is_dir() and not with_sf1:
+        print(
+            "note: .scratch/sf1 present but stale/partial or a query "
+            "is outside the sf1 allowlist — skipping the sf1 column "
+            "(re-run tools/make_sf1.py to refresh)",
+            file=sys.stderr,
+        )
     if with_sf1:
         sf_dirs.append(("1", str(SF1_DIR)))
 

@@ -181,18 +181,19 @@ def amplify_embeddings() -> None:
     stride = int(vec_ids.max()) + 1
     all_ids, all_vecs, all_labels = [], [], []
     for k in range(COPIES):
-        jitter = (
-            np.zeros_like(vecs) if k == 0
-            else rng.normal(0.0, 0.02, size=vecs.shape).astype(np.float32)
-        )
         all_ids.append(vec_ids + k * stride)
-        all_vecs.append(vecs + jitter)
+        all_vecs.append(
+            vecs if k == 0
+            else vecs
+            + rng.normal(0.0, 0.02, size=vecs.shape).astype(np.float32)
+        )
         all_labels.append(labels)
     out = pa.table({
         "vec_id": pa.array(np.concatenate(all_ids), type=pa.int64()),
+        # list-of-ndarray: pyarrow ingests the float32 buffers directly,
+        # no per-element Python-object round trip
         "embedding": pa.array(
-            [v.tolist() for v in np.concatenate(all_vecs)],
-            type=pa.list_(pa.float32()),
+            list(np.concatenate(all_vecs)), type=pa.list_(pa.float32())
         ),
         "label": pa.array(np.concatenate(all_labels).tolist(),
                           type=pa.int32()),
