@@ -187,6 +187,33 @@ def main() -> int:
         must_contain=["Window"],
         must_not=["SinglePartition"],
     )
+    # 17. heavy hitters: the verify pass must join the bounded
+    # candidate set by BROADCAST (the raw token stream never shuffles
+    # on the key for the join), and the one aggregation partial-combines
+    check(
+        "heavy_hitters",
+        R.queries()["heavy_hitters"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "HashAggregate"],
+        must_not=["SortMergeJoin"],
+    )
+    # 18. source quota: one window over the per-source partitioning with
+    # the rn <= cap filter rewritten into per-partition k-heaps
+    # (WindowGroupLimit), never a single global partition
+    check(
+        "source_quota",
+        R.queries()["source_quota"](spark, sf_dir),
+        must_contain=["WindowGroupLimit"],
+        must_not=["SinglePartition"],
+    )
+    # 19. bigram novelty: the per-gram df comes from a whole-partition
+    # window (one hash exchange on gram), not a groupBy + self-join
+    # (which would tokenize twice and add a third shuffle)
+    check(
+        "bigram_novelty",
+        R.queries()["bigram_novelty"](spark, sf_dir),
+        must_contain=["Window"],
+        must_not=["SortMergeJoin", "BroadcastHashJoin"],
+    )
 
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
