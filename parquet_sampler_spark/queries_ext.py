@@ -222,6 +222,111 @@ SELECT doc_id, source, rn FROM (
 """
 
 
+_BUCKETED_CACHE: dict = {}
+
+
+def _q_bucketed_join(spark, sf_dir):
+    """Co-bucketed storage join: orders and customer written ONCE per
+    session as catalog tables bucketed by custkey (the shuffle moves to
+    write time), then joined and rolled up per market segment. At this
+    sf the optimizer may still broadcast the small side; at 100 TB —
+    where neither fact broadcasts — the same code plans a SortMergeJoin
+    with ZERO Exchange on either side because both reads are already
+    co-partitioned by the catalog bucket spec. That exchange-free
+    property is pinned (broadcast disabled) in tests/test_bucketing.py;
+    this row puts the bucketed-storage path itself on the correctness
+    surface. Money stays in integer cents (exact under any partial-agg
+    order); the oracle is the plain join+rollup SQL — bucketing never
+    changes results, only exchanges."""
+    import os
+
+    from parquet_sampler_spark.sources.bucketing import (
+        cobucketed_join,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    names = (f"psx_orders_b_{tag}", f"psx_cust_b_{tag}")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BUCKETED_CACHE:
+        o = _t(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "c_custkey"
+        )
+        c = _t(spark, sf_dir, "customer")
+        write_bucketed(
+            o, names[0], ["c_custkey"], num_buckets=8,
+            sort_cols=["c_custkey"],
+        )
+        write_bucketed(
+            c, names[1], ["c_custkey"], num_buckets=8,
+            sort_cols=["c_custkey"],
+        )
+        _BUCKETED_CACHE[key] = names
+    lt, rt = _BUCKETED_CACHE[key]
+    j = cobucketed_join(spark, lt, rt, "c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("revenue_cents"),
+    )
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+_HLL_EPS = 0.05
+
+
+def _q_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch re-aggregation as a query: per-(day, type) HLL
+    sketches of user_id built in one pass, then UNIONED per event_type
+    — distinct users at the coarser level computed from the sketch
+    layer, not by rescanning events. This is THE 100 TB distinct-count
+    architecture: the per-day sketches are a precomputed cube; any
+    rollup (weekly, per-type, global) is a cheap `hll_union_agg` over
+    kilobyte sketches, where `countDistinct` would need a full shuffle
+    of raw user_ids per query. Oracle pattern as approx_distinct: the
+    merged estimate is engine-specific, so the output carries the
+    exact per-type distinct plus a `within_bound` boolean (|est−exact|
+    /exact < 0.05 vs the default sketch's ~1.6% rsd; deterministic —
+    Spark's sketch hashing has no RNG), which the SQL oracle asserts
+    TRUE. The union==global-sketch equivalence itself is pinned in
+    tests/test_sketches.py."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            / F.col("exact_users")
+            < _HLL_EPS
+        ).alias("within_bound"),
+    )
+
+
+_SQL_HLL_ROLLUP = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 _HH_K = 30
 
 
@@ -1143,6 +1248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota": _q_source_quota,
         "bigram_novelty": _q_bigram_novelty,
         "heavy_hitters": _q_heavy_hitters,
+        "hll_rollup": _q_hll_rollup,
+        "bucketed_join": _q_bucketed_join,
         "simhash_pairs_capped": _q_simhash_pairs_capped,
         "sample_weighted": _q_sample_weighted,
         "range_join_events": _q_range_join_events,
@@ -1210,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quota": _sql_source_quota(),
         "bigram_novelty": _sql_bigram_novelty(),
         "heavy_hitters": _SQL_HEAVY_HITTERS,
+        "hll_rollup": _SQL_HLL_ROLLUP,
+        "bucketed_join": _SQL_BUCKETED_JOIN,
         "simhash_pairs_capped": _sql_simhash_pairs(
             max_band_df=_SIMHASH_BAND_CAP
         ),
