@@ -249,6 +249,21 @@ def _q_bucketed_join(spark, sf_dir):
     names = (f"psx_orders_b_{tag}", f"psx_cust_b_{tag}")
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED_CACHE:
+        import shutil
+        from urllib.parse import urlparse
+
+        # the warehouse DIRECTORY outlives the session catalog: a table
+        # written by an earlier session is gone from this catalog but
+        # its location remains, and saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS — drop both the entry and the dir
+        warehouse = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir")
+        ).path
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            loc = os.path.join(warehouse, name.lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
         o = _t(spark, sf_dir, "orders").withColumnRenamed(
             "o_custkey", "c_custkey"
         )
