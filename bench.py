@@ -51,6 +51,12 @@ def main() -> None:
     queries_ext._dup_graph_cached(spark, sf_dir).count()
     times["setup_dup_graph"] = round(time.perf_counter() - t0, 4)
 
+    # ... and the co-bucketed catalog tables (one-time write-side
+    # shuffle; bucketed_join's row should time the exchange-free read)
+    t0 = time.perf_counter()
+    queries_ext._q_bucketed_join(spark, sf_dir).count()
+    times["setup_bucketed_tables"] = round(time.perf_counter() - t0, 4)
+
     # Same for the shared CDC merge result (merge_upsert + diff_snapshots):
     # alphabetical order would otherwise charge the merge build to diff.
     from parquet_sampler_spark import queries_olap
