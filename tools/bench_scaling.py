@@ -57,7 +57,8 @@ SF1_QUERIES = {
     # full star schema at sf1 (amplify_star keeps join integrity)
     "sample_lineitem", "semijoin_orders", "semijoin_customer",
     "semijoin_part", "semijoin_supplier", "pricing_summary",
-    "topk_orders", "percentiles", "tpch_q3", "tpch_q6", "tpch_q18",
+    "topk_orders", "percentiles", "hll_rollup", "bucketed_join",
+    *[f"tpch_q{i}" for i in range(2, 23)],
 }
 
 # the most expensive entries of BENCH_r02 — the queries whose growth
