@@ -59,6 +59,11 @@ SF1_QUERIES = {
     "semijoin_part", "semijoin_supplier", "pricing_summary",
     "topk_orders", "percentiles", "hll_rollup", "bucketed_join",
     *[f"tpch_q{i}" for i in range(2, 23)],
+    "corpus_pipeline", "sessionize", "window_suite", "salted_agg_events",
+    "rolling_window_events", "gap_fill_events", "value_histogram",
+    "events_multi_rollup", "funnel", "text_clean", "vocab_topk",
+    "sequence_pack", "asof_attribution", "range_join_events",
+    "events_hourly",
 }
 
 # the most expensive entries of BENCH_r02 — the queries whose growth
