@@ -64,6 +64,8 @@ SF1_QUERIES = {
     "events_multi_rollup", "funnel", "text_clean", "vocab_topk",
     "sequence_pack", "asof_attribution", "range_join_events",
     "events_hourly",
+    "sample_stratified", "sample_order_preserving", "sample_weighted",
+    "dataset_split", "edit_distance_pairs", "decontaminated",
 }
 
 # the most expensive entries of BENCH_r02 — the queries whose growth
