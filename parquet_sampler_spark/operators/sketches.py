@@ -69,6 +69,13 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     twice: once for summaries, once for verification. The threshold
     compare stays in exact BIGINT arithmetic (``count * k > n``, never
     a float fraction), so engine-portable oracles compare bit-for-bit.
+
+    Float columns: NULL rows are excluded from ``n`` but NaN rows are
+    NOT (Spark's ``isNotNull`` keeps NaN), and a globally-heavy NaN is
+    reported as a key like any other — canonicalized in the sketch
+    phase (NaN objects compare unequal to themselves, so naive dict
+    counting would fragment it) and counted once in the verify phase
+    via Spark's NaN-equality join/groupBy semantics.
     """
     if k < 2:
         raise ValueError(f"heavy_hitters needs k >= 2, got {k}")
@@ -89,19 +96,49 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     def local_summary(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
+        # Canonical NaN for Misra-Gries dict keys: distinct float NaN
+        # objects hash alike but compare unequal, so without mapping
+        # every batch's NaN to ONE object the summary would fragment a
+        # genuinely-heavy NaN key across dict entries. The singleton
+        # must be LOCAL to this invocation — a module-level constant
+        # would be cloudpickled by value into this closure while
+        # helper functions resolve the worker module's own copy, and
+        # NaN identity does not survive that split (found the hard
+        # way: `pop` missed and the marker row silently never fired).
+        canon_nan = float("nan")
         counters: dict = {}
         n_part = 0
         for b in batches:
             n_part += len(b)
-            vc = b["__hh_key"].value_counts()
+            # dropna=False: Spark's isNotNull keeps float NaN, so a
+            # globally-heavy NaN key must be proposed like any other —
+            # default value_counts would silently drop it from every
+            # partition summary while still counting it in n
+            vc = b["__hh_key"].value_counts(dropna=False)
             for key, c in vc.items():
+                if key is None or key is pd.NaT:
+                    # true nulls never reach here (isNotNull upstream);
+                    # guard anyway so the marker row stays unambiguous
+                    continue
+                if isinstance(key, float) and key != key:  # NaN
+                    key = canon_nan
                 _mg_update(counters, key, int(c), k - 1)
+        # NaN cannot ride the key column: object-dtype pandas → Arrow
+        # maps BOTH None and NaN to null, which would collide with the
+        # row-count marker. Carry NaN candidacy as a second marker row
+        # (key=None, __hh_n=-1) and let the driver re-materialize it.
+        nan_rows = (
+            [-1] if counters.pop(canon_nan, None) is not None else []
+        )
         keys = list(counters.keys())
         yield pd.DataFrame(
             {
-                "__hh_key": pd.Series(keys + [None], dtype=object),
+                "__hh_key": pd.Series(
+                    keys + [None] * (1 + len(nan_rows)), dtype=object
+                ),
                 "__hh_n": pd.Series(
-                    [None] * len(keys) + [n_part], dtype="object"
+                    [None] * len(keys) + [n_part] + nan_rows,
+                    dtype="object",
                 ),
             }
         )
@@ -114,16 +151,29 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     rows = src.mapInPandas(
         local_summary, schema=summary_schema
     ).collect()
-    n = sum(r["__hh_n"] for r in rows if r["__hh_n"] is not None)
+    n = sum(
+        r["__hh_n"] for r in rows
+        if r["__hh_n"] is not None and r["__hh_n"] >= 0
+    )
     keys = sorted({r["__hh_key"] for r in rows if r["__hh_key"] is not None})
+    # a -1 marker from any partition proposes NaN as a candidate; the
+    # verify join relies on Spark's NaN-equality semantics (NaN = NaN
+    # is true in join keys and groupBy), so NaN gets one exact count
+    # like any other key. createDataFrame's pickle path preserves NaN.
+    nan_candidate = any(
+        r["__hh_n"] is not None and r["__hh_n"] < 0 for r in rows
+    )
+    cand_rows = [(key,) for key in keys]
+    if nan_candidate:
+        cand_rows.append((float("nan"),))
     spark = df.sparkSession
-    if not keys:
+    if not cand_rows:
         empty = spark.createDataFrame([], schema=T.StructType(
             [key_field, T.StructField("cnt", T.LongType(), False)]
         ))
         return empty.withColumnRenamed("__hh_key", col)
     candidates = spark.createDataFrame(
-        [(key,) for key in keys], schema=T.StructType([key_field])
+        cand_rows, schema=T.StructType([key_field])
     )
     return (
         src.join(F.broadcast(candidates), "__hh_key")

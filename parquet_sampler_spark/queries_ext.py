@@ -245,9 +245,21 @@ def _q_bucketed_join(spark, sf_dir):
         write_bucketed,
     )
 
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    import hashlib
+
+    # tag derives from the FULL normalized path, matching the cache
+    # key (ADVICE r06): two sf_dirs sharing a basename in one session
+    # must map to distinct catalog tables, or the second build would
+    # rmtree and repopulate the first entry's warehouse dirs while its
+    # cached reader still points at them. Basename kept for
+    # readability; the path hash carries the uniqueness.
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    tag = "{}_{}".format(
+        os.path.basename(norm).replace(".", "_"),
+        hashlib.sha1(norm.encode()).hexdigest()[:8],
+    )
     names = (f"psx_orders_b_{tag}", f"psx_cust_b_{tag}")
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, norm)
     if key not in _BUCKETED_CACHE:
         import shutil
         from urllib.parse import urlparse
@@ -313,7 +325,15 @@ def _q_hll_rollup(spark, sf_dir):
     /exact < 0.05 vs the default sketch's ~1.6% rsd; deterministic —
     Spark's sketch hashing has no RNG), which the SQL oracle asserts
     TRUE. The union==global-sketch equivalence itself is pinned in
-    tests/test_sketches.py."""
+    tests/test_sketches.py.
+
+    Triage note (ADVICE r06): the estimate is deterministic PER
+    CARDINALITY, so this row is a pinned determinism check, not a
+    statistical one. If it turns red right after a data-gen change,
+    the likely cause is a per-type cardinality whose sketch error
+    lands outside the 5% envelope (a >3-sigma draw vs the ~1.6% rsd
+    sketch) — re-tune ``_HLL_EPS``; a red WITHOUT a data change is a
+    real regression."""
     e = _events(spark, sf_dir)
     daily = e.groupBy(
         F.to_date("ts").alias("day"), "event_type"
@@ -638,7 +658,20 @@ def _dup_graph_cached(spark, sf_dir):
     O(Σ_shingle df²) — measured at the local sf1 amplification (50k
     docs), 3.1 s vs 168 s, whose 0.1→1 step is flagged super-linear
     (α 1.84) because this corpus's uniformly-hot vocabulary makes every
-    shingle's join group quadratic."""
+    shingle's join group quadratic.
+
+    Triage escape hatch (ADVICE r06): setting ``PSX_EXACT_PAIR_GRAPH=1``
+    in the environment swaps every consumer of this graph back onto the
+    exact inverted-index join WITHOUT code edits — if a downstream row
+    (dup_clusters / cluster_dedup / pagerank_dups / minhash_pairs /
+    jaccard_dedup) goes red on a new corpus, re-running with the flag
+    distinguishes "LSH recall lost a marginal pair" (flag turns it
+    green) from a real operator bug (stays red)."""
+    import os
+
+    exact = os.environ.get("PSX_EXACT_PAIR_GRAPH", "") not in ("", "0")
+    if exact:
+        return _jaccard_pairs_cached(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir, "lsh")
     if key not in _PAIRS_CACHE:
         _PAIRS_CACHE[key] = minhash_lsh_pairs(
@@ -654,9 +687,89 @@ _SQL_JACCARD_PAIRS = (
 )
 
 
+# Document-frequency cap for the capped Jaccard surface. Sized like
+# _SIMHASH_BAND_CAP: an ABSOLUTE per-shingle bound, so the join work
+# per shingle is O(cap²) regardless of corpus size — the mitigation
+# for the measured alpha-1.84 sf0.1→sf1 super-linearity of the exact
+# join (SCALING.md: Σdf² candidate growth). 42 BINDS at sf0.01 (df
+# runs 1..46 there), so the capped semantics — under-estimated
+# jaccard over an exact union denominator — are exercised and
+# value-hash-proven on the driver's correctness surface, not just at
+# scale. On THIS corpus's uniformly-hot vocabulary df grows linearly
+# with doc count, so at sf0.1+ every shingle is over-cap and the row
+# returns 0 pairs: the documented recall trade of an absolute df cap
+# on a corpus whose duplicate evidence is globally hot (same shape as
+# simhash_pairs_capped's hot-bucket cap). Zipfian real corpora keep
+# their rare-shingle evidence under the cap; here the exact surface
+# (jaccard_pairs) and the LSH surface (minhash_pairs) carry recall.
+_JACCARD_DF_CAP = 42
+
+
+def _q_jaccard_pairs_capped(spark, sf_dir):
+    """The scale form of jaccard_pairs: hot-shingle-capped exact join
+    (``max_shingle_df`` — shingles over the df cap are dropped from
+    the SELF-JOIN ONLY; set sizes, hence the Jaccard denominator, stay
+    exact, so emitted values are under-estimates and precision is
+    exact). The cap is deterministic, so the oracle replicates it with
+    one GROUP BY ... HAVING over the shingle relation — this row
+    value-hash-proves the capped plan's exact semantics (recall loss
+    included), not just its speed, mirroring simhash_pairs_capped."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=_JACCARD_N, threshold=_JACCARD_T,
+        max_shingle_df=_JACCARD_DF_CAP,
+    )
+
+
+# capped twin of _SQL_SHINGLES2: the df cap filters the self-join's
+# input relation only; sizes still come from the FULL shingle relation
+# so the union denominator matches the operator's exact-denominator
+# contract
+_SQL_SHINGLES2_CAPPED = f"""
+shingles AS (
+  SELECT doc_id, unnest({TX.word_ngrams_sql('text', 2, distinct=True)})
+         AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM shingles
+  GROUP BY shingle HAVING count(*) <= {_JACCARD_DF_CAP}
+),
+jsh AS (SELECT s.* FROM shingles s JOIN rare USING (shingle)),
+jpairs AS (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) /
+         CAST(sa.set_size + sb.set_size - common AS DOUBLE) AS jaccard
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM jsh a JOIN jsh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+"""
+
+_SQL_JACCARD_PAIRS_CAPPED = (
+    f"WITH {_SQL_SHINGLES2_CAPPED} SELECT id_a, id_b, jaccard FROM jpairs "
+    f"WHERE jaccard >= {_JACCARD_T}"
+)
+
+
 def _q_jaccard_dedup(spark, sf_dir):
+    """Greedy keep-first near-dup filter. Rewired (r07) onto the
+    shared LSH pair graph (`_dup_graph_cached`) — the registered scale
+    path, O(docs × bands) instead of the exact join's Σdf² — while the
+    ORACLE stays the exact-pairs SQL: on this corpus the LSH candidate
+    set is output-identical to the exact join (pinned every round by
+    minhash_pairs' value-hash row, whose oracle IS the exact-pairs
+    SQL), so a hash-green here proves the rewiring lost nothing.
+    ``PSX_EXACT_PAIR_GRAPH=1`` swaps back to the exact join for
+    triage; jaccard_pairs remains the guaranteed-exact surface."""
     d = _t(spark, sf_dir, "documents")
-    losers = _jaccard_pairs_cached(spark, sf_dir) \
+    losers = _dup_graph_cached(spark, sf_dir) \
         .select(F.col("id_b").alias("doc_id")).distinct()
     return d.join(losers, "doc_id", "left_anti")
 
@@ -1236,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1257,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_multi_rollup": _q_events_multi_rollup,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sessionize": _q_streaming_sessionize,
+        "streaming_sessionize_native": _q_streaming_sessionize_native,
         "streaming_dedup": _q_streaming_dedup,
         "streaming_attribution": _q_streaming_attribution,
         "streaming_reservoir": _q_streaming_reservoir,
@@ -1308,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _sql_doc_fingerprint(),
         "dedup_exact": _SQL_DEDUP_EXACT,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
+        "jaccard_pairs_capped": _SQL_JACCARD_PAIRS_CAPPED,
         "jaccard_dedup": _SQL_JACCARD_DEDUP,
         "embedding_neardup": _sql_embedding_neardup(),
         "embedding_neardup_block": _sql_embedding_neardup_block(),
@@ -1326,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
+        "streaming_sessionize_native": _SQL_STREAMING_SESSIONIZE,
         "streaming_dedup": _SQL_STREAMING_DEDUP,
         "streaming_attribution": _SQL_STREAMING_ATTRIBUTION,
         "streaming_reservoir": _sql_streaming_reservoir(),
@@ -2172,6 +2289,30 @@ def _q_streaming_sessionize(spark, sf_dir):
     watermark-driven timeout close, cross-batch merge — agrees with
     batch SQL on identical input, the same streaming/batch parity the
     ``streaming_hourly`` row establishes for windowed aggregation."""
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    with _stream_shuffle(spark):
+        stream = _sentinel_sessionize_stream(spark, sf_dir)
+        sessions = sessionize_stream(
+            stream, gap_minutes=30, event_time_timeout=True
+        )
+        name = f"psx_stream_sessions_{next(_STREAM_SEQ)}"
+        q = (
+            sessions.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+def _sentinel_sessionize_stream(spark, sf_dir):
+    """Shared source for the two streaming sessionizers: the events
+    parquet replayed as a watermarked file stream plus a SENTINEL
+    event one gap + watermark-delay + margin past the last real event,
+    staged as a second (younger-mtime) file so it lands in a later
+    micro-batch — advancing the watermark past every real session's
+    ``last_event + gap`` and letting the GAP RULE itself close them
+    before the availableNow drain finishes."""
     import os
 
     import pyarrow as pa
@@ -2179,7 +2320,6 @@ def _q_streaming_sessionize(spark, sf_dir):
     import pyarrow.parquet as pq
 
     from parquet_sampler_spark.streaming.sampling import read_event_stream
-    from parquet_sampler_spark.streaming.stateful import sessionize_stream
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     events_path = f"{sf_dir}/events.parquet"
@@ -2223,15 +2363,47 @@ def _q_streaming_sessionize(spark, sf_dir):
     # its floor (nothing late-dropped), and the sentinel batch then
     # advances the watermark, firing every real session's timeout.
     os.utime(os.path.join(src, "b_sentinel.parquet"))
+    return read_event_stream(spark, src).withWatermark("ts", "1 minute")
 
+
+def _q_streaming_sessionize_native(spark, sf_dir):
+    """JVM-NATIVE streaming sessionization (VERDICT r06 task 3):
+    Spark's built-in ``session_window`` aggregation — public API since
+    3.2 — computes per-user gap sessions entirely inside the JVM state
+    store: no ``applyInPandasWithState``, no per-event Python state
+    fold, no Arrow state round-trips. Same sentinel source and the
+    SAME batch gaps-and-islands oracle as ``streaming_sessionize``
+    (which stays registered as the arbitrary-state capability
+    surface). Session bounds are emitted as min/max EVENT time, not
+    the window bounds (window end = last_event + gap, which the batch
+    oracle doesn't speak).
+
+    Boundary-semantics note: ``session_window`` merges events whose
+    windows OVERLAP, so an event exactly ``gap`` after its
+    predecessor opens a NEW session (half-open windows), where the
+    stateful fold and the oracle use strict ``> gap``. The two rules
+    differ only on exact-gap ties, which this event stream provably
+    lacks (microsecond jittered timestamps); a corpus with exact-gap
+    events would need the fold's convention shifted by 1 µs."""
     with _stream_shuffle(spark):
-        stream = read_event_stream(spark, src).withWatermark(
-            "ts", "1 minute"
+        stream = _sentinel_sessionize_stream(spark, sf_dir)
+        sessions = (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes"), "user_id"
+            )
+            .agg(
+                F.min("ts").alias("__smin"),
+                F.max("ts").alias("__smax"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros("__smin").alias("session_start_us"),
+                F.unix_micros("__smax").alias("session_end_us"),
+                "n_events",
+            )
         )
-        sessions = sessionize_stream(
-            stream, gap_minutes=30, event_time_timeout=True
-        )
-        name = f"psx_stream_sessions_{next(_STREAM_SEQ)}"
+        name = f"psx_stream_sessions_nat_{next(_STREAM_SEQ)}"
         q = (
             sessions.writeStream.format("memory").queryName(name)
             .outputMode("append").trigger(availableNow=True).start()

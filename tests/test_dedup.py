@@ -372,3 +372,54 @@ def test_simhash_band_df_cap_subset_and_identity(documents):
     assert set(capped) <= set(base)
     for k, v in capped.items():
         assert v == base[k]
+
+
+def test_shingle_df_cap_underestimates_never_false_pairs(documents):
+    """max_shingle_df's contract (the jaccard_pairs_capped surface):
+    per-pair emitted jaccard is an UNDER-estimate of the exact value
+    (cap prunes the intersection count only; the union denominator
+    stays exact), so the capped pair set is a SUBSET of the exact one
+    — precision is structurally exact, recall is what the cap
+    trades."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            documents, "doc_id", "text", n=2, threshold=0.5,
+            max_shingle_df=42,
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
+    # the sf0.01 corpus's df ceiling is 46, so 42 BINDS: at least one
+    # pair's jaccard must actually drop (else the registered capped
+    # row would be exercising nothing)
+    assert any(j < exact[p] - 1e-12 for p, j in capped.items())
+
+
+def test_exact_pair_graph_env_fallback(spark, monkeypatch):
+    """PSX_EXACT_PAIR_GRAPH=1 (ADVICE r06 triage hatch) swaps the
+    shared dup-pair graph from LSH candidates to the exact
+    inverted-index join without code edits; both must produce the
+    same qualifying pairs on this corpus (the empirical equivalence
+    the minhash_pairs oracle pins)."""
+    from parquet_sampler_spark import queries_ext as QX
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("PSX_EXACT_PAIR_GRAPH", raising=False)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in QX._dup_graph_cached(spark, sf).collect()
+    }
+    monkeypatch.setenv("PSX_EXACT_PAIR_GRAPH", "1")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in QX._dup_graph_cached(spark, sf).collect()
+    }
+    assert lsh == exact and lsh

@@ -102,11 +102,18 @@ def test_no_interval_comparisons(oracle_map):
     exact epoch-µs arithmetic instead. The two allowed occurrences are
     value-producing only (the interval lands in an output column or a
     generate_series bound, both pinned by in-SQL comments)."""
+    import re
+
     allowed = {"range_join_events", "gap_fill_events"}
+    # match INTERVAL-literal syntax only (INTERVAL '1 hour' / INTERVAL
+    # 1 HOUR / to_hours(..)-style is fine) — the bare substring match
+    # this replaces (ADVICE r06) also tripped on aliases, string
+    # literals and SQL comments containing the word
+    interval_lit = re.compile(r"\binterval\s+'?\d", re.IGNORECASE)
     offenders = [
         name
         for name, sql in oracle_map.items()
-        if "interval" in sql.lower() and name not in allowed
+        if interval_lit.search(sql) and name not in allowed
     ]
     assert not offenders, (
         "new oracle uses INTERVAL — rewrite comparisons as epoch_us "

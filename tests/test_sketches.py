@@ -140,3 +140,35 @@ def test_heavy_hitters_mg_summary_is_bounded(spark):
     df = spark.createDataFrame(rdd, "term string")
     got = {r.term: r.cnt for r in heavy_hitters(df, "term", 4).collect()}
     assert got == {"hot": 2000}
+
+
+def test_heavy_hitters_float_nan_key(spark):
+    """A globally-heavy float NaN must be reported with its exact
+    count (ADVICE r06): Spark's isNotNull keeps NaN, so it counts
+    toward n and must be proposable as a candidate. The sketch phase
+    canonicalizes NaN (distinct NaN objects compare unequal, which
+    would otherwise fragment its counters) and ships its candidacy on
+    a dedicated marker row because object-dtype pandas -> Arrow maps
+    NaN to null; the verify phase rides Spark's NaN-equality
+    join/groupBy semantics."""
+    from parquet_sampler_spark.operators.sketches import heavy_hitters
+
+    nan = float("nan")
+    # n = 100 non-null rows (NULLs excluded, NaN included), k = 4 ->
+    # threshold 25: NaN (50) and 1.0 (30) qualify, the rest don't
+    rows = (
+        [(nan,)] * 50 + [(1.0,)] * 30 + [(2.0,)] * 5 + [(3.0,)] * 5
+        + [(4.0,)] * 10 + [(None,)] * 40
+    )
+    df = spark.createDataFrame(rows, "v double").repartition(4)
+    got = {
+        ("nan" if r.v != r.v else r.v): r.cnt
+        for r in heavy_hitters(df, "v", 4).collect()
+    }
+    assert got == {"nan": 50, 1.0: 30}
+
+    # below-threshold NaN must NOT appear (the threshold stays exact)
+    rows2 = [(nan,)] * 10 + [(1.0,)] * 90
+    df2 = spark.createDataFrame(rows2, "v double").repartition(4)
+    got2 = {r.v: r.cnt for r in heavy_hitters(df2, "v", 4).collect()}
+    assert got2 == {1.0: 90}
