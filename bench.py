@@ -6,12 +6,28 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with .count() (full plan execution, no driver-side
 collect overhead). A warmup query first absorbs JVM/codegen startup so
 per-query times reflect steady-state execution.
+
+Median protocol (round 7): the whole suite runs
+``$SPARK_GRAFT_BENCH_REPS`` times (default 3) in one session and each
+query's recorded time is the MEDIAN across suite passes — the r5→r6
+cross-round comparison showed a +14% drift on identical code that sat
+inside the measured ±30% single-shot host-noise band, so single-shot
+numbers can't tell a real regression from a noisy neighbor. Session
+caches (pair graphs, IVF model, bucketed tables) persist across
+passes, so pass 2+ measures the same warm state pass 1's queries
+already enjoyed — per-query semantics match the old single-shot
+protocol; the median just suppresses scheduler noise. The setup_*
+rows are the exception: their build happens ONCE per session (later
+passes hit the cache at ~0 s), so they record the PASS-1 cost — the
+real price of the build — not the median. Raw per-pass times land in
+BENCH_LOCAL.json (``raw`` key) for mover attribution.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -19,18 +35,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+# rows whose cost is a one-time session build: record pass-1 time
+SETUP_ROWS = frozenset({
+    "setup_pairs_graph", "setup_dup_graph", "setup_bucketed_tables",
+    "setup_merge_batch", "setup_ivf_model", "setup_streaming",
+})
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    """One full pass over setup rows + every registry query + the
+    composed reference workflow; returns {entry: seconds}."""
     from parquet_sampler_spark import queries as registry
-    from parquet_sampler_spark.session import get_spark
-
-    spark = get_spark("bench")
-
-    # warmup: JVM + codegen + parquet footer caches
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from parquet_sampler_spark import queries_ext, queries_olap
 
     times: dict[str, float] = {}
 
@@ -39,8 +55,6 @@ def main() -> None:
     # cluster_dedup) reuse this persisted graph, and without a setup step
     # the alphabetically-first consumer pays the whole build — r3 showed
     # cluster_dedup absorbing a 3.7x cost that belongs to the graph.
-    from parquet_sampler_spark import queries_ext
-
     t0 = time.perf_counter()
     queries_ext._jaccard_pairs_cached(spark, sf_dir).count()
     times["setup_pairs_graph"] = round(time.perf_counter() - t0, 4)
@@ -59,8 +73,6 @@ def main() -> None:
 
     # Same for the shared CDC merge result (merge_upsert + diff_snapshots):
     # alphabetical order would otherwise charge the merge build to diff.
-    from parquet_sampler_spark import queries_olap
-
     t0 = time.perf_counter()
     queries_olap._q_merge_upsert(spark, sf_dir).count()
     times["setup_merge_batch"] = round(time.perf_counter() - t0, 4)
@@ -130,6 +142,36 @@ def main() -> None:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    from parquet_sampler_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warmup: JVM + codegen + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    passes: list[dict[str, float]] = []
+    for _ in range(reps):
+        passes.append(run_suite(spark, sf_dir))
+
+    names = list(passes[0])
+    times: dict[str, float] = {}
+    for name in names:
+        vals = [p[name] for p in passes]
+        if name in SETUP_ROWS:
+            # the build happens once per session; later passes hit the
+            # cache at ~0 s — the honest cost is the first pass's
+            times[name] = vals[0]
+        else:
+            times[name] = round(statistics.median(vals), 4)
+
     total = round(sum(times.values()), 4)
     payload = {
         "metric": "query_suite_total",
@@ -137,6 +179,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
+        "reps": reps,
+        "protocol": "median-of-reps (setup rows: first pass)",
     }
     print(json.dumps(payload))
     # the driver's tail capture truncates the front of the 100+-entry
@@ -152,7 +196,7 @@ def main() -> None:
         # result (the very data-loss mode this file exists to prevent)
         tmp_path = out_path + ".tmp"
         with open(tmp_path, "w") as f:
-            json.dump(payload, f, indent=1)
+            json.dump({**payload, "raw": passes}, f, indent=1)
         os.replace(tmp_path, out_path)
     except OSError as ex:
         print(
@@ -169,6 +213,7 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(times),
         "sf": float(sf),
+        "reps": reps,
     }))
 
 

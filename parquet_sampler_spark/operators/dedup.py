@@ -740,10 +740,14 @@ def cluster_dedup(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
+    **clusters_kwargs,
 ) -> DataFrame:
     """Keep exactly one row (the min-id representative) per duplicate
-    cluster — the transitive-closure analog of :func:`jaccard_dedup`."""
-    labels = duplicate_clusters(df, pairs, id_col)
+    cluster — the transitive-closure analog of :func:`jaccard_dedup`.
+    Extra keyword args (``checkpoint_dir``, ``checkpoint_interval``,
+    ``max_iterations``, ``on_nonconverged``) pass through to
+    :func:`duplicate_clusters`."""
+    labels = duplicate_clusters(df, pairs, id_col, **clusters_kwargs)
     keep = labels.filter(F.col(id_col) == F.col("cluster")).select(id_col)
     return df.join(keep, id_col, "left_semi")
 

@@ -1938,16 +1938,43 @@ FROM m LEFT JOIN imgcrc ic ON ic.i = m.i
 """
 
 
+def _env_checkpoint() -> dict:
+    """Registered-query-level fault-tolerance toggle (VERDICT r06 task
+    6) for the iterative graph queries (dup_clusters, cluster_dedup,
+    pagerank_dups): set ``PSX_CHECKPOINT_DIR`` to an HDFS/object-store
+    path and their lineage truncation switches from
+    ``localCheckpoint()`` (fast, dies with the executor) to reliable
+    ``checkpoint()`` into that dir — the 100 TB default — with no code
+    edits. ``PSX_CHECKPOINT_INTERVAL`` (default 5) tunes how many
+    label-prop rounds run between truncations; the near-dup graph here
+    converges in fewer than 5 rounds, so exercising the reliable path
+    on this corpus means lowering the interval too (what the pytest
+    does)."""
+    import os
+
+    kw: dict = {}
+    d = os.environ.get("PSX_CHECKPOINT_DIR")
+    if d:
+        kw["checkpoint_dir"] = d
+    iv = os.environ.get("PSX_CHECKPOINT_INTERVAL")
+    if iv:
+        kw["checkpoint_interval"] = int(iv)
+    return kw
+
+
 def _q_dup_clusters(spark, sf_dir):
     """Connected-components duplicate clustering: every doc labeled
     with the min id of its component. Built on the LSH-verified pair
     graph (see :func:`_dup_graph_cached` — identical pairs, linear
-    build; the exact join goes super-linear at the sf1 step)."""
+    build; the exact join goes super-linear at the sf1 step).
+    ``PSX_CHECKPOINT_DIR`` routes lineage truncation to reliable
+    storage (see :func:`_env_checkpoint`)."""
     from parquet_sampler_spark.operators.dedup import duplicate_clusters
 
     d = _t(spark, sf_dir, "documents")
     return duplicate_clusters(
-        d, _dup_graph_cached(spark, sf_dir), "doc_id"
+        d, _dup_graph_cached(spark, sf_dir), "doc_id",
+        **_env_checkpoint(),
     ).select("doc_id", "cluster")
 
 
@@ -2007,7 +2034,10 @@ def _q_cluster_dedup(spark, sf_dir):
     from parquet_sampler_spark.operators.dedup import cluster_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return cluster_dedup(d, _dup_graph_cached(spark, sf_dir), "doc_id")
+    return cluster_dedup(
+        d, _dup_graph_cached(spark, sf_dir), "doc_id",
+        **_env_checkpoint(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3191,9 +3221,12 @@ def _q_pagerank_dups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id")
     )
+    # pagerank truncates every iteration (no interval knob), so only
+    # the reliable-dir half of the env toggle applies
+    ckpt = _env_checkpoint().get("checkpoint_dir")
     return pagerank(
         edges, num_iterations=_PR_ITERS, damping_pct=_PR_DAMP,
-        scale=_PR_SCALE, nodes=d,
+        scale=_PR_SCALE, nodes=d, checkpoint_dir=ckpt,
     ).select(F.col("id").alias("doc_id"), "pr")
 
 

@@ -423,3 +423,36 @@ def test_exact_pair_graph_env_fallback(spark, monkeypatch):
         for r in QX._dup_graph_cached(spark, sf).collect()
     }
     assert lsh == exact and lsh
+
+
+def test_registered_dup_clusters_reliable_checkpoint_e2e(
+    spark, monkeypatch, tmp_path
+):
+    """End-to-end reliable checkpointing on the REGISTERED query
+    (VERDICT r06 task 6): PSX_CHECKPOINT_DIR + PSX_CHECKPOINT_INTERVAL=1
+    route dup_clusters' label-propagation truncation through real
+    checkpoint() files to fixpoint. Asserts (a) identical labels vs the
+    default localCheckpoint run and (b) RDD checkpoint blocks actually
+    landed in the requested dir — proof the reliable path executed, not
+    just that the flag parsed."""
+    from parquet_sampler_spark import queries_ext as QX
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("PSX_CHECKPOINT_DIR", raising=False)
+    monkeypatch.delenv("PSX_CHECKPOINT_INTERVAL", raising=False)
+    base = {
+        r.doc_id: r.cluster
+        for r in QX._q_dup_clusters(spark, sf).collect()
+    }
+
+    ckpt = tmp_path / "reliable_ckpt"
+    monkeypatch.setenv("PSX_CHECKPOINT_DIR", str(ckpt))
+    monkeypatch.setenv("PSX_CHECKPOINT_INTERVAL", "1")
+    reliable = {
+        r.doc_id: r.cluster
+        for r in QX._q_dup_clusters(spark, sf).collect()
+    }
+    assert reliable == base and base
+
+    blocks = [p for p in ckpt.rglob("*") if p.is_file()]
+    assert blocks, "no checkpoint blocks written under PSX_CHECKPOINT_DIR"

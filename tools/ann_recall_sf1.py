@@ -1,0 +1,88 @@
+"""Measure ANN recall@10 at the local sf1 scale (VERDICT r06 task 5).
+
+The recall unit tests pin lsh/ivf against brute force at sf0.01; the
+sf1 SCALING.md rows record *times* only. This tool closes the gap: on
+the 10x jittered embeddings (tools/make_sf1.py — cross-copy exact
+twins deliberately broken, bulk cosine distribution preserved) it
+computes exact brute-force top-10 for NQ queries, then recall@10 of
+
+* lsh_topk at the registry's parameters (4 bits x 16 tables), and
+* ivf_topk at nlist 16, nprobe 6 and 8 (the registry runs nprobe 8),
+
+as |approx-pairs ∩ exact-pairs| / |exact-pairs| over (query, neighbor)
+pairs. Expectation one decade up: IVF recall tracks the probed
+fraction (nprobe/nlist worth of the nearest cells, typically well
+above the raw cell fraction because neighbors concentrate in the
+query's nearest cells); LSH recall follows the banding s-curve of the
+bucket-collision probability — neither should fall off a cliff just
+because the corpus is 10x denser.
+
+Usage: python tools/ann_recall_sf1.py  (prints markdown + one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF1 = REPO / ".scratch" / "sf1"
+NQ = 50
+K = 10
+
+
+def pairs(df) -> set:
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def main() -> int:
+    if not (SF1 / "embeddings.parquet").is_file():
+        raise SystemExit("run tools/make_sf1.py first")
+
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from parquet_sampler_spark.session import get_spark
+
+    spark = get_spark("ann-recall-sf1")
+    e = spark.read.parquet(str(SF1 / "embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < NQ)
+    n = e.count()
+
+    exact = pairs(cosine_topk(e, q, "vec_id", "embedding", k=K))
+
+    results: dict[str, float] = {}
+    lsh = pairs(lsh_topk(
+        e, q, "vec_id", "embedding", k=K, bits=4, tables=16, dim=64,
+        seed=42,
+    ))
+    results["lsh_4x16"] = len(lsh & exact) / len(exact)
+
+    for nprobe in (6, 8):
+        ivf = pairs(ivf_topk(
+            e, q, "vec_id", "embedding", k=K, nlist=16, nprobe=nprobe,
+            seed=42,
+        ))
+        results[f"ivf_16_np{nprobe}"] = len(ivf & exact) / len(exact)
+
+    print(f"corpus: {n} vectors, {NQ} queries, k={K}")
+    print("| variant | recall@10 |")
+    print("|---|---|")
+    for name, r in results.items():
+        print(f"| {name} | {r:.3f} |")
+    print(json.dumps({
+        "metric": "ann_recall_sf1", "n_vectors": n, "nq": NQ, "k": K,
+        "recall": {k2: round(v, 4) for k2, v in results.items()},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -45,28 +45,10 @@ SF1_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
-SF1_QUERIES = {
-    "streaming_sessionize", "streaming_hourly", "cdc_incremental",
-    "merge_upsert", "simhash_pairs", "minhash_pairs", "jaccard_pairs",
-    "pagerank_dups", "dup_clusters", "cluster_dedup", "dedup_exact",
-    "text_stats", "top_terms",
-    "streaming_attribution", "streaming_reservoir", "streaming_dedup",
-    "source_quota", "bigram_novelty", "heavy_hitters",
-    "simhash_pairs_capped",
-    "ann_topk", "ann_lsh", "ann_ivf", "embedding_neardup",
-    # full star schema at sf1 (amplify_star keeps join integrity)
-    "sample_lineitem", "semijoin_orders", "semijoin_customer",
-    "semijoin_part", "semijoin_supplier", "pricing_summary",
-    "topk_orders", "percentiles", "hll_rollup", "bucketed_join",
-    *[f"tpch_q{i}" for i in range(2, 23)],
-    "corpus_pipeline", "sessionize", "window_suite", "salted_agg_events",
-    "rolling_window_events", "gap_fill_events", "value_histogram",
-    "events_multi_rollup", "funnel", "text_clean", "vocab_topk",
-    "sequence_pack", "asof_attribution", "range_join_events",
-    "events_hourly",
-    "sample_stratified", "sample_order_preserving", "sample_weighted",
-    "dataset_split", "edit_distance_pairs", "decontaminated",
-}
+# Round-7: the allowlist that used to live here is gone — the
+# round-6 generator emits the full 10-table star, so EVERY registry
+# query can take an sf1 cell; the file check below is the only gate
+# (a stale 3-table sf1 still degrades to the 3-sf run).
 
 # the most expensive entries of BENCH_r02 — the queries whose growth
 # behavior decides whether the suite survives a scale-up
@@ -100,15 +82,13 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIRS[0][1]}/lineitem.parquet").count()
 
     sf_dirs = list(SF_DIRS)
-    with_sf1 = (
-        all((SF1_DIR / f"{t}.parquet").is_file() for t in SF1_TABLES)
-        and all(n in SF1_QUERIES for n in names)
+    with_sf1 = all(
+        (SF1_DIR / f"{t}.parquet").is_file() for t in SF1_TABLES
     )
     if SF1_DIR.is_dir() and not with_sf1:
         print(
-            "note: .scratch/sf1 present but stale/partial or a query "
-            "is outside the sf1 allowlist — skipping the sf1 column "
-            "(re-run tools/make_sf1.py to refresh)",
+            "note: .scratch/sf1 present but stale/partial — skipping "
+            "the sf1 column (re-run tools/make_sf1.py to refresh)",
             file=sys.stderr,
         )
     if with_sf1:
