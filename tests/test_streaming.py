@@ -849,3 +849,24 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     # key 1 appears TWICE (fresh emit + post-expiry re-emit), the
     # within-delay duplicate at minute 5 is dropped, keys 2/8/9 once
     assert got == [(1, 0), (1, 585), (2, 30), (8, 630), (9, 600)]
+
+
+def test_native_session_window_matches_stateful(spark):
+    """The JVM-native session_window sessionizer (r07) must emit the
+    exact session set the applyInPandasWithState fold emits on the
+    same replayed stream — bounds as min/max EVENT time, counts
+    included. The two implementations share only the sentinel source;
+    state machinery is disjoint (JVM state store vs Python fold), so
+    equality here pins the session semantics, not the plumbing.
+    Boundary caveat: the rules differ on exact-gap ties (>= vs >),
+    which this dataset provably lacks."""
+    from parquet_sampler_spark import queries_ext as QX
+
+    sf = "/root/testdata/sf0.001"
+    stateful = sorted(
+        map(tuple, QX._q_streaming_sessionize(spark, sf).collect())
+    )
+    native = sorted(
+        map(tuple, QX._q_streaming_sessionize_native(spark, sf).collect())
+    )
+    assert native == stateful and native

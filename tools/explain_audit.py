@@ -215,6 +215,17 @@ def main() -> int:
         must_not=["SortMergeJoin", "BroadcastHashJoin"],
     )
 
+    # 20. capped Jaccard (r07): the df-cap prune and the inverted-index
+    # self-join must both stay pure equi-joins — the cap is a groupBy +
+    # join filter, never a nested loop; per-shingle join groups are
+    # bounded at cap² by construction so an equi plan is all it needs
+    check(
+        "jaccard_pairs_capped",
+        R.queries()["jaccard_pairs_capped"](spark, sf_dir),
+        must_contain=["HashAggregate"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
