@@ -598,3 +598,199 @@ def ivf_topk(
                 F.col(_RN).alias("rank"))
     )
 
+
+
+def pq_train_codebooks_numpy(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    m_sub: int,
+    ncodes: int,
+    seed: int,
+    train_rows: int = 4096,
+    train_max_iter: int = 20,
+) -> np.ndarray:
+    """Exactly :func:`pq_topk`'s codebook fit, from in-memory arrays:
+    portable Lehmer sketch selection (smallest hash of the id, ties by
+    id — identical to :func:`ivf_train_centroids_numpy`), then one
+    seeded Lloyd fit PER SUBSPACE (seed + 1000·m, so subspace fits are
+    independent streams). Returns ``(m_sub, ncodes, dim // m_sub)``
+    float64 codebooks. The DuckDB oracle builder calls this on the raw
+    parquet to reproduce the operator's codebooks bit-for-bit without
+    a Spark session."""
+    from parquet_sampler_spark.functions.hashing import (
+        COLUMN_MULTIPLIERS,
+        MODULUS,
+        _seed_params,
+    )
+
+    sm, sa = _seed_params(seed)
+    ids = np.asarray(ids, dtype=np.int64)
+    h = (ids * COLUMN_MULTIPLIERS[0] % MODULUS * sm + sa) % MODULUS
+    order = np.lexsort((ids, h))[:train_rows]
+    X = np.asarray(vecs, dtype=np.float64)[order]
+    dim = X.shape[1]
+    if dim % m_sub != 0:
+        raise ValueError(
+            f"pq: vector dim {dim} not divisible by m_sub {m_sub}"
+        )
+    dsub = dim // m_sub
+    return np.stack([
+        _lloyd_kmeans(
+            X[:, mi * dsub:(mi + 1) * dsub],
+            min(ncodes, len(X)), seed + 1000 * mi, train_max_iter,
+        )
+        for mi in range(m_sub)
+    ])
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m_sub: int = 8,
+    ncodes: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    model_cache: dict | None = None,
+    cache_key=None,
+    train_rows: int = 4096,
+    train_max_iter: int = 20,
+    broadcast_queries: bool | str = "auto",
+) -> DataFrame:
+    """Product-quantization approximate top-k — the MEMORY-bound ANN
+    architecture: each corpus vector is compressed to ``m_sub`` small
+    codes (8 codes × 4 bits here ≈ 32× smaller than 64 float32
+    components), the scan computes ASYMMETRIC distances from a per-query
+    lookup table over those codes (integer adds — no vector arithmetic
+    against the corpus), and only the ``rerank`` best candidates per
+    query are re-scored with the exact cosine. At 100 TB this is the
+    plan where the corpus no longer fits as raw vectors: codes live in
+    memory / fast storage at bytes-per-vector, raw vectors are fetched
+    only for the top-R rerank.
+
+    Plan shape: codebooks are trained driver-side on the same bounded
+    Lehmer-hash sketch as :func:`ivf_topk` (one TakeOrderedAndProject
+    job) and broadcast; CODE ASSIGNMENT is one Arrow-batched map pass;
+    the ADC scan is a broadcast join of the (tiny) query LUTs against
+    the coded corpus with the score folded JVM-side
+    (``aggregate`` over the code array — no Python in the scan); top-R
+    selection is a per-query ``row_number`` window (WindowGroupLimit:
+    per-partition R-heaps before the shuffle); the exact rerank
+    touches ``|queries| × rerank`` rows only. The deliberate
+    broadcast nested-loop of LUTs × corpus IS the PQ linear scan — the
+    whole point is that the per-pair work is ``m_sub`` integer adds on
+    an 8-byte code, not a 64-float dot.
+
+    Exact-oracle parity: the sketch and per-subspace Lloyd run in
+    shared numpy code (:func:`pq_train_codebooks_numpy`); vectors and
+    codebooks are floor-quantized to integers (``_IVF_QSCALE``), so
+    code assignment and every ADC distance are EXACT int64 arithmetic
+    in both engines, with deterministic tie-breaks (lowest code id;
+    candidate ties by lowest neighbor id); the rerank is the shared
+    left-to-right normalized dot. A DuckDB oracle holding the integer
+    codebook literals reproduces code→LUT→scan→rerank value-for-value.
+
+    Approximation semantics: ADC approximates the raw-vector L2
+    distance (reconstruction error bounded by per-subspace quantizer
+    distortion); the exact-cosine rerank of the top-R repairs ranking
+    differences between raw-L2 and cosine for near-isotropic norms.
+    Zero-norm rows can surface as ADC candidates but are dropped by
+    the rerank join against the normalized relation — same contract as
+    :func:`cosine_topk` / :func:`lsh_topk` / :func:`ivf_topk`.
+    """
+    if model_cache is not None and cache_key in model_cache:
+        codebooks = model_cache[cache_key]
+    else:
+        from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+        sketch = (
+            spread(corpus)
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"),
+                    lehmer_hash([id_col], seed).alias("__h"))
+            .orderBy("__h", "__id")
+            .limit(train_rows)
+            .collect()
+        )
+        codebooks = pq_train_codebooks_numpy(
+            np.array([r["__id"] for r in sketch], dtype=np.int64),
+            np.array([r["__v"] for r in sketch], dtype=np.float64),
+            m_sub, ncodes, seed,
+            train_rows=train_rows, train_max_iter=train_max_iter,
+        )
+        if model_cache is not None:
+            model_cache[cache_key] = codebooks
+
+    cbq = _ivf_quantize(codebooks)  # (m_sub, ncodes, dsub) int64
+    n_codes_eff = cbq.shape[1]
+    dsub = cbq.shape[2]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes_of(vs: pd.Series) -> pd.Series:
+        x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        xs = x.reshape(len(vs), m_sub, dsub)
+        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        # argmin takes the FIRST minimum: ties break to the lowest
+        # code id, mirroring the oracle's ORDER BY dist, code
+        return pd.Series(d.argmin(axis=2).astype("int32").tolist())
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def lut_of(vs: pd.Series) -> pd.Series:
+        x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        xs = x.reshape(len(vs), m_sub, dsub)
+        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(d.reshape(len(vs), -1).tolist())
+
+    coded = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        codes_of(F.col(vec_col)).alias("__codes"),
+    )
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"),
+        lut_of(F.col(vec_col)).alias("__lut"),
+    )
+    bc = broadcast_queries in (True, "auto")
+    small = F.broadcast if bc else (lambda d: d)
+
+    # the PQ scan: every (query, corpus) pair folds m_sub LUT entries
+    # JVM-side (F.get: 0-based array indexing with Column indices)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, mi: acc + F.get(
+            "__lut",
+            (mi * n_codes_eff + F.get("__codes", mi)).cast("int"),
+        ),
+    )
+    scanned = (
+        coded.join(small(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc)
+        .select("query_id", "neighbor_id", "__adc")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        scanned.withColumn(_RN, F.row_number().over(wr))
+        .filter(F.col(_RN) <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = _normalized(queries, id_col, vec_col, "query_id", "__qv")
+    cv = _normalized(corpus, id_col, vec_col, "neighbor_id", "__cv")
+    scored = (
+        cand.join(small(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", _unit_dot("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) <= k)
+        .select("query_id", "neighbor_id", "score",
+                F.col(_RN).alias("rank"))
+    )

@@ -1128,6 +1128,132 @@ SELECT query_id, neighbor_id, score, rank FROM (
     return sql
 
 
+_PQ_M, _PQ_NCODES, _PQ_RERANK, _PQ_SEED = 16, 16, 100, 42
+_PQ_MODEL_CACHE: dict = {}
+_PQ_SQL_CACHE: dict = {}
+
+
+def _q_ann_pq(spark, sf_dir):
+    """Product-quantization approximate top-k (similarity.pq_topk) —
+    the memory-bound ANN architecture: 16 codes × 4 bits per vector
+    (32× smaller than the raw float32s), per-query integer
+    lookup-table scan over the codes, exact cosine rerank of the top
+    100. Full value-hash oracle: codebook training is the shared
+    sketch + per-subspace seeded Lloyd (pq_train_codebooks_numpy, the
+    oracle builder re-runs it on the raw parquet and inlines integer
+    codebook literals), assignment and every ADC distance are exact
+    int64 arithmetic in both engines, and the rerank is the shared
+    left-to-right normalized dot. Recall at these params measured 0.96
+    at sf0.01 / pinned ≥0.8 in tests; the isotropic testdata is PQ's
+    worst case (no subspace structure to exploit) — clustered real
+    embeddings do better."""
+    from parquet_sampler_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K, m_sub=_PQ_M, ncodes=_PQ_NCODES, rerank=_PQ_RERANK,
+        seed=_PQ_SEED, model_cache=_PQ_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir,
+                   _PQ_M, _PQ_NCODES, _PQ_SEED),
+    )
+
+
+def _sql_ann_pq() -> str:
+    """DuckDB twin of _q_ann_pq, built like _sql_ann_ivf: the codebooks
+    depend on the corpus, so the builder re-runs the operator's exact
+    sketch + per-subspace Lloyd fit via pq_train_codebooks_numpy on
+    the raw parquet for $SPARK_GRAFT_ORACLE_SF_DIR and inlines the
+    floor-quantized integer codebooks as VALUES literals. Code
+    assignment, the per-query LUT, and the ADC fold all compare int64
+    values (exact in both engines, ties to the lowest code / neighbor
+    id); the rerank is the shared normalized left-to-right dot."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.similarity import (
+        _IVF_QSCALE,
+        pq_train_codebooks_numpy,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _PQ_SQL_CACHE:
+        return _PQ_SQL_CACHE[sf_dir]
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cbs = pq_train_codebooks_numpy(
+        ids, vecs, m_sub=_PQ_M, ncodes=_PQ_NCODES, seed=_PQ_SEED
+    )
+    cbq = np.floor(cbs * _IVF_QSCALE).astype(np.int64)
+    dsub = cbq.shape[2]
+    rows = ",\n".join(
+        f"({mi}, {j}, [{', '.join(str(int(x)) for x in cbq[mi, j])}]"
+        f"::BIGINT[])"
+        for mi in range(cbq.shape[0])
+        for j in range(cbq.shape[1])
+    )
+    # per-(vector, subspace, code) int64 squared distance over the
+    # subvector slice v[m*dsub+1 .. (m+1)*dsub]
+    sqd = (f"list_sum(list_transform(range(1, {dsub} + 1), "
+           f"j -> (v[cb.m * {dsub} + j] - cv[j]) "
+           f"* (v[cb.m * {dsub} + j] - cv[j])))")
+    cos = unit_dot_sql("q.v", "c.v")
+    sql = f"""
+WITH {normalized_cte_sql()},
+cb(m, code, cv) AS (VALUES
+{rows}
+),
+vi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QSCALE})
+                       AS BIGINT)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vi.vec_id, cb.m, cb.code, {sqd} AS d
+  FROM vi CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, code) AS rn
+    FROM sub) WHERE rn = 1
+),
+adc AS (
+  SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(s.d) AS approx
+  FROM codes c JOIN sub s ON s.m = c.m AND s.code = c.code
+  WHERE s.vec_id < {_ANN_NQ} AND s.vec_id != c.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {_PQ_RERANK}
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS score,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {cos} DESC, cand.neighbor_id) AS rank
+  FROM cand JOIN normed q ON q.vec_id = cand.query_id
+            JOIN normed c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+    _PQ_SQL_CACHE[sf_dir] = sql
+    return sql
+
+
 _ANN_LSH_BITS, _ANN_LSH_TABLES, _ANN_LSH_DIM, _ANN_LSH_SEED = 4, 16, 64, 42
 
 
@@ -1358,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "pricing_summary": _q_pricing_summary,
         "topk_orders": _q_topk_orders,
         "events_hourly": _q_events_hourly,
@@ -1476,6 +1603,17 @@ def oracle_sql() -> dict[str, str]:
     # if that dir is absent (unusual environment), degrade the one
     # query to a rows-only check instead of breaking the whole oracle
     # contract (queries() consults oracle_sql() for capture ordering)
+    # ann_pq shares ann_ivf's degrade contract (trained oracle)
+    try:
+        out["ann_pq"] = _sql_ann_pq()
+    except Exception as ex:  # noqa: BLE001 — same contract as ann_ivf
+        import sys
+
+        print(
+            f"warning: ann_pq oracle unavailable ({ex!r}); "
+            "degrading to rows-only",
+            file=sys.stderr,
+        )
     try:
         out["ann_ivf"] = _sql_ann_ivf()
     except Exception as ex:  # noqa: BLE001 — pyarrow raises

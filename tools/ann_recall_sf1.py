@@ -72,6 +72,14 @@ def main() -> int:
         ))
         results[f"ivf_16_np{nprobe}"] = len(ivf & exact) / len(exact)
 
+    from parquet_sampler_spark.operators.similarity import pq_topk
+
+    pq_res = pairs(pq_topk(
+        e, q, "vec_id", "embedding", k=K, m_sub=16, ncodes=16,
+        rerank=100, seed=42,
+    ))
+    results["pq_16x16_rr100"] = len(pq_res & exact) / len(exact)
+
     print(f"corpus: {n} vectors, {NQ} queries, k={K}")
     print("| variant | recall@10 |")
     print("|---|---|")

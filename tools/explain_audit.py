@@ -226,6 +226,18 @@ def main() -> int:
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # 21. PQ ANN (r07): the ADC scan is DELIBERATELY a broadcast
+    # nested-loop of tiny query LUTs against the coded corpus (that IS
+    # the PQ linear scan); what must hold is that top-R selection
+    # rewrites into per-partition R-heaps (WindowGroupLimit) and the
+    # scan never degrades to a non-broadcast cartesian
+    check(
+        "ann_pq",
+        R.queries()["ann_pq"](spark, sf_dir),
+        must_contain=["WindowGroupLimit"],
+        must_not=["CartesianProduct"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
