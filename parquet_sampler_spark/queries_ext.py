@@ -1518,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "cube_pricing": _q_cube_pricing,
         "salted_agg_events": _q_salted_agg_events,
+        "salted_join_orders": _q_salted_join_orders,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
@@ -1591,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "cube_pricing": _SQL_CUBE_PRICING,
         "salted_agg_events": _SQL_SALTED_AGG_EVENTS,
+        "salted_join_orders": _SQL_SALTED_JOIN_ORDERS,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
@@ -3112,6 +3114,41 @@ SELECT event_type,
        count(*) AS n
 FROM events
 GROUP BY event_type
+"""
+
+
+def _q_salted_join_orders(spark, sf_dir):
+    """Hot-key-safe fact⋈dim JOIN as a query (r07, the join twin of
+    salted_agg_events): plans/skew.salted_join gives every orders row
+    a content-deterministic salt in [0, 16) and explodes the customer
+    side 16×, so the join runs on (custkey, salt) and no single
+    reducer ever sees a hot key's full probe set — the explicit remedy
+    when one customer dominates a 100 TB shuffle beyond what AQE's
+    skew-split handles. Result is identical to the plain join (each
+    fact row matches exactly its salt replica), so the oracle IS the
+    plain join+rollup SQL; exact-cents sums make the reduce order
+    irrelevant."""
+    from parquet_sampler_spark.plans.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = salted_join(o, c, "c_custkey")
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+        ).alias("revenue_cents"),
+    )
+
+
+_SQL_SALTED_JOIN_ORDERS = """
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
 """
 
 
