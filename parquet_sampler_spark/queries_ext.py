@@ -1519,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_pricing": _q_cube_pricing,
         "salted_agg_events": _q_salted_agg_events,
         "salted_join_orders": _q_salted_join_orders,
+        "zorder_scan": _q_zorder_scan,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
@@ -1593,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_pricing": _SQL_CUBE_PRICING,
         "salted_agg_events": _SQL_SALTED_AGG_EVENTS,
         "salted_join_orders": _SQL_SALTED_JOIN_ORDERS,
+        "zorder_scan": _SQL_ZORDER_SCAN,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
@@ -3149,6 +3151,60 @@ SELECT c_nationkey, count(*) AS n_orders,
          AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
+"""
+
+
+_ZORDER_CACHE: dict = {}
+
+
+def _q_zorder_scan(spark, sf_dir):
+    """OPTIMIZE ZORDER BY on the correctness surface (r07): events
+    written ONCE per (session, sf_dir) z-order-clustered on
+    (user_id, value) — plans/layout.cluster_by_zorder interleaves the
+    two columns' scaled bit planes into a Morton key, range-partitions
+    into 16 files — then scanned back with a 2-D box predicate.
+    Layout maintenance changes BYTES, never rows, so the oracle is the
+    same box filter on the RAW table: a hash-green row proves the
+    rewrite is lossless end-to-end (values, timestamps, nulls). The
+    scale property — a box on EITHER clustered column overlaps few
+    files' min/max ranges, so a 100 TB scan reads ∝ selectivity —
+    is pinned separately by the footer-overlap test in
+    tests/test_scale_smoke.py; the plan audit pins that both box
+    conjuncts reach the parquet reader as PushedFilters."""
+    import hashlib
+    import os
+
+    from parquet_sampler_spark.plans.layout import cluster_by_zorder
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    key = (spark.sparkContext.applicationId, norm)
+    # re-validate the cached dir: clear_caches() rmtree's the session
+    # tmp roots, so a cache hit must re-check the bytes are still there
+    if key not in _ZORDER_CACHE or not os.path.isdir(_ZORDER_CACHE[key]):
+        tag = hashlib.sha1(norm.encode()).hexdigest()[:8]
+        out = os.path.join(
+            session_tmp_dir(spark, "zorder_events"), tag
+        )
+        write_parquet(
+            cluster_by_zorder(
+                _events(spark, sf_dir), ["user_id", "value"],
+                num_files=16,
+            ),
+            out,
+        )
+        _ZORDER_CACHE[key] = out
+    z = spark.read.parquet(_ZORDER_CACHE[key])
+    return z.filter(
+        (F.col("user_id") <= 50)
+        & (F.col("value") >= 100.0) & (F.col("value") <= 200.0)
+    )
+
+
+_SQL_ZORDER_SCAN = """
+SELECT * FROM events
+WHERE user_id <= 50 AND value >= 100.0 AND value <= 200.0
 """
 
 

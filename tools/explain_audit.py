@@ -226,6 +226,15 @@ def main() -> int:
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # 22. z-ordered scan (r07): both box conjuncts must reach the
+    # parquet reader (PushedFilters) — that is what turns the Morton
+    # layout's per-file min/max ranges into actual skipped IO
+    check(
+        "zorder_scan",
+        R.queries()["zorder_scan"](spark, sf_dir),
+        must_contain=["PushedFilters: ["],
+    )
+
     # 21. PQ ANN (r07): the ADC scan is DELIBERATELY a broadcast
     # nested-loop of tiny query LUTs against the coded corpus (that IS
     # the PQ linear scan); what must hold is that top-R selection
