@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -181,4 +182,113 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") * k > F.lit(n))
         .select(F.col("__hh_key").alias(col), "cnt")
+    )
+
+
+def quantile_summaries(
+    df: DataFrame,
+    group_cols: list[str],
+    sub_cols: list[str],
+    value_col: str,
+    cap: int = 512,
+) -> DataFrame:
+    """Mergeable per-(group, sub) quantile summaries — the quantile
+    analog of per-day HLL sketches: a deterministic rank-grid
+    subsample of each (group ∪ sub) partition's sorted values, each
+    kept value carrying weight ``n / min(n, cap)``. Any union of
+    summaries answers any quantile over the union of their inputs via
+    a weighted-rank lookup (:func:`merged_quantiles`), with rank error
+    at most ``1/(2·cap)`` of each contributing partition's rows —
+    re-aggregation without rescanning, which is what replaces exact
+    per-group sorts at 100 TB (exact percentiles are not mergeable;
+    these are, associatively).
+
+    Determinism: the subsample picks ranks ``floor((i + 0.5)·n/cap)``
+    of the SORTED values (ties included in sort order), so identical
+    input yields identical summaries — no RNG, engine-portable.
+    NULLs are excluded (SQL aggregate convention).
+
+    Output: group_cols + sub_cols + ``vals array<double>`` +
+    ``weight double`` (rows represented by each kept value).
+    """
+    if cap < 2:
+        raise ValueError(f"quantile_summaries needs cap >= 2, got {cap}")
+    keys = list(group_cols) + list(sub_cols)
+    src = df.select(
+        *keys, F.col(value_col).cast("double").alias("__qv")
+    ).filter(F.col("__qv").isNotNull())
+
+    out_schema = T.StructType(
+        [src.schema[k] for k in keys]
+        + [
+            T.StructField("vals", T.ArrayType(T.DoubleType()), False),
+            T.StructField("weight", T.DoubleType(), False),
+        ]
+    )
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["__qv"].to_numpy(dtype=np.float64))
+        n = len(v)
+        if n == 0:
+            return pdf.iloc[:0][list(keys)].assign(vals=None, weight=None)
+        if n <= cap:
+            kept = v
+            w = 1.0
+        else:
+            idx = np.floor((np.arange(cap) + 0.5) * n / cap).astype(int)
+            kept = v[idx]
+            w = n / cap
+        row = {k: [pdf[k].iat[0]] for k in keys}
+        row["vals"] = [kept.tolist()]
+        row["weight"] = [float(w)]
+        return pd.DataFrame(row)
+
+    return src.groupBy(*keys).applyInPandas(summarize, schema=out_schema)
+
+
+def merged_quantiles(
+    summaries: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+) -> DataFrame:
+    """Merge :func:`quantile_summaries` rows per ``group_cols`` and
+    answer each probability in ``probs`` by weighted rank over the
+    union of summaries (the coarser-rollup read path: kilobyte
+    summaries in, quantiles out, no raw-data rescan).
+
+    Estimate = the smallest kept value whose cumulative weight reaches
+    ``p · total_weight`` (a left-continuous weighted quantile —
+    deterministic, no interpolation, so the estimate is always an
+    actually-observed value)."""
+    probs = list(probs)
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"probs must be within [0, 1], got {probs}")
+
+    qcols = [f"q{int(round(p * 100))}" for p in probs]
+    out_schema = T.StructType(
+        [summaries.schema[k] for k in group_cols]
+        + [T.StructField(c, T.DoubleType(), True) for c in qcols]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate([
+            np.asarray(a, dtype=np.float64) for a in pdf["vals"]
+        ])
+        ws = np.concatenate([
+            np.full(len(a), w, dtype=np.float64)
+            for a, w in zip(pdf["vals"], pdf["weight"])
+        ])
+        order = np.argsort(vals, kind="stable")
+        vals, ws = vals[order], ws[order]
+        cum = np.cumsum(ws)
+        total = cum[-1]
+        row = {k: [pdf[k].iat[0]] for k in group_cols}
+        for p, c in zip(probs, qcols):
+            j = int(np.searchsorted(cum, p * total, side="left"))
+            j = min(j, len(vals) - 1)
+            row[c] = [float(vals[j])]
+        return pd.DataFrame(row)
+
+    return summaries.groupBy(*group_cols).applyInPandas(
+        merge, schema=out_schema
     )

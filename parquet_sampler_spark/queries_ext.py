@@ -362,6 +362,88 @@ FROM events GROUP BY event_type
 """
 
 
+_QR_CAP = 512
+_QR_EPS = 0.01
+
+
+def _q_quantile_rollup(spark, sf_dir):
+    """Mergeable-quantile re-aggregation as a query — the percentile
+    analog of hll_rollup: per-(day, event_type) rank-grid summaries of
+    ``value`` built in one pass (operators/sketches.quantile_summaries,
+    cap 512, deterministic — no RNG), then MERGED per event_type and
+    read out as p50/p90 (merged_quantiles) — quantiles at the coarser
+    level computed from the kilobyte summary layer, not by rescanning
+    events. This is THE 100 TB percentile architecture: exact
+    percentiles are not mergeable (they need the full sorted data per
+    regroup), these summaries are, associatively.
+
+    Oracle pattern as approx_distinct/hll_rollup: the merged estimate
+    is a weighted order statistic of the summary layer, so the output
+    carries the EXACT per-type p50/p90 (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, proven bit-exact by the percentiles row)
+    plus within-bound booleans computed in RANK space Spark-side —
+    the exact rank of each estimate must sit within ``eps`` (1%) of
+    the target probability; the summary guarantees ≤ 1/(2·cap) ≈ 0.1%
+    per contributing day, so 1% is a 10× envelope — which the SQL
+    oracle asserts TRUE. Deterministic end-to-end; a red after a
+    data-gen change means re-tune ``_QR_EPS``, not a regression."""
+    from parquet_sampler_spark.operators.sketches import (
+        merged_quantiles,
+        quantile_summaries,
+    )
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.to_date("ts").alias("__day"), "value"
+    )
+    summ = quantile_summaries(
+        e, ["event_type"], ["__day"], "value", cap=_QR_CAP
+    )
+    est = merged_quantiles(summ, ["event_type"], [0.5, 0.9])
+
+    checked = (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(F.col("value") < F.col("q50"), 1)
+                  .otherwise(0)).alias("__lt50"),
+            F.sum(F.when(F.col("value") <= F.col("q50"), 1)
+                  .otherwise(0)).alias("__le50"),
+            F.sum(F.when(F.col("value") < F.col("q90"), 1)
+                  .otherwise(0)).alias("__lt90"),
+            F.sum(F.when(F.col("value") <= F.col("q90"), 1)
+                  .otherwise(0)).alias("__le90"),
+        )
+    )
+    exact = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("exact_p50"),
+        F.percentile("value", 0.9).alias("exact_p90"),
+    )
+
+    def within(lt, le, p):
+        return (
+            (F.col(lt) / F.col("__n") - _QR_EPS <= p)
+            & (p <= F.col(le) / F.col("__n") + _QR_EPS)
+        )
+
+    return exact.join(checked, "event_type").select(
+        "event_type", "exact_p50", "exact_p90",
+        within("__lt50", "__le50", 0.5).alias("within_p50"),
+        within("__lt90", "__le90", 0.9).alias("within_p90"),
+    )
+
+
+_SQL_QUANTILE_ROLLUP = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS exact_p50,
+       quantile_cont(value, 0.9) AS exact_p90,
+       TRUE AS within_p50,
+       TRUE AS within_p90
+FROM events
+GROUP BY event_type
+"""
+
+
 _HH_K = 30
 
 
@@ -1506,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_novelty": _q_bigram_novelty,
         "heavy_hitters": _q_heavy_hitters,
         "hll_rollup": _q_hll_rollup,
+        "quantile_rollup": _q_quantile_rollup,
         "bucketed_join": _q_bucketed_join,
         "simhash_pairs_capped": _q_simhash_pairs_capped,
         "sample_weighted": _q_sample_weighted,
@@ -1579,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_novelty": _sql_bigram_novelty(),
         "heavy_hitters": _SQL_HEAVY_HITTERS,
         "hll_rollup": _SQL_HLL_ROLLUP,
+        "quantile_rollup": _SQL_QUANTILE_ROLLUP,
         "bucketed_join": _SQL_BUCKETED_JOIN,
         "simhash_pairs_capped": _sql_simhash_pairs(
             max_band_df=_SIMHASH_BAND_CAP
