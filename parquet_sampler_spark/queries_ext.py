@@ -1603,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": _q_salted_agg_events,
         "salted_join_orders": _q_salted_join_orders,
         "zorder_scan": _q_zorder_scan,
+        "dq_checks": _q_dq_checks,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
@@ -1679,6 +1680,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg_events": _SQL_SALTED_AGG_EVENTS,
         "salted_join_orders": _SQL_SALTED_JOIN_ORDERS,
         "zorder_scan": _SQL_ZORDER_SCAN,
+        "dq_checks": _SQL_DQ_CHECKS,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
@@ -3235,6 +3237,83 @@ SELECT c_nationkey, count(*) AS n_orders,
          AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey
+"""
+
+
+def _q_dq_checks(spark, sf_dir):
+    """Data-quality gate as a query (r07) — the validation suite a
+    100 TB ingest pipeline runs before publishing a snapshot: primary-
+    key uniqueness, foreign-key referential integrity (anti-join
+    violation counts — each FK check is one broadcast/shuffled anti
+    join, never a row-by-row lookup), domain constraints, and null
+    fractions, emitted as one (check, violations, passed) relation.
+    All checks are plain relational algebra, so the oracle is the same
+    UNION ALL of counts in SQL; `passed` stays a strict equality on
+    exact BIGINT counts."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _events(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+
+    def row(name, violations_df):
+        return violations_df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+
+    checks = [
+        # PK uniqueness: any custkey appearing twice
+        row("customer_pk_unique",
+            c.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("__n"))
+             .filter(F.col("__n") > 1)),
+        # FK integrity: orders → customer, lineitem → orders
+        row("orders_custkey_fk",
+            o.join(c.select(F.col("c_custkey").alias("o_custkey")),
+                   "o_custkey", "left_anti")),
+        row("lineitem_orderkey_fk",
+            li.join(o.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey", "left_anti")),
+        # domain constraints
+        row("orders_price_positive",
+            o.filter(~(F.col("o_totalprice") > 0))),
+        row("events_value_not_null",
+            e.filter(F.col("value").isNull())),
+        row("documents_text_nonempty",
+            d.filter(F.length(F.trim(F.col("text"))) == 0)),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out.select(
+        "check_name", "violations",
+        (F.col("violations") == 0).alias("passed")
+    )
+
+
+_SQL_DQ_CHECKS = """
+SELECT check_name, violations, violations = 0 AS passed FROM (
+  SELECT 'customer_pk_unique' AS check_name, count(*) AS violations
+  FROM (SELECT c_custkey FROM customer
+        GROUP BY c_custkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'orders_custkey_fk', count(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orders_price_positive', count(*) FROM orders
+  WHERE NOT (o_totalprice > 0)
+  UNION ALL
+  SELECT 'events_value_not_null', count(*) FROM events
+  WHERE value IS NULL
+  UNION ALL
+  SELECT 'documents_text_nonempty', count(*) FROM documents
+  WHERE length(trim(text)) = 0
+)
 """
 
 
