@@ -134,3 +134,62 @@ def test_misra_gries_undercount_bound(stream, k):
         est = counters.get(key, 0)
         assert est <= t, (key, est, t)
         assert t - est <= total / k, (key, est, t, total, k)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=300,
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.integers(4, 64),
+    st.floats(0.0, 1.0),
+)
+def test_quantile_summary_rank_error_bound(partitions, cap, p):
+    """The mergeable-quantile guarantee quantile_rollup rests on,
+    checked in pure numpy (no Spark — the kernel math is identical):
+    after summarizing each partition with a rank-grid of size <= cap
+    and answering quantile p by weighted rank over the merged
+    summaries, the estimate's true rank differs from p by at most
+    sum_parts(n_part/(2*cap + something small)) + discretization —
+    asserted here as 1/(2*cap) of each partition's rows plus one
+    grid cell, i.e. total rank slack <= sum(ceil(n_i/cap)) + 1."""
+    import numpy as np
+
+    all_vals = np.sort(np.concatenate([
+        np.array(pp, dtype=np.float64) for pp in partitions
+    ]))
+    n_total = len(all_vals)
+
+    kept_vals, kept_ws = [], []
+    slack = 0.0
+    for pp in partitions:
+        v = np.sort(np.array(pp, dtype=np.float64))
+        n = len(v)
+        if n <= cap:
+            kept_vals.append(v)
+            kept_ws.append(np.ones(n))
+        else:
+            idx = np.floor((np.arange(cap) + 0.5) * n / cap).astype(int)
+            kept_vals.append(v[idx])
+            kept_ws.append(np.full(cap, n / cap))
+            slack += n / cap  # one grid cell of rank uncertainty
+    vals = np.concatenate(kept_vals)
+    ws = np.concatenate(kept_ws)
+    order = np.argsort(vals, kind="stable")
+    vals, ws = vals[order], ws[order]
+    cum = np.cumsum(ws)
+    j = int(np.searchsorted(cum, p * cum[-1], side="left"))
+    j = min(j, len(vals) - 1)
+    est = vals[j]
+
+    # true rank window of the estimate in the full data
+    lo = np.searchsorted(all_vals, est, side="left") / n_total
+    hi = np.searchsorted(all_vals, est, side="right") / n_total
+    allowed = (slack + 1.0) / n_total
+    assert lo - allowed <= p <= hi + allowed, (
+        p, est, lo, hi, allowed, cap,
+    )
