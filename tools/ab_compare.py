@@ -30,6 +30,8 @@ def load(version: str) -> list[dict]:
     runs = []
     for i in (1, 2, 3):
         p = SCRATCH / f"ab_{version}_run{i}.json"
+        if not p.is_file():  # committed copy (scratch is ephemeral)
+            p = REPO / "artifacts" / f"ab_{version}_run{i}.json"
         runs.append(json.loads(p.read_text())["queries"])
     return runs
 
