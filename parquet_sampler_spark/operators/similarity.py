@@ -794,3 +794,160 @@ def pq_topk(
         .select("query_id", "neighbor_id", "score",
                 F.col(_RN).alias("rank"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 8,
+    m_sub: int = 16,
+    ncodes: int = 16,
+    rerank: int = 100,
+    seed: int = 42,
+    model_cache: dict | None = None,
+    cache_key=None,
+    train_rows: int = 4096,
+    train_max_iter: int = 20,
+    broadcast_queries: bool | str = "auto",
+) -> DataFrame:
+    """IVF+PQ approximate top-k — the production large-corpus ANN
+    shape (FAISS IVFPQ without residual encoding): the IVF coarse
+    quantizer restricts each query to its ``nprobe`` nearest cells'
+    members, PQ asymmetric distances rank those members from 8-byte
+    codes (no raw-vector arithmetic in the scan), and the exact cosine
+    rerank repairs the top ``rerank``. Versus the standalone parts:
+    :func:`ivf_topk` reranks EVERY probed-cell member with full
+    vectors (memory-bound at scale), :func:`pq_topk` ADC-scans the
+    WHOLE corpus (compute grows with n); the composition touches
+    ``~nprobe/nlist`` of the corpus with code-width arithmetic and
+    only ``rerank`` raw vectors per query — both bounds at once.
+
+    Training: ONE bounded Lehmer sketch feeds both models (the IVF
+    centroids via the shared Lloyd fit, the PQ codebooks via
+    :func:`pq_train_codebooks_numpy` on the same rows), so the index
+    build stays one scan + one top-k job. No residual encoding: codes
+    quantize the RAW vectors (a deliberate simplification — residuals
+    sharpen ADC but put a float subtraction between the two trained
+    models; raw-vector codes keep every stage exact-int and
+    oracle-replicable with the same literals as ann_ivf + ann_pq).
+
+    Exact-oracle parity: identical contracts to the parents — integer
+    quantized cell distances and ADC (``_IVF_QSCALE``), ties to the
+    lowest cell/code/neighbor id, shared normalized-dot rerank.
+    """
+    if model_cache is not None and cache_key in model_cache:
+        centroids, codebooks = model_cache[cache_key]
+    else:
+        from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+        sketch = (
+            spread(corpus)
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"),
+                    lehmer_hash([id_col], seed).alias("__h"))
+            .orderBy("__h", "__id")
+            .limit(max(train_rows, 256 * nlist))
+            .collect()
+        )
+        ids = np.array([r["__id"] for r in sketch], dtype=np.int64)
+        X = np.array([r["__v"] for r in sketch], dtype=np.float64)
+        centroids = _lloyd_kmeans(
+            X[: 256 * nlist], min(nlist, len(X)), seed, train_max_iter
+        )
+        codebooks = pq_train_codebooks_numpy(
+            ids, X, m_sub, ncodes, seed,
+            train_rows=train_rows, train_max_iter=train_max_iter,
+        )
+        if model_cache is not None:
+            model_cache[cache_key] = (centroids, codebooks)
+
+    cq = _ivf_quantize(centroids)       # (nlist, dim)
+    cbq = _ivf_quantize(codebooks)      # (m_sub, ncodes, dsub)
+    n_codes_eff = cbq.shape[1]
+    dsub = cbq.shape[2]
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes_of(vs: pd.Series) -> pd.Series:
+        x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        xs = x.reshape(len(vs), m_sub, dsub)
+        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(d.argmin(axis=2).astype("int32").tolist())
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(order.astype("int32").tolist())
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def lut_of(vs: pd.Series) -> pd.Series:
+        x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        xs = x.reshape(len(vs), m_sub, dsub)
+        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(d.reshape(len(vs), -1).tolist())
+
+    coded = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_of(F.col(vec_col)).alias("__cell"),
+        codes_of(F.col(vec_col)).alias("__codes"),
+    )
+    q = spread(queries).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+        lut_of(F.col(vec_col)).alias("__lut"),
+    )
+    bc = broadcast_queries in (True, "auto")
+    small = F.broadcast if bc else (lambda d: d)
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, mi: acc + F.get(
+            "__lut",
+            (mi * n_codes_eff + F.get("__codes", mi)).cast("int"),
+        ),
+    )
+    scanned = (
+        coded.join(small(q), "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc)
+        # a (query, neighbor) pair can meet in several probed cells
+        # when corpus rows tie across cells — dedup before the window
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "__adc")
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        scanned.withColumn(_RN, F.row_number().over(wr))
+        .filter(F.col(_RN) <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = _normalized(queries, id_col, vec_col, "query_id", "__qv")
+    cv = _normalized(corpus, id_col, vec_col, "neighbor_id", "__cv")
+    scored = (
+        cand.join(small(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", _unit_dot("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) <= k)
+        .select("query_id", "neighbor_id", "score",
+                F.col(_RN).alias("rank"))
+    )

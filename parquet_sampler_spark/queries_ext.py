@@ -1336,6 +1336,158 @@ SELECT query_id, neighbor_id, score, rank FROM (
     return sql
 
 
+_IVFPQ_MODEL_CACHE: dict = {}
+_IVFPQ_SQL_CACHE: dict = {}
+
+
+def _q_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ approximate top-k (similarity.ivfpq_topk) — the
+    production large-corpus ANN composition: the IVF coarse quantizer
+    bounds each query to ~nprobe/nlist of the corpus, PQ asymmetric
+    distances rank those members from 8-byte codes, the exact cosine
+    rerank repairs the top 100. One bounded sketch trains both models.
+    Full value-hash oracle assembled from the ann_ivf and ann_pq
+    fragments (integer centroid + codebook literals, exact int64
+    distances end-to-end, shared normalized-dot rerank). Recall at
+    these params ≈ the IVF candidate ceiling (0.8 at sf0.01 on the
+    isotropic worst-case corpus; nprobe buys it back on clustered
+    data)."""
+    from parquet_sampler_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K, nlist=_IVF_NLIST, nprobe=8, m_sub=_PQ_M,
+        ncodes=_PQ_NCODES, rerank=_PQ_RERANK, seed=_PQ_SEED,
+        model_cache=_IVFPQ_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir),
+    )
+
+
+def _sql_ann_ivfpq() -> str:
+    """DuckDB twin of _q_ann_ivfpq: the ann_ivf assign/probe CTEs and
+    the ann_pq codes/LUT CTEs composed — candidates are probed-cell
+    members, ranked by summed int64 subspace distances, reranked by
+    the shared normalized dot. Both trainers re-run on the raw parquet
+    for $SPARK_GRAFT_ORACLE_SF_DIR exactly as the operator's one
+    sketch does."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.similarity import (
+        _IVF_QSCALE,
+        ivf_train_centroids_numpy,
+        pq_train_codebooks_numpy,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _IVFPQ_SQL_CACHE:
+        return _IVFPQ_SQL_CACHE[sf_dir]
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cents = ivf_train_centroids_numpy(
+        ids, vecs, nlist=_IVF_NLIST, seed=_PQ_SEED
+    )
+    ci = np.floor(cents * _IVF_QSCALE).astype(np.int64)
+    cbs = pq_train_codebooks_numpy(
+        ids, vecs, m_sub=_PQ_M, ncodes=_PQ_NCODES, seed=_PQ_SEED
+    )
+    cbq = np.floor(cbs * _IVF_QSCALE).astype(np.int64)
+    dsub = cbq.shape[2]
+    cent_rows = ",\n".join(
+        f"({j}, [{', '.join(str(int(x)) for x in c)}]::BIGINT[])"
+        for j, c in enumerate(ci)
+    )
+    cb_rows = ",\n".join(
+        f"({mi}, {j}, [{', '.join(str(int(x)) for x in cbq[mi, j])}]"
+        f"::BIGINT[])"
+        for mi in range(cbq.shape[0])
+        for j in range(cbq.shape[1])
+    )
+    sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+              "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
+    sqd = (f"list_sum(list_transform(range(1, {dsub} + 1), "
+           f"j -> (v[cb.m * {dsub} + j] - pv[j]) "
+           f"* (v[cb.m * {dsub} + j] - pv[j])))")
+    cos = unit_dot_sql("q.v", "c.v")
+    sql = f"""
+WITH {normalized_cte_sql()},
+cents(cell, cv) AS (VALUES
+{cent_rows}
+),
+cb(m, code, pv) AS (VALUES
+{cb_rows}
+),
+vi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QSCALE})
+                       AS BIGINT)) AS v
+  FROM embeddings
+),
+dist AS (
+  SELECT vi.vec_id, cents.cell, {sqdist} AS d
+  FROM vi CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist WHERE vec_id < {_ANN_NQ}) WHERE rn <= 8
+),
+sub AS (
+  SELECT vi.vec_id, cb.m, cb.code, {sqd} AS d
+  FROM vi CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, code) AS rn
+    FROM sub) WHERE rn = 1
+),
+adc AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         sum(s.d) AS approx
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN sub s ON s.vec_id = p.vec_id AND s.m = c.m AND s.code = c.code
+  WHERE a.vec_id != p.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {_PQ_RERANK}
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS score,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {cos} DESC, cand.neighbor_id) AS rank
+  FROM cand JOIN normed q ON q.vec_id = cand.query_id
+            JOIN normed c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+    _IVFPQ_SQL_CACHE[sf_dir] = sql
+    return sql
+
+
 _ANN_LSH_BITS, _ANN_LSH_TABLES, _ANN_LSH_DIM, _ANN_LSH_SEED = 4, 16, 64, 42
 
 
@@ -1567,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
         "pricing_summary": _q_pricing_summary,
         "topk_orders": _q_topk_orders,
         "events_hourly": _q_events_hourly,
@@ -1693,17 +1846,22 @@ def oracle_sql() -> dict[str, str]:
     # if that dir is absent (unusual environment), degrade the one
     # query to a rows-only check instead of breaking the whole oracle
     # contract (queries() consults oracle_sql() for capture ordering)
-    # ann_pq shares ann_ivf's degrade contract (trained oracle)
-    try:
-        out["ann_pq"] = _sql_ann_pq()
-    except Exception as ex:  # noqa: BLE001 — same contract as ann_ivf
-        import sys
+    # ann_pq / ann_ivfpq share ann_ivf's degrade contract (trained
+    # oracle — an unreadable embeddings file must not take down every
+    # oracle)
+    for name, builder in (
+        ("ann_pq", _sql_ann_pq), ("ann_ivfpq", _sql_ann_ivfpq),
+    ):
+        try:
+            out[name] = builder()
+        except Exception as ex:  # noqa: BLE001 — same as ann_ivf
+            import sys
 
-        print(
-            f"warning: ann_pq oracle unavailable ({ex!r}); "
-            "degrading to rows-only",
-            file=sys.stderr,
-        )
+            print(
+                f"warning: {name} oracle unavailable ({ex!r}); "
+                "degrading to rows-only",
+                file=sys.stderr,
+            )
     try:
         out["ann_ivf"] = _sql_ann_ivf()
     except Exception as ex:  # noqa: BLE001 — pyarrow raises

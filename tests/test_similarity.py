@@ -333,3 +333,36 @@ def test_pq_codebooks_shared_numpy_parity():
     assert (a == b).all()
     # different subspaces get different centroids (independent streams)
     assert not np.allclose(a[0], a[1])
+
+
+def test_ivfpq_recall_and_candidate_subset(embeddings, queries):
+    """IVF+PQ must (a) recover >= 0.6 of the exact top-10 at registry
+    params (its ceiling is IVF's candidate recall on this isotropic
+    corpus) and (b) emit only pairs IVF itself would consider — the
+    PQ stage ranks within probed cells, never escapes them."""
+    from parquet_sampler_spark.operators.similarity import (
+        ivf_topk,
+        ivfpq_topk,
+    )
+
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(
+        embeddings, queries, "vec_id", "embedding", k=10).collect()}
+    out = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(
+        embeddings, queries, "vec_id", "embedding", k=10,
+        nlist=16, nprobe=8, m_sub=16, ncodes=16, rerank=100).collect()}
+    recall = len(exact & out) / len(exact)
+    assert recall >= 0.6, f"recall@10={recall}"
+
+    # candidate-subset property: with rerank covering every probed
+    # member, IVF (exact rerank of ALL probed members) at the same
+    # nlist/nprobe is the upper envelope — IVFPQ's emitted top-k must
+    # score <= IVF's per rank, and with a huge rerank they are EQUAL
+    # (PQ ordering only affects which candidates reach the rerank)
+    full = {(r.query_id, r.neighbor_id) for r in ivfpq_topk(
+        embeddings, queries, "vec_id", "embedding", k=10,
+        nlist=16, nprobe=8, m_sub=16, ncodes=16,
+        rerank=10**6).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_topk(
+        embeddings, queries, "vec_id", "embedding", k=10,
+        nlist=16, nprobe=8).collect()}
+    assert full == ivf

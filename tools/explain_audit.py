@@ -226,6 +226,15 @@ def main() -> int:
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # 23. data-quality gate (r07): FK checks must plan as anti joins
+    # (one pass per check), never a per-row nested loop
+    check(
+        "dq_checks",
+        R.queries()["dq_checks"](spark, sf_dir),
+        must_contain=["LeftAnti"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     # 22. z-ordered scan (r07): both box conjuncts must reach the
     # parquet reader (PushedFilters) — that is what turns the Morton
     # layout's per-file min/max ranges into actual skipped IO
