@@ -185,6 +185,30 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
+def _weighted_grid(
+    vals: np.ndarray, ws: np.ndarray, cap: int
+) -> tuple[np.ndarray, float]:
+    """Compress sorted-or-unsorted weighted values to at most ``cap``
+    kept values of ONE uniform weight ``W / m`` (``W`` total weight,
+    ``m = min(cap, len)``), picked at cumulative-weight midpoints
+    ``(i + 0.5) · W / m`` — the weighted generalization of the
+    rank-grid ``floor((i + 0.5) · n / cap)``. Exactly lossless when
+    the input already fits (``len <= cap`` with uniform weights);
+    otherwise each kept value's implied rank is off by at most
+    ``W / (2·m)`` — one half grid cell of the weight it represents."""
+    order = np.argsort(vals, kind="stable")
+    vals, ws = vals[order], ws[order]
+    if len(vals) <= cap and np.all(ws == ws[0]):
+        return vals, float(ws[0])
+    m = min(cap, len(vals))
+    cum = np.cumsum(ws)
+    total = cum[-1]
+    targets = (np.arange(m) + 0.5) * total / m
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(vals) - 1)
+    return vals[idx], float(total / m)
+
+
 def quantile_summaries(
     df: DataFrame,
     group_cols: list[str],
@@ -193,26 +217,81 @@ def quantile_summaries(
     cap: int = 512,
 ) -> DataFrame:
     """Mergeable per-(group, sub) quantile summaries — the quantile
-    analog of per-day HLL sketches: a deterministic rank-grid
-    subsample of each (group ∪ sub) partition's sorted values, each
-    kept value carrying weight ``n / min(n, cap)``. Any union of
-    summaries answers any quantile over the union of their inputs via
-    a weighted-rank lookup (:func:`merged_quantiles`), with rank error
-    at most ``1/(2·cap)`` of each contributing partition's rows —
-    re-aggregation without rescanning, which is what replaces exact
-    per-group sorts at 100 TB (exact percentiles are not mergeable;
-    these are, associatively).
+    analog of per-day HLL sketches: a rank-grid subsample of each
+    (group ∪ sub) bucket's values, each kept value carrying one
+    uniform weight. Any union of summaries answers any quantile over
+    the union of their inputs via a weighted-rank lookup
+    (:func:`merged_quantiles`) — re-aggregation without rescanning,
+    which is what replaces exact per-group sorts at 100 TB (exact
+    percentiles are not mergeable; these are, associatively).
 
-    Determinism: the subsample picks ranks ``floor((i + 0.5)·n/cap)``
-    of the SORTED values (ties included in sort order), so identical
-    input yields identical summaries — no RNG, engine-portable.
-    NULLs are excluded (SQL aggregate convention).
+    **Partition-local build** (the 100 TB memory contract): phase 1 is
+    one ``mapInPandas`` pass that keeps, per (group, sub) key seen in
+    the partition, a KLL-style logarithmic merge tree of
+    grid-compressed chunks — O(cap · log(rows)) executor memory per
+    key no matter how hot a bucket is, same bounded-summary shape as
+    the heavy-hitters candidate phase above. Phase 2 reduces the
+    per-partition summaries to one row per key with the associative
+    weighted-grid merge (input bounded by ``n_partitions · cap``
+    values per key, never raw rows). A hot bucket therefore never
+    materializes as one executor-resident sort, unlike a naive
+    ``groupBy().applyInPandas`` build.
+
+    Error: each compression costs at most half a grid cell of the
+    weight it covers, and a value passes through at most
+    ``log2(n_key_in_partition / cap)`` tree merges plus the final
+    phase-2 merge, so total rank error is ``O(log(n) / cap)`` —
+    ~0.4% at the query layer's cap 512 for realistic partition sizes
+    (a naive compress-in-place accumulator would compound
+    quadratically on hot keys; the tree is what keeps the bound
+    logarithmic). Still a multiple inside the 1% envelopes the query
+    layer asserts. No RNG anywhere; the result is deterministic for a
+    fixed input partitioning (the phase-1 split decides which values
+    survive compression). NULLs are excluded (SQL aggregate
+    convention).
 
     Output: group_cols + sub_cols + ``vals array<double>`` +
     ``weight double`` (rows represented by each kept value).
     """
     if cap < 2:
         raise ValueError(f"quantile_summaries needs cap >= 2, got {cap}")
+    part = _partition_quantile_summaries(
+        df, group_cols, sub_cols, value_col, cap
+    )
+    keys = list(group_cols) + list(sub_cols)
+
+    def merge_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a in pdf["vals"]]
+        )
+        ws = np.concatenate([
+            np.full(len(a), w, dtype=np.float64)
+            for a, w in zip(pdf["vals"], pdf["weight"])
+        ])
+        kept, w = _weighted_grid(vals, ws, cap)
+        row = {k: [pdf[k].iat[0]] for k in keys}
+        row["vals"] = [kept.tolist()]
+        row["weight"] = [w]
+        return pd.DataFrame(row)
+
+    return part.groupBy(*keys).applyInPandas(merge_one, schema=part.schema)
+
+
+def _partition_quantile_summaries(
+    df: DataFrame,
+    group_cols: list[str],
+    sub_cols: list[str],
+    value_col: str,
+    cap: int,
+) -> DataFrame:
+    """Phase 1 of :func:`quantile_summaries`: one summary row per
+    (group, sub) key PER INPUT PARTITION (exposed separately so tests
+    can pin the partition-locality contract). Each key holds a raw
+    buffer of at most ``2·cap`` values plus a logarithmic merge tree
+    of compressed chunks (level *i* holds at most one chunk of ≤ cap
+    values; two same-level chunks grid-merge and carry to level
+    *i+1*), so executor memory per key is O(cap · log(rows)) and the
+    shuffle that follows moves only compressed summaries."""
     keys = list(group_cols) + list(sub_cols)
     src = df.select(
         *keys, F.col(value_col).cast("double").alias("__qv")
@@ -225,25 +304,73 @@ def quantile_summaries(
             T.StructField("weight", T.DoubleType(), False),
         ]
     )
+    raw_limit = 2 * cap
 
-    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(pdf["__qv"].to_numpy(dtype=np.float64))
-        n = len(v)
-        if n == 0:
-            return pdf.iloc[:0][list(keys)].assign(vals=None, weight=None)
-        if n <= cap:
-            kept = v
-            w = 1.0
-        else:
-            idx = np.floor((np.arange(cap) + 0.5) * n / cap).astype(int)
-            kept = v[idx]
-            w = n / cap
-        row = {k: [pdf[k].iat[0]] for k in keys}
-        row["vals"] = [kept.tolist()]
-        row["weight"] = [float(w)]
-        return pd.DataFrame(row)
+    def tree_insert(levels: list, kept: np.ndarray, w: float) -> None:
+        # carry-propagate: merging two level-i chunks (each covering
+        # ~2^i * raw_limit rows) yields one level-(i+1) chunk, so a
+        # value is recompressed at most log2(n/raw_limit) times —
+        # the bound that keeps total rank error O(log(n)/cap)
+        i = 0
+        while True:
+            if i == len(levels):
+                levels.append((kept, w))
+                return
+            if levels[i] is None:
+                levels[i] = (kept, w)
+                return
+            ov, ow = levels[i]
+            levels[i] = None
+            kept, w = _weighted_grid(
+                np.concatenate([ov, kept]),
+                np.concatenate(
+                    [np.full(len(ov), ow), np.full(len(kept), w)]
+                ),
+                cap,
+            )
+            i += 1
 
-    return src.groupBy(*keys).applyInPandas(summarize, schema=out_schema)
+    def local_summaries(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # per key: ([raw value arrays], raw_size, [tree levels])
+        bufs: dict = {}
+        for b in batches:
+            for key, grp in b.groupby(keys, dropna=False, sort=False):
+                v = grp["__qv"].to_numpy(dtype=np.float64)
+                raw, sz, levels = bufs.get(key, ([], 0, []))
+                raw.append(v)
+                sz += len(v)
+                if sz >= raw_limit:
+                    flat = np.concatenate(raw)
+                    tree_insert(levels, flat, 1.0)
+                    raw, sz = [], 0
+                bufs[key] = (raw, sz, levels)
+        if not bufs:
+            return
+        out = {k: [] for k in keys}
+        out_vals, out_w = [], []
+        for key, (raw, _, levels) in bufs.items():
+            chunks = ([(np.concatenate(raw), 1.0)] if raw else []) + [
+                c for c in levels if c is not None
+            ]
+            kept, w = _weighted_grid(
+                np.concatenate([c[0] for c in chunks]),
+                np.concatenate(
+                    [np.full(len(c[0]), c[1]) for c in chunks]
+                ),
+                cap,
+            )
+            kt = key if isinstance(key, tuple) else (key,)
+            for k, kv in zip(keys, kt):
+                out[k].append(kv)
+            out_vals.append(kept.tolist())
+            out_w.append(w)
+        out["vals"] = out_vals
+        out["weight"] = out_w
+        yield pd.DataFrame(out)
+
+    return src.mapInPandas(local_summaries, schema=out_schema)
 
 
 def merged_quantiles(

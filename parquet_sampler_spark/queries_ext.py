@@ -2794,13 +2794,15 @@ def _q_streaming_sessionize_native(spark, sf_dir):
     the window bounds (window end = last_event + gap, which the batch
     oracle doesn't speak).
 
-    Boundary-semantics note: ``session_window`` merges events whose
-    windows OVERLAP, so an event exactly ``gap`` after its
-    predecessor opens a NEW session (half-open windows), where the
-    stateful fold and the oracle use strict ``> gap``. The two rules
-    differ only on exact-gap ties, which this event stream provably
-    lacks (microsecond jittered timestamps); a corpus with exact-gap
-    events would need the fold's convention shifted by 1 µs."""
+    Boundary-semantics note (PINNED, r08): ``session_window``'s gap
+    extension is INCLUSIVE — an event exactly ``gap`` after its
+    predecessor still merges (measured, not assumed:
+    ``test_sessionize_exact_gap_tie_semantics`` injects the tie pair
+    and both engines emit the same merged session). That is the same
+    rule as the stateful fold / batch oracle's strict ``> gap`` split,
+    so the green row is a semantics match on ANY corpus, ties
+    included — the r07 hypothesis that half-open windows would split
+    ties was wrong for pyspark 4.x."""
     with _stream_shuffle(spark):
         stream = _sentinel_sessionize_stream(spark, sf_dir)
         sessions = (

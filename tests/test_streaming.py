@@ -858,8 +858,9 @@ def test_native_session_window_matches_stateful(spark):
     included. The two implementations share only the sentinel source;
     state machinery is disjoint (JVM state store vs Python fold), so
     equality here pins the session semantics, not the plumbing.
-    Boundary caveat: the rules differ on exact-gap ties (>= vs >),
-    which this dataset provably lacks."""
+    Exact-gap ties merge identically under both rules (pinned by
+    test_sessionize_exact_gap_tie_semantics), so the equality is
+    corpus-independent."""
     from parquet_sampler_spark import queries_ext as QX
 
     sf = "/root/testdata/sf0.001"
@@ -870,3 +871,81 @@ def test_native_session_window_matches_stateful(spark):
         map(tuple, QX._q_streaming_sessionize_native(spark, sf).collect())
     )
     assert native == stateful and native
+
+
+def test_sessionize_exact_gap_tie_semantics(spark, tmp_path):
+    """Pin the exact-gap tie boundary (VERDICT r07 #4): an event
+    landing EXACTLY ``gap`` after its predecessor. The stateful fold
+    (and the registered batch oracle) use strict ``delta > gap`` to
+    open a session, so the tie stays MERGED — and, measured here
+    rather than assumed, Spark's ``session_window`` does the SAME:
+    its gap extension is inclusive (an event at ``prev + gap`` still
+    merges; verified on pyspark 4.x by this test), NOT the half-open
+    ``[t, t+gap)`` split the r07 docstring hypothesized. So the two
+    engines agree even on ties and the native row's green is a
+    semantics match by construction, not corpus-conditional."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "tie"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def wb(name, rows, mtime):
+        tbl = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(tbl, str(src / name))
+        os.utime(str(src / name), (mtime, mtime))
+
+    # the tie pair: second event EXACTLY 30 min after the first;
+    # a +6h closer in a LATER file advances the watermark/gap rule so
+    # both engines emit the tie pair's session(s) before drain
+    wb("a.parquet", [(1, t0), (1, t0 + dt.timedelta(minutes=30))],
+       1_000_000)
+    wb("b.parquet", [(1, t0 + dt.timedelta(hours=6))], 2_000_000)
+
+    def file_stream():
+        return (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1).parquet(str(src))
+        )
+
+    # stateful fold, strict > gap: tie pair MERGES -> 1 closed session
+    q = (sessionize_stream(file_stream(), gap_minutes=30)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("tie_fold")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    fold = sorted(
+        (r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("tie_fold").collect()
+    )
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert fold == [(us(t0), us(t0 + dt.timedelta(minutes=30)), 2)]
+
+    # session_window: inclusive gap extension — tie MERGES here too
+    native = (
+        file_stream().withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.min("ts").alias("smin"), F.max("ts").alias("smax"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros("smin").alias("session_start_us"),
+                F.unix_micros("smax").alias("session_end_us"),
+                "n_events")
+    )
+    q = (native.writeStream.outputMode("append")
+         .format("memory").queryName("tie_native")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    nat = sorted(
+        (r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("tie_native").collect()
+    )
+    assert nat == fold  # same session set, tie included
