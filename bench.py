@@ -39,6 +39,7 @@ sys.path.insert(0, str(REPO))
 SETUP_ROWS = frozenset({
     "setup_pairs_graph", "setup_dup_graph", "setup_bucketed_tables",
     "setup_merge_batch", "setup_ivf_model", "setup_streaming",
+    "setup_pq_model", "setup_ivfpq_model", "setup_zorder",
 })
 
 
@@ -82,6 +83,23 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_ann_ivf(spark, sf_dir).count()
     times["setup_ivf_model"] = round(time.perf_counter() - t0, 4)
+
+    # The r07 cached builds get the same treatment (r07 ADVICE): the
+    # PQ and IVF+PQ codebook trainings and the z-order table rewrite
+    # happen once per session, so without explicit setup rows pass 1
+    # pays the build, passes 2-3 hit the cache, and the median would
+    # silently drop the build cost from the suite total.
+    t0 = time.perf_counter()
+    queries_ext._q_ann_pq(spark, sf_dir).count()
+    times["setup_pq_model"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    queries_ext._q_ann_ivfpq(spark, sf_dir).count()
+    times["setup_ivfpq_model"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    queries_ext._q_zorder_scan(spark, sf_dir).count()
+    times["setup_zorder"] = round(time.perf_counter() - t0, 4)
 
     # Absorb the one-time Structured Streaming machinery cost (state
     # store providers, streaming listener, checkpoint plumbing) with a

@@ -1757,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_orders": _q_salted_join_orders,
         "zorder_scan": _q_zorder_scan,
         "dq_checks": _q_dq_checks,
+        "dq_quarantine": _q_dq_quarantine,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
@@ -1834,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_orders": _SQL_SALTED_JOIN_ORDERS,
         "zorder_scan": _SQL_ZORDER_SCAN,
         "dq_checks": _SQL_DQ_CHECKS,
+        "dq_quarantine": _SQL_DQ_QUARANTINE,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
@@ -2578,6 +2580,7 @@ def _q_streaming_reservoir(spark, sf_dir):
 
     from parquet_sampler_spark.queries import session_tmp_dir
     from parquet_sampler_spark.streaming.joins import (
+        read_reservoir,
         streaming_exact_sample,
     )
     from parquet_sampler_spark.streaming.sampling import read_event_stream
@@ -2617,7 +2620,7 @@ def _q_streaming_reservoir(spark, sf_dir):
         )
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
-    return spark.read.parquet(res_path).select(
+    return read_reservoir(spark, res_path).select(
         "event_id",
         F.unix_micros("ts").alias("ts_us"),
         "user_id", "event_type", "value",
@@ -3474,6 +3477,77 @@ SELECT check_name, violations, violations = 0 AS passed FROM (
   SELECT 'documents_text_nonempty', count(*) FROM documents
   WHERE length(trim(text)) = 0
 )
+"""
+
+
+def _q_dq_quarantine(spark, sf_dir):
+    """Violating-ROW extraction for the DQ gate (VERDICT r07 #5):
+    `dq_checks` emits counts; a real ingest gate also quarantines the
+    offending rows for triage/replay. The registered corpus is clean
+    (every dq_checks row passes), so the query injects a DETERMINISTIC
+    corrupt batch derived from orders itself — every 97th orderkey
+    re-keyed outside the PK range with a negated custkey (dangling FK)
+    and negated totalprice (domain breach) — exactly replicated in the
+    SQL oracle, making the green row prove non-trivial extraction, not
+    an empty set.
+
+    Scale shape: ONE scan of the dirty relation, ONE broadcastable
+    left join against the deduped dim keys, then every check's verdict
+    lands in a reasons array that `explode` fans out — clean rows
+    (empty array) vanish without a filter pass, and adding a check is
+    one more array element, not another scan. A row violating k
+    checks yields k quarantine rows, keyed by reason."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    bad = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        (-F.col("o_custkey")).alias("o_custkey"),
+        "o_orderstatus",
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    dirty = o.unionByName(bad)
+    dim = c.select(
+        F.col("c_custkey").alias("o_custkey")
+    ).distinct().withColumn("__fk_ok", F.lit(1))
+    reasons = F.array_compact(
+        F.array(
+            F.when(
+                F.col("__fk_ok").isNull(), F.lit("orders_custkey_fk")
+            ),
+            F.when(
+                ~(F.col("o_totalprice") > 0),
+                F.lit("orders_price_positive"),
+            ),
+        )
+    )
+    return (
+        dirty.join(F.broadcast(dim), "o_custkey", "left")
+        .withColumn("reason", F.explode(reasons))
+        .select("reason", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_SQL_DQ_QUARANTINE = """
+WITH dirty AS (
+  SELECT * FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey,
+         -o_custkey AS o_custkey,
+         o_orderstatus,
+         -o_totalprice AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT 'orders_custkey_fk' AS reason, o_orderkey, o_custkey, o_totalprice
+FROM dirty o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orders_price_positive', o_orderkey, o_custkey, o_totalprice
+FROM dirty
+WHERE NOT (o_totalprice > 0)
 """
 
 

@@ -65,30 +65,50 @@ def streaming_exact_sample(
     seed: int = 42,
 ):
     """Maintain a k-row deterministic reservoir of the stream at
-    ``reservoir_path`` (parquet).
+    ``reservoir_path`` (a versioned parquet table — read it with
+    :func:`read_reservoir`).
 
     Invariant after each batch: reservoir = k smallest (pr, key) rows
     over ALL events consumed so far — so a replayed batch is a no-op
-    (idempotent, exactly-once under the overwrite sink).
+    (idempotent, exactly-once under the snapshot sink).
+
+    Crash atomicity (r08, found by the kill-restart test): a plain
+    ``mode("overwrite")`` of the reservoir dir deletes the old state
+    BEFORE the new write completes, so a kill mid-write leaves a
+    corrupt reservoir the restart cannot read. The sink therefore uses
+    the same versioned-snapshot + pointer commit as the CDC merge sink
+    (streaming/sinks.py): each batch writes ``v<epoch>`` as a NEW
+    directory and atomically swaps the ``_CURRENT`` pointer; a crash
+    during the write leaves the pointer on the last published
+    snapshot, and the replayed epoch overwrites the uncommitted dir
+    wholesale. Writing to a fresh dir also removes the old
+    collect-then-rewrite workaround (the sink is no longer its own
+    source mid-write).
 
     Returns the ``DataStreamWriter`` (caller adds a trigger and calls
-    ``.start()``). Local-filesystem reservoir paths only (existence is
-    checked with os.path; swap for a FileSystem check on object stores).
+    ``.start()``). Local-filesystem reservoir paths only (POSIX rename
+    atomicity; on object stores this layer is a table format's job).
     """
     import os
+
+    from parquet_sampler_spark.streaming.sinks import (
+        _publish,
+        current_snapshot_path,
+    )
 
     spark = events.sparkSession
     pr = lehmer_hash(key_cols, seed)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         tagged = batch.withColumn("__pr", pr)
-        # existence check, not a broad except: a transient READ error on
-        # an existing reservoir must fail the batch (and be retried by
-        # the stream), never silently reset accumulated state
-        if os.path.exists(reservoir_path):
-            current = spark.read.parquet(reservoir_path)
-        else:
-            current = None
+        # pointer-resolved read: an uncommitted v* dir from a crashed
+        # attempt is invisible here; a transient READ error on a
+        # published snapshot must fail the batch (stream retries),
+        # never silently reset accumulated state
+        cur_path = current_snapshot_path(reservoir_path)
+        current = (
+            spark.read.parquet(cur_path) if cur_path is not None else None
+        )
         merged = (
             tagged if current is None else current.unionByName(tagged)
         )
@@ -100,9 +120,38 @@ def streaming_exact_sample(
             merged.dropDuplicates(key_cols)
             .orderBy(F.col("__pr"), *key_cols).limit(k)
         )
-        # materialize before overwrite (the sink is also the source)
-        rows = top.collect()
-        out = spark.createDataFrame(rows, schema=top.schema)
-        out.write.mode("overwrite").parquet(reservoir_path)
+        vname = f"v{epoch_id:08d}"
+        top.write.mode("overwrite").parquet(
+            os.path.join(reservoir_path, vname)
+        )
+        _publish(reservoir_path, vname)
+        # prune: keep the published snapshot and its predecessor (a
+        # reader resolved just before the swap may still be on it)
+        keep = {vname}
+        vs = sorted(
+            d for d in os.listdir(reservoir_path)
+            if d.startswith("v") and d[1:].isdigit() and d != vname
+        )
+        if vs:
+            keep.add(vs[-1])
+        import shutil
+
+        for d in vs:
+            if d not in keep:
+                shutil.rmtree(
+                    os.path.join(reservoir_path, d), ignore_errors=True
+                )
 
     return events.writeStream.foreachBatch(merge_batch)
+
+
+def read_reservoir(spark: SparkSession, reservoir_path: str) -> DataFrame:
+    """Read the live (pointer-published) reservoir snapshot."""
+    from parquet_sampler_spark.streaming.sinks import current_snapshot_path
+
+    snap = current_snapshot_path(reservoir_path)
+    if snap is None:
+        raise FileNotFoundError(
+            f"no published reservoir at {reservoir_path}"
+        )
+    return spark.read.parquet(snap)

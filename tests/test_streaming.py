@@ -145,7 +145,10 @@ def test_stream_stream_attribution(spark, event_stream):
 def test_streaming_exact_sample_matches_batch(spark, event_stream, tmp_path):
     """After consuming the whole stream, the online reservoir equals the
     batch exact-count sample with the same seed."""
-    from parquet_sampler_spark.streaming.joins import streaming_exact_sample
+    from parquet_sampler_spark.streaming.joins import (
+        read_reservoir,
+        streaming_exact_sample,
+    )
     from parquet_sampler_spark.operators.sample import sample_exact
     from parquet_sampler_spark.queries_ext import _events
 
@@ -158,7 +161,7 @@ def test_streaming_exact_sample_matches_batch(spark, event_stream, tmp_path):
 
     got = sorted(
         r.event_id
-        for r in spark.read.parquet(res).select("event_id").collect()
+        for r in read_reservoir(spark, res).select("event_id").collect()
     )
     e = _events(spark, "/root/testdata/sf0.001")
     n = e.count()
@@ -173,7 +176,10 @@ def test_streaming_exact_sample_replay_idempotent(spark, event_stream,
                                                   tmp_path):
     """Replaying the entire stream against an existing reservoir must be
     a no-op (exactly-once by idempotence)."""
-    from parquet_sampler_spark.streaming.joins import streaming_exact_sample
+    from parquet_sampler_spark.streaming.joins import (
+        read_reservoir,
+        streaming_exact_sample,
+    )
 
     res = str(tmp_path / "res")
     runs = []
@@ -184,7 +190,7 @@ def test_streaming_exact_sample_replay_idempotent(spark, event_stream,
         ).trigger(availableNow=True).start()
         q.awaitTermination(120)
         runs.append(sorted(
-            r.event_id for r in spark.read.parquet(res).collect()))
+            r.event_id for r in read_reservoir(spark, res).collect()))
     assert runs[0] == runs[1]
     assert len(set(runs[0])) == 20
 
@@ -949,3 +955,73 @@ def test_sessionize_exact_gap_tie_semantics(spark, tmp_path):
         for r in spark.table("tie_native").collect()
     )
     assert nat == fold  # same session set, tie included
+
+
+def test_streaming_exact_sample_kill_restart_checkpoint(spark, tmp_path):
+    """Restart/exactly-once e2e (VERDICT r07 #6): a foreachBatch
+    reservoir query is KILLED mid-stream (stop() after at least one
+    committed batch of a 3-file source) and restarted from the same
+    checkpoint — the final reservoir must equal the uninterrupted
+    run's, byte for byte. The guarantee composes from (a) checkpointed
+    source offsets (the restart resumes where the kill landed, and an
+    aborted in-flight batch replays) and (b) the merge being
+    replay-idempotent (dedup on the logical key + deterministic
+    top-k), so at-least-once delivery yields exactly-once state."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.joins import (
+        read_reservoir,
+        streaming_exact_sample,
+    )
+
+    src = tmp_path / "krsrc"
+    src.mkdir()
+    for i in range(3):
+        ids = list(range(i * 1000, (i + 1) * 1000))
+        tbl = pa.table({"event_id": pa.array(ids, pa.int64())})
+        pq.write_table(tbl, str(src / f"f{i}.parquet"))
+        os.utime(str(src / f"f{i}.parquet"),
+                 (1_000_000 * (i + 1),) * 2)
+
+    def stream():
+        return (spark.readStream.schema("event_id long")
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    ckpt = str(tmp_path / "ckpt")
+    res = str(tmp_path / "res")
+    q = (streaming_exact_sample(stream(), k=25, reservoir_path=res,
+                                key_cols=["event_id"], seed=3)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="50 milliseconds").start())
+    ptr = os.path.join(res, "_CURRENT")
+    deadline = time.time() + 60
+    while not os.path.exists(ptr) and time.time() < deadline:
+        time.sleep(0.05)
+    q.stop()  # kill: between batches or with one in flight
+    q.awaitTermination(60)
+    assert os.path.exists(ptr), "no batch published before the kill"
+
+    # restart from the SAME checkpoint; drain whatever remains
+    q2 = (streaming_exact_sample(stream(), k=25, reservoir_path=res,
+                                 key_cols=["event_id"], seed=3)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = sorted(r.event_id for r in read_reservoir(spark, res).collect())
+
+    # uninterrupted control: fresh checkpoint + fresh reservoir
+    res2 = str(tmp_path / "res_ctl")
+    q3 = (streaming_exact_sample(stream(), k=25, reservoir_path=res2,
+                                 key_cols=["event_id"], seed=3)
+          .option("checkpointLocation", str(tmp_path / "ckpt_ctl"))
+          .trigger(availableNow=True).start())
+    q3.awaitTermination(120)
+    want = sorted(
+        r.event_id for r in read_reservoir(spark, res2).collect()
+    )
+    assert len(got) == 25
+    assert got == want

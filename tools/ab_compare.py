@@ -58,7 +58,7 @@ def main() -> int:
           f"r6 {tot6:.1f}s  ratio {tot6 / tot5:.3f}")
 
     movers = [
-        (q, med5[q], med6[q], med6[q] / med5[q])
+        (q, med5[q], med6[q], med6[q] / max(med5[q], 1e-9))
         for q in common
         if max(med5[q], med6[q]) > 0.15
         and (med6[q] / max(med5[q], 1e-9) > MOVER_X
