@@ -1,0 +1,77 @@
+"""Generate a LOCAL sf10 slice (10× the make_sf1.py output) for the
+second scale decade VERDICT r07 #3 asks about.
+
+Only the α ≥ 0.5 tail of the sf0.1→sf1 table needs another decade —
+`tpch_q13` (customer ⟕ orders), `sql_correlated_subquery`
+(orders + lineitem decorrelated join), `streaming_sessionize`
+(events) — so only the FOUR tables those queries read are amplified,
+into ``.scratch/sf10/`` (gitignored, ~2 GB). Same key-shifted-copies
+shape as make_sf1.py with strides one decade wider: key cardinality
+grows 10×, per-key distributions (orders per customer, lineitems per
+order, events per user/session) are preserved exactly — the scaling
+shape of a 10× corpus is more keys, not hotter keys, and these three
+queries aggregate/join/fold PER KEY, so preserved per-key volume is
+exactly what their exponents should be measured against.
+
+Requires .scratch/sf1 (run tools/make_sf1.py first).
+Deterministic (pure key arithmetic). Usage: python tools/make_sf10.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+SRC = REPO / ".scratch" / "sf1"
+OUT = REPO / ".scratch" / "sf10"
+COPIES = 10
+# one decade past the sf1 strides; customer stride stays a multiple
+# of 100 so the CDC mod-100 update classes survive a further decade
+CUST_STRIDE = 1_000_000
+ORDER_STRIDE = 100_000_000
+EVENT_STRIDE = 10_000_000
+USER_STRIDE = 1_000_000
+
+
+def main() -> int:
+    needed = ["customer", "orders", "lineitem", "events"]
+    missing = [t for t in needed if not (SRC / f"{t}.parquet").is_file()]
+    if missing:
+        raise SystemExit(
+            f"run tools/make_sf1.py first (missing in sf1: {missing})"
+        )
+    OUT.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    plans = {
+        "customer": f"c_custkey + {{k}} * {CUST_STRIDE} AS c_custkey",
+        "orders": (
+            f"o_orderkey + {{k}} * {ORDER_STRIDE} AS o_orderkey, "
+            f"o_custkey + {{k}} * {CUST_STRIDE} AS o_custkey"
+        ),
+        "lineitem": f"l_orderkey + {{k}} * {ORDER_STRIDE} AS l_orderkey",
+        "events": (
+            f"event_id + {{k}} * {EVENT_STRIDE} AS event_id, "
+            f"user_id + {{k}} * {USER_STRIDE} AS user_id"
+        ),
+    }
+    for t, repl in plans.items():
+        src = SRC / f"{t}.parquet"
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE ({repl.format(k=k)}) FROM '{src}'"
+            for k in range(COPIES)
+        )
+        con.execute(
+            f"COPY ({union}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM '{OUT}/{t}.parquet'"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
