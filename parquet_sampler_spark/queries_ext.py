@@ -1758,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan": _q_zorder_scan,
         "dq_checks": _q_dq_checks,
         "dq_quarantine": _q_dq_quarantine,
+        "aqp_revenue": _q_aqp_revenue,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
@@ -1836,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_scan": _SQL_ZORDER_SCAN,
         "dq_checks": _SQL_DQ_CHECKS,
         "dq_quarantine": _SQL_DQ_QUARANTINE,
+        "aqp_revenue": _sql_aqp_revenue(),
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
@@ -3548,6 +3550,108 @@ UNION ALL
 SELECT 'orders_price_positive', o_orderkey, o_custkey, o_totalprice
 FROM dirty
 WHERE NOT (o_totalprice > 0)
+"""
+
+
+_AQP_SEED = 77
+_AQP_PCT = 5  # 5% hash-threshold sample
+
+
+def _q_aqp_revenue(spark, sf_dir):
+    """Approximate query processing from the reference's own sampling
+    primitive (r08): revenue per order priority ESTIMATED from a 5%
+    deterministic Lehmer hash-threshold sample of lineitem, scaled by
+    the exact inverse ratio (×20), reported beside the exact answer.
+    This is WHY a sampler exists in an analytics stack — a 100 TB
+    aggregate answered from a 5 TB scan — surfaced as a registered row
+    with the estimate/truth pair so the sampling error itself is on
+    the correctness surface.
+
+    Fully deterministic (no envelope oracle needed): the sample is a
+    pure hash predicate both engines evaluate identically, and both
+    revenues are exact-cents BIGINT sums divided once at the end, so
+    the DuckDB oracle replicates estimate AND truth bit-for-bit.
+    LEFT join from the exact side with COALESCE(0): a priority class
+    the sample misses must surface as est 0, not vanish.
+
+    Scale shape: the estimate side joins only the sampled 5% against
+    orders (broadcast-sized after sampling at any sf where orders ≫
+    sample); the exact side is one plain agg join. At 100 TB the
+    exact side is the thing you're AVOIDING — run the estimate alone
+    and keep truth for audit slices."""
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        lehmer_hash,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    )
+    thresh = MODULUS * _AQP_PCT // 100
+    samp = li.filter(
+        lehmer_hash(["l_orderkey", "l_linenumber"], _AQP_SEED)
+        < F.lit(thresh)
+    )
+    est = (
+        samp.join(o, samp["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(rev_e4) * (100 // _AQP_PCT) / 10000.0
+            ).alias("est_revenue")
+        )
+    )
+    exact = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg((F.sum(rev_e4) / 10000.0).alias("exact_revenue"))
+    )
+    return exact.join(est, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        F.coalesce("est_revenue", F.lit(0.0)).alias("est_revenue"),
+        "exact_revenue",
+    )
+
+
+def _sql_aqp_revenue() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        lehmer_hash_sql,
+    )
+
+    pr = lehmer_hash_sql(["l_orderkey", "l_linenumber"], _AQP_SEED)
+    thresh = MODULUS * _AQP_PCT // 100
+    scale = 100 // _AQP_PCT
+    return f"""
+WITH rev AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) *
+         (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem
+),
+est AS (
+  SELECT o_orderpriority,
+         sum(rev_e4) * {scale} / 10000.0 AS est_revenue
+  FROM rev JOIN orders ON l_orderkey = o_orderkey
+  WHERE ({pr}) < {thresh}
+  GROUP BY o_orderpriority
+),
+exact AS (
+  SELECT o_orderpriority, sum(rev_e4) / 10000.0 AS exact_revenue
+  FROM rev JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderpriority
+)
+SELECT exact.o_orderpriority,
+       COALESCE(est_revenue, 0.0) AS est_revenue,
+       exact_revenue
+FROM exact LEFT JOIN est USING (o_orderpriority)
 """
 
 

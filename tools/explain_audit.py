@@ -256,6 +256,27 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 22. DQ quarantine (r08): the FK membership probe must broadcast
+    # the deduped dim keys (never shuffle the dirty fact), and the
+    # multi-check fan-out must be the explode of a reasons array (one
+    # scan), not a union of per-check passes
+    check(
+        "dq_quarantine",
+        R.queries()["dq_quarantine"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "Generate"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
+    # 23. AQP estimate (r08): both the sampled and exact sides must
+    # aggregate partially before their exchange (map-side combine on
+    # the cents sums), and nothing may degrade to a cartesian
+    check(
+        "aqp_revenue",
+        R.queries()["aqp_revenue"](spark, sf_dir),
+        must_contain=["partial_sum"],
+        must_not=["CartesianProduct"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
