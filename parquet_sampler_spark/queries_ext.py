@@ -1759,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": _q_dq_checks,
         "dq_quarantine": _q_dq_quarantine,
         "aqp_revenue": _q_aqp_revenue,
+        "split_leakage": _q_split_leakage,
+        "winsorize_values": _q_winsorize_values,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
@@ -1838,6 +1840,8 @@ def oracle_sql() -> dict[str, str]:
         "dq_checks": _SQL_DQ_CHECKS,
         "dq_quarantine": _SQL_DQ_QUARANTINE,
         "aqp_revenue": _sql_aqp_revenue(),
+        "split_leakage": _sql_split_leakage(),
+        "winsorize_values": _SQL_WINSORIZE_VALUES,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
@@ -3550,6 +3554,141 @@ UNION ALL
 SELECT 'orders_price_positive', o_orderkey, o_custkey, o_totalprice
 FROM dirty
 WHERE NOT (o_totalprice > 0)
+"""
+
+
+def _q_split_leakage(spark, sf_dir):
+    """Train/val/test LEAKAGE audit (r08): the hash split
+    (`dataset_split`) assigns by doc_id, so two docs with IDENTICAL
+    text can land in different splits — exactly the eval contamination
+    a training pipeline must detect before shipping a corpus. Emits
+    one row: cross-split duplicate-pair counts per split pair plus the
+    number of distinct leaked texts.
+
+    Scale shape: NO self-join. One shuffle groups by text, per-group
+    split counts come from conditional sums, and cross-split pairs are
+    the product c_a·c_b summed over groups — Σg² work only within
+    duplicate groups, never n². (At 100 TB key the shuffle by a
+    128-bit text fingerprint instead of the raw text; the raw column
+    is kept here so the oracle compares on exact equality.)
+
+    The sf0.01 gate corpus has ZERO exact-dup texts, so (as with
+    dq_quarantine) a DETERMINISTIC re-crawl batch is injected — every
+    41st doc duplicated verbatim under a shifted doc_id, exactly
+    replicated in the oracle — making the green row prove real
+    cross-split pair counting, not an empty sum: the copy's new id
+    hashes to an independent split, so ~⅓ of the copies leak."""
+    from parquet_sampler_spark.operators.sample import assign_splits
+
+    d0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d0.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    d = d0.unionByName(recrawl)
+    s = assign_splits(d, ["doc_id"], seed=13)
+
+    def cnt(name):
+        return F.sum(
+            F.when(F.col("split") == name, 1).otherwise(0)
+        )
+
+    g = s.groupBy("text").agg(
+        cnt("train").alias("__tr"),
+        cnt("val").alias("__va"),
+        cnt("test").alias("__te"),
+    )
+    return g.agg(
+        F.coalesce(F.sum(F.col("__tr") * F.col("__va")), F.lit(0))
+        .alias("train_val_pairs"),
+        F.coalesce(F.sum(F.col("__tr") * F.col("__te")), F.lit(0))
+        .alias("train_test_pairs"),
+        F.coalesce(F.sum(F.col("__va") * F.col("__te")), F.lit(0))
+        .alias("val_test_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("__tr") > 0).cast("int")
+                    + (F.col("__va") > 0).cast("int")
+                    + (F.col("__te") > 0).cast("int")
+                    > 1,
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("leaked_texts"),
+    )
+
+
+def _sql_split_leakage() -> str:
+    from parquet_sampler_spark.operators.sample import assign_splits_sql
+
+    split = assign_splits_sql(["doc_id"], 13)
+    return f"""
+WITH dirty AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 41 = 0
+),
+s AS (
+  SELECT doc_id, text, {split} AS split FROM dirty
+),
+g AS (
+  SELECT text,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+  FROM s GROUP BY text
+)
+SELECT COALESCE(sum(tr * va), 0) AS train_val_pairs,
+       COALESCE(sum(tr * te), 0) AS train_test_pairs,
+       COALESCE(sum(va * te), 0) AS val_test_pairs,
+       COALESCE(sum(CASE WHEN (CASE WHEN tr > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN va > 0 THEN 1 ELSE 0 END
+                             + CASE WHEN te > 0 THEN 1 ELSE 0 END) > 1
+                        THEN 1 ELSE 0 END), 0) AS leaked_texts
+FROM g
+"""
+
+
+def _q_winsorize_values(spark, sf_dir):
+    """Per-group outlier clipping (winsorization, r08): every event's
+    value clipped to its event_type's [p1, p99] — the standard
+    pre-training cleanup for heavy-tailed numeric features, as a
+    registered row. Exact percentiles via Spark `percentile` (==
+    DuckDB `quantile_cont`, bit-exact per the percentiles row), ONE
+    aggregation producing a per-type bounds table that broadcasts back
+    onto the fact — two scans total, no window over the raw rows (a
+    percentile window would sort every partition of the fact).
+    NULL values are excluded up front (they'd otherwise be clipped to
+    p1 by least/greatest null-skipping in BOTH engines — a silent
+    imputation nobody asked for)."""
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("__lo"),
+        F.percentile("value", 0.99).alias("__hi"),
+    )
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(
+            F.greatest(F.col("value"), F.col("__lo")), F.col("__hi")
+        ).alias("value_winsorized"),
+    )
+
+
+_SQL_WINSORIZE_VALUES = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       least(greatest(value, lo), hi) AS value_winsorized
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE value IS NOT NULL
 """
 
 

@@ -193,3 +193,61 @@ def test_quantile_summary_rank_error_bound(partitions, cap, p):
     assert lo - allowed <= p <= hi + allowed, (
         p, est, lo, hi, allowed, cap,
     )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=400,
+        ),
+        min_size=1, max_size=5,
+    ),
+    st.integers(4, 48),
+    st.floats(0.0, 1.0),
+)
+def test_weighted_grid_two_level_rank_error_bound(partitions, cap, p):
+    """The r08 partition-local quantile build rests on the SAME kernel
+    at two levels: _weighted_grid compresses each partition's values,
+    then compresses the union of the per-partition summaries again
+    (the phase-2 merge). Checked in pure numpy with the real kernel:
+    every compression that actually compresses is charged one full
+    grid cell of the weight it covers (generous: the bound is half a
+    cell), and the final weighted-rank answer must sit within the
+    accumulated slack of the true rank."""
+    import numpy as np
+
+    from parquet_sampler_spark.operators.sketches import _weighted_grid
+
+    all_vals = np.sort(np.concatenate([
+        np.array(pp, dtype=np.float64) for pp in partitions
+    ]))
+    n_total = len(all_vals)
+
+    slack = 0.0
+    kept_vals, kept_ws = [], []
+    for pp in partitions:
+        v = np.array(pp, dtype=np.float64)
+        kv, kw = _weighted_grid(v, np.ones(len(v)), cap)
+        if len(v) > cap:
+            slack += len(v) / min(cap, len(v))  # one grid cell
+        kept_vals.append(kv)
+        kept_ws.append(np.full(len(kv), kw))
+    vals = np.concatenate(kept_vals)
+    ws = np.concatenate(kept_ws)
+    # level 2: the phase-2 merge compress
+    fv, fw = _weighted_grid(vals, ws, cap)
+    if len(vals) > cap:
+        slack += ws.sum() / min(cap, len(vals))
+    cum = np.cumsum(np.full(len(fv), fw))
+    j = int(np.searchsorted(cum, p * cum[-1], side="left"))
+    j = min(j, len(fv) - 1)
+    est = fv[j]
+
+    lo = np.searchsorted(all_vals, est, side="left") / n_total
+    hi = np.searchsorted(all_vals, est, side="right") / n_total
+    allowed = (slack + fw) / n_total  # + final grid discretization
+    assert lo - allowed <= p <= hi + allowed, (
+        p, est, lo, hi, allowed, cap,
+    )
