@@ -1760,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_quarantine": _q_dq_quarantine,
         "aqp_revenue": _q_aqp_revenue,
         "split_leakage": _q_split_leakage,
+        "streaming_reservoir_grouped": _q_streaming_reservoir_grouped,
         "winsorize_values": _q_winsorize_values,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
@@ -1841,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_quarantine": _SQL_DQ_QUARANTINE,
         "aqp_revenue": _sql_aqp_revenue(),
         "split_leakage": _sql_split_leakage(),
+        "streaming_reservoir_grouped": _sql_streaming_reservoir_grouped(),
         "winsorize_values": _SQL_WINSORIZE_VALUES,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
@@ -2641,6 +2643,81 @@ def _sql_streaming_reservoir():
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
   SELECT *, row_number() OVER (ORDER BY {pr}, event_id) AS rn FROM events
 ) WHERE rn <= {_RESERVOIR_K}
+"""
+
+
+_GROUPED_RES_K = 10
+
+
+def _q_streaming_reservoir_grouped(spark, sf_dir):
+    """Per-STRATUM online reservoir (r08): k exemplars per event_type
+    maintained across micro-batches (streaming/joins.
+    streaming_grouped_sample) — the stratified form of
+    streaming_reservoir, where one global reservoir would drown rare
+    strata at 100 TB stream rates. Same two-file split source (the
+    cross-batch merge is exercised), same invariant: after draining,
+    each group's reservoir EQUALS the batch per-group hash top-k —
+    which is exactly the oracle's row_number() PARTITION BY. Per-batch
+    merge cost is O(batch + groups·k) via WindowGroupLimit, never a
+    global sort."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.joins import (
+        read_reservoir,
+        streaming_grouped_sample,
+    )
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"stream_gres_{tag}")
+    src_dir = os.path.join(d, "src")
+    res_path = os.path.join(d, "reservoir_grouped.parquet")
+    os.makedirs(src_dir, exist_ok=True)
+    t = None
+    for name, lo, hi in (("events_a", 0.0, 0.5), ("events_b", 0.5, 1.0)):
+        dst = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t is None:
+            t = pq.read_table(f"{sf_dir}/events.parquet")
+        start = int(t.num_rows * lo)
+        stop = int(t.num_rows * hi)
+        tmp = dst + ".tmp"
+        pq.write_table(t.slice(start, stop - start), tmp)
+        os.replace(tmp, dst)
+    if os.path.exists(res_path):
+        shutil.rmtree(res_path)
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, src_dir)
+        writer = streaming_grouped_sample(
+            src, _GROUPED_RES_K, res_path,
+            group_cols=["event_type"], key_cols=["event_id"],
+            seed=_RESERVOIR_SEED,
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    return read_reservoir(spark, res_path).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value",
+    )
+
+
+def _sql_streaming_reservoir_grouped():
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+
+    pr = lehmer_hash_sql(["event_id"], _RESERVOIR_SEED)
+    return f"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY {pr}, event_id) AS rn
+  FROM events
+) WHERE rn <= {_GROUPED_RES_K}
 """
 
 

@@ -145,6 +145,78 @@ def streaming_exact_sample(
     return events.writeStream.foreachBatch(merge_batch)
 
 
+def streaming_grouped_sample(
+    events: DataFrame,
+    k: int,
+    reservoir_path: str,
+    group_cols: list[str],
+    key_cols: list[str],
+    seed: int = 42,
+):
+    """Per-GROUP k-row deterministic reservoir (r08): for every value
+    of ``group_cols``, maintain the k smallest (pr, key) rows seen so
+    far — the stratified online sample a 100 TB stream pipeline
+    actually keeps (k exemplars per event type / language / source),
+    where one global reservoir would drown rare strata. New groups
+    appear as the stream first sees them; no pre-declared stratum
+    list.
+
+    Same invariant and commit protocol as
+    :func:`streaming_exact_sample` (versioned snapshot + atomic
+    pointer, replay-idempotent merge; read with
+    :func:`read_reservoir`). The per-batch merge ranks
+    ``row_number() <= k`` over (group → pr, keys): Catalyst rewrites
+    the rank filter into WindowGroupLimit, so each partition keeps
+    per-group k-heaps — O(batch + groups·k) work per batch, never a
+    global sort. State is the reservoir itself: groups·k rows.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from parquet_sampler_spark.streaming.sinks import (
+        _publish,
+        current_snapshot_path,
+    )
+
+    spark = events.sparkSession
+    pr = lehmer_hash(key_cols, seed)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__pr"), *[F.col(c) for c in key_cols]
+    )
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        tagged = batch.withColumn("__pr", pr)
+        cur_path = current_snapshot_path(reservoir_path)
+        merged = (
+            tagged if cur_path is None
+            else spark.read.parquet(cur_path).unionByName(tagged)
+        )
+        top = (
+            merged.dropDuplicates(key_cols)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        vname = f"v{epoch_id:08d}"
+        top.write.mode("overwrite").parquet(
+            os.path.join(reservoir_path, vname)
+        )
+        _publish(reservoir_path, vname)
+        import shutil
+
+        vs = sorted(
+            d for d in os.listdir(reservoir_path)
+            if d.startswith("v") and d[1:].isdigit() and d != vname
+        )
+        for d in vs[:-1]:
+            shutil.rmtree(
+                os.path.join(reservoir_path, d), ignore_errors=True
+            )
+
+    return events.writeStream.foreachBatch(merge_batch)
+
+
 def read_reservoir(spark: SparkSession, reservoir_path: str) -> DataFrame:
     """Read the live (pointer-published) reservoir snapshot."""
     from parquet_sampler_spark.streaming.sinks import current_snapshot_path

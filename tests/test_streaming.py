@@ -1025,3 +1025,45 @@ def test_streaming_exact_sample_kill_restart_checkpoint(spark, tmp_path):
     )
     assert len(got) == 25
     assert got == want
+
+
+def test_streaming_grouped_sample_matches_batch(spark, event_stream,
+                                                tmp_path):
+    """Per-stratum reservoir (r08): after draining the stream, every
+    group's reservoir equals the batch per-group hash top-k — and no
+    group exceeds k even when strata are wildly unbalanced."""
+    from pyspark.sql import Window
+
+    from parquet_sampler_spark.queries_ext import _events
+    from parquet_sampler_spark.streaming.joins import (
+        read_reservoir,
+        streaming_grouped_sample,
+    )
+    from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+    res = str(tmp_path / "gres")
+    q = streaming_grouped_sample(
+        event_stream, k=7, reservoir_path=res,
+        group_cols=["event_type"], key_cols=["event_id"], seed=11,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.event_type, r.event_id)
+        for r in read_reservoir(spark, res).collect()
+    )
+    e = _events(spark, "/root/testdata/sf0.001")
+    w = Window.partitionBy("event_type").orderBy(
+        lehmer_hash(["event_id"], 11), "event_id"
+    )
+    want = sorted(
+        (r.event_type, r.event_id)
+        for r in e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 7).collect()
+    )
+    assert got == want
+    from collections import Counter
+
+    per_group = Counter(t for t, _ in got)
+    assert all(c <= 7 for c in per_group.values())
+    assert len(per_group) == e.select("event_type").distinct().count()
