@@ -3717,13 +3717,13 @@ g AS (
          sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
   FROM s GROUP BY text
 )
-SELECT COALESCE(sum(tr * va), 0) AS train_val_pairs,
-       COALESCE(sum(tr * te), 0) AS train_test_pairs,
-       COALESCE(sum(va * te), 0) AS val_test_pairs,
-       COALESCE(sum(CASE WHEN (CASE WHEN tr > 0 THEN 1 ELSE 0 END
+SELECT CAST(COALESCE(sum(tr * va), 0) AS BIGINT) AS train_val_pairs,
+       CAST(COALESCE(sum(tr * te), 0) AS BIGINT) AS train_test_pairs,
+       CAST(COALESCE(sum(va * te), 0) AS BIGINT) AS val_test_pairs,
+       CAST(COALESCE(sum(CASE WHEN (CASE WHEN tr > 0 THEN 1 ELSE 0 END
                              + CASE WHEN va > 0 THEN 1 ELSE 0 END
                              + CASE WHEN te > 0 THEN 1 ELSE 0 END) > 1
-                        THEN 1 ELSE 0 END), 0) AS leaked_texts
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_texts
 FROM g
 """
 

@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_stats": _q_array_stats,
         "grouped_udaf_quantiles": _q_grouped_udaf,
         "merge_upsert": _q_merge_upsert,
+        "ivm_rollup": _q_ivm_rollup,
         "approx_distinct": _q_approx_distinct,
         "approx_quantiles": _q_approx_quantiles,
         "column_stats": _q_column_stats,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "array_stats": _SQL_ARRAY_STATS,
         "grouped_udaf_quantiles": _SQL_GROUPED_UDAF,
         "merge_upsert": _SQL_MERGE_UPSERT,
+        "ivm_rollup": _SQL_IVM_ROLLUP,
         "tpch_q13": _SQL_TPCH_Q13,
         "tpch_q15": _SQL_TPCH_Q15,
         "tpch_q16": _SQL_TPCH_Q16,
@@ -1097,6 +1099,115 @@ GROUP BY n1.n_name, n2.n_name
 # Round 3: TPC-H long tail (Q13/Q15/Q16/Q17/Q22), grouped top-k,
 # snapshot diff
 # ---------------------------------------------------------------------------
+
+def _q_ivm_rollup(spark, sf_dir):
+    """Incremental view maintenance (r08): a per-nation customer
+    aggregate (count, exact-cents balance sum) maintained under the
+    shared CDC batch by DELTA-MERGE — the 100 TB answer to "the
+    snapshot changed, refresh the dashboard" where re-aggregating the
+    base table costs a full scan per batch.
+
+    Delta algebra for an upsert-with-delete batch: subtract the
+    touched keys' OLD contribution (base semi-restricted to batch
+    keys — a broadcast keyed lookup, not a scan-wide agg), add the
+    batch's surviving NEW rows, and fold the per-nation delta into
+    the stored aggregate with a full-outer coalesce. Work scales with
+    |batch| + |view|, never |base|. Exactness: balances move as
+    round(x·100) BIGINT cents end-to-end, so the update's old-cents
+    term cancels the base aggregate's identically-computed term and
+    the incremental result is BIT-EQUAL to recomputation — which is
+    exactly what the oracle does (full GROUP BY over the merged
+    snapshot), so the green row proves the delta algebra, not an
+    approximation."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    batch = _merge_batch(spark, sf_dir)
+
+    def cents(col):
+        return F.round(F.col(col) * 100).cast("bigint")
+
+    base_agg = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(cents("c_acctbal")).alias("__s"),
+    )
+    old_contrib = (
+        c.join(F.broadcast(batch.select("c_custkey")), "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("__dn_old"),
+            F.sum(cents("c_acctbal")).alias("__ds_old"),
+        )
+    )
+    new_contrib = (
+        batch.filter(~F.col("is_deleted"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("__dn_new"),
+            F.sum(cents("c_acctbal")).alias("__ds_new"),
+        )
+    )
+    delta = (
+        new_contrib.join(old_contrib, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (
+                F.coalesce("__dn_new", F.lit(0))
+                - F.coalesce("__dn_old", F.lit(0))
+            ).alias("__dn"),
+            (
+                F.coalesce("__ds_new", F.lit(0))
+                - F.coalesce("__ds_old", F.lit(0))
+            ).alias("__ds"),
+        )
+    )
+    return (
+        base_agg.join(delta, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            (
+                F.coalesce("__n", F.lit(0)) + F.coalesce("__dn", F.lit(0))
+            ).alias("n_customers"),
+            (
+                (
+                    F.coalesce("__s", F.lit(0))
+                    + F.coalesce("__ds", F.lit(0))
+                ) / 100.0
+            ).alias("acctbal_sum"),
+        )
+        .filter(F.col("n_customers") > 0)
+    )
+
+
+_SQL_IVM_ROLLUP = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+         c_mktsegment, (c_custkey % 250 = 0) AS is_deleted
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (10000001, 'NewCustomer#0', 0, 0.0, 'BUILDING', false),
+    (10000002, 'NewCustomer#1', 0, 0.0, 'BUILDING', false),
+    (10000003, 'NewCustomer#2', 0, 0.0, 'BUILDING', false))
+    v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, is_deleted)
+),
+merged AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM updates u
+                    WHERE u.c_custkey = c.c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM updates WHERE NOT is_deleted
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+         AS acctbal_sum
+FROM merged
+GROUP BY c_nationkey
+"""
+
 
 def _q_tpch_q13(spark, sf_dir):
     """Q13 customer-order-count distribution: LEFT OUTER join preserving
