@@ -258,7 +258,23 @@ def quantile_summaries(
     part = _partition_quantile_summaries(
         df, group_cols, sub_cols, value_col, cap
     )
-    keys = list(group_cols) + list(sub_cols)
+    return merge_summaries(part, list(group_cols) + list(sub_cols), cap)
+
+
+def merge_summaries(
+    summaries: DataFrame, group_cols: list[str], cap: int
+) -> DataFrame:
+    """Reduce summary rows (``vals``/``weight`` schema) to ONE row per
+    ``group_cols`` with the associative weighted-grid merge — the
+    phase-2 reduce of :func:`quantile_summaries`, public because the
+    same merge is what makes the summaries STREAMING state: a
+    foreachBatch loop unions the stored summaries with the new
+    batch's and calls this, cost O(groups · cap) per batch."""
+    keys = list(group_cols)
+    out_schema = T.StructType(
+        [summaries.schema[k] for k in keys]
+        + [summaries.schema["vals"], summaries.schema["weight"]]
+    )
 
     def merge_one(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = np.concatenate(
@@ -274,7 +290,11 @@ def quantile_summaries(
         row["weight"] = [w]
         return pd.DataFrame(row)
 
-    return part.groupBy(*keys).applyInPandas(merge_one, schema=part.schema)
+    return (
+        summaries.select(*keys, "vals", "weight")
+        .groupBy(*keys)
+        .applyInPandas(merge_one, schema=out_schema)
+    )
 
 
 def _partition_quantile_summaries(

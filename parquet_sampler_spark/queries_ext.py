@@ -399,7 +399,18 @@ def _q_quantile_rollup(spark, sf_dir):
         e, ["event_type"], ["__day"], "value", cap=_QR_CAP
     )
     est = merged_quantiles(summ, ["event_type"], [0.5, 0.9])
+    return _quantile_envelope(spark, sf_dir, est)
 
+
+def _quantile_envelope(spark, sf_dir, est):
+    """Shared read-out for summary-estimated per-type p50/p90: join
+    the estimates back onto events, compute each estimate's exact rank
+    window, emit the EXACT percentiles plus within-``_QR_EPS``
+    booleans the SQL oracle asserts TRUE (the envelope pattern of
+    approx_distinct/hll_rollup). Used by quantile_rollup (batch
+    summaries) and streaming_quantiles (the same summaries maintained
+    online) — one check, two build paths."""
+    e = _events(spark, sf_dir).select("event_type", "value")
     checked = (
         e.join(F.broadcast(est), "event_type")
         .groupBy("event_type")
@@ -1761,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aqp_revenue": _q_aqp_revenue,
         "split_leakage": _q_split_leakage,
         "streaming_reservoir_grouped": _q_streaming_reservoir_grouped,
+        "streaming_quantiles": _q_streaming_quantiles,
         "winsorize_values": _q_winsorize_values,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
@@ -1843,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
         "aqp_revenue": _sql_aqp_revenue(),
         "split_leakage": _sql_split_leakage(),
         "streaming_reservoir_grouped": _sql_streaming_reservoir_grouped(),
+        "streaming_quantiles": _SQL_QUANTILE_ROLLUP,
         "winsorize_values": _SQL_WINSORIZE_VALUES,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
@@ -2644,6 +2657,69 @@ SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM (
   SELECT *, row_number() OVER (ORDER BY {pr}, event_id) AS rn FROM events
 ) WHERE rn <= {_RESERVOIR_K}
 """
+
+
+def _q_streaming_quantiles(spark, sf_dir):
+    """Per-type p50/p90 maintained ONLINE (r08): the quantile_rollup
+    summary architecture run as streaming state — each micro-batch of
+    the two-file event stream builds its own partition-local
+    summaries, merges them into the stored per-event_type summaries
+    with the SAME associative weighted-grid reduce the batch path
+    uses, and commits through the crash-atomic snapshot sink
+    (streaming/quantiles.py). After the drain, quantiles read from
+    the kilobyte summary state must land inside the same 1% rank
+    envelope as the batch build — the SQL oracle asserts exactly
+    that, plus the exact percentiles. This closes the mergeability
+    claim end-to-end: the summaries ARE incremental-refresh state,
+    not just a batch rollup trick."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.sketches import merged_quantiles
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.quantiles import (
+        read_quantile_summaries,
+        streaming_quantile_summaries,
+    )
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"stream_q_{tag}")
+    src_dir = os.path.join(d, "src")
+    sum_path = os.path.join(d, "summaries.parquet")
+    os.makedirs(src_dir, exist_ok=True)
+    t = None
+    for name, lo, hi in (("events_a", 0.0, 0.5), ("events_b", 0.5, 1.0)):
+        dst = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t is None:
+            t = pq.read_table(f"{sf_dir}/events.parquet")
+        start = int(t.num_rows * lo)
+        stop = int(t.num_rows * hi)
+        tmp = dst + ".tmp"
+        pq.write_table(t.slice(start, stop - start), tmp)
+        os.replace(tmp, dst)
+    # additive state: a stale snapshot from an aborted run must not
+    # double-weight this drain (summaries are NOT dedup-idempotent,
+    # unlike the keyed reservoir — see streaming/quantiles.py)
+    if os.path.exists(sum_path):
+        shutil.rmtree(sum_path)
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, src_dir)
+        q = (
+            streaming_quantile_summaries(
+                src, ["event_type"], "value", sum_path, cap=_QR_CAP
+            )
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    summ = read_quantile_summaries(spark, sum_path)
+    est = merged_quantiles(summ, ["event_type"], [0.5, 0.9])
+    return _quantile_envelope(spark, sf_dir, est)
 
 
 _GROUPED_RES_K = 10

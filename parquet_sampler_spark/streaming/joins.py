@@ -89,11 +89,9 @@ def streaming_exact_sample(
     ``.start()``). Local-filesystem reservoir paths only (POSIX rename
     atomicity; on object stores this layer is a table format's job).
     """
-    import os
-
     from parquet_sampler_spark.streaming.sinks import (
-        _publish,
         current_snapshot_path,
+        publish_snapshot,
     )
 
     spark = events.sparkSession
@@ -120,27 +118,7 @@ def streaming_exact_sample(
             merged.dropDuplicates(key_cols)
             .orderBy(F.col("__pr"), *key_cols).limit(k)
         )
-        vname = f"v{epoch_id:08d}"
-        top.write.mode("overwrite").parquet(
-            os.path.join(reservoir_path, vname)
-        )
-        _publish(reservoir_path, vname)
-        # prune: keep the published snapshot and its predecessor (a
-        # reader resolved just before the swap may still be on it)
-        keep = {vname}
-        vs = sorted(
-            d for d in os.listdir(reservoir_path)
-            if d.startswith("v") and d[1:].isdigit() and d != vname
-        )
-        if vs:
-            keep.add(vs[-1])
-        import shutil
-
-        for d in vs:
-            if d not in keep:
-                shutil.rmtree(
-                    os.path.join(reservoir_path, d), ignore_errors=True
-                )
+        publish_snapshot(top, reservoir_path, epoch_id)
 
     return events.writeStream.foreachBatch(merge_batch)
 
@@ -170,13 +148,11 @@ def streaming_grouped_sample(
     per-group k-heaps — O(batch + groups·k) work per batch, never a
     global sort. State is the reservoir itself: groups·k rows.
     """
-    import os
-
     from pyspark.sql import Window
 
     from parquet_sampler_spark.streaming.sinks import (
-        _publish,
         current_snapshot_path,
+        publish_snapshot,
     )
 
     spark = events.sparkSession
@@ -198,21 +174,7 @@ def streaming_grouped_sample(
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
-        vname = f"v{epoch_id:08d}"
-        top.write.mode("overwrite").parquet(
-            os.path.join(reservoir_path, vname)
-        )
-        _publish(reservoir_path, vname)
-        import shutil
-
-        vs = sorted(
-            d for d in os.listdir(reservoir_path)
-            if d.startswith("v") and d[1:].isdigit() and d != vname
-        )
-        for d in vs[:-1]:
-            shutil.rmtree(
-                os.path.join(reservoir_path, d), ignore_errors=True
-            )
+        publish_snapshot(top, reservoir_path, epoch_id)
 
     return events.writeStream.foreachBatch(merge_batch)
 

@@ -1,0 +1,80 @@
+"""Online mergeable quantiles: the batch summary architecture
+(operators/sketches.quantile_summaries) run as STREAMING state.
+
+The reference is strictly batch (SURVEY.md §2.2); this is the
+beyond-reference demonstration that the kilobyte summary layer's
+associative merge is exactly what makes per-group percentiles
+maintainable over an unbounded stream: each micro-batch builds its own
+partition-local summaries, unions them with the stored per-group
+summaries, and reduces with the SAME weighted-grid merge the batch
+path uses — O(groups · cap) state and per-batch merge cost, no
+raw-event retention, any-time readable. A batch engine recomputing
+percentiles per refresh rescans everything; a mergeable summary makes
+the refresh incremental, which at 100 TB stream rates is the
+difference between a dashboard and a backfill job.
+
+State commits through the shared versioned-snapshot + pointer
+protocol (streaming/sinks.publish_snapshot) — crash-atomic, replayed
+batches overwrite their own uncommitted dir. NOT replay-idempotent in
+the strict sense (re-merging the same batch's values doubles their
+weight), so correctness over restarts relies on the checkpoint's
+exactly-once batch delivery — the documented contract difference from
+the dedup-keyed reservoir, and the standard contract for additive
+streaming state (counts and sums share it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def streaming_quantile_summaries(
+    events: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    summary_path: str,
+    cap: int = 512,
+):
+    """Maintain one quantile summary per ``group_cols`` value over the
+    stream at ``summary_path`` (versioned snapshots; read the live one
+    with :func:`read_quantile_summaries`, answer quantiles with
+    operators/sketches.merged_quantiles). Returns the
+    ``DataStreamWriter``."""
+    from parquet_sampler_spark.operators.sketches import (
+        merge_summaries,
+        quantile_summaries,
+    )
+    from parquet_sampler_spark.streaming.sinks import (
+        current_snapshot_path,
+        publish_snapshot,
+    )
+
+    spark = events.sparkSession
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        part = quantile_summaries(
+            batch, group_cols, [], value_col, cap=cap
+        )
+        cur_path = current_snapshot_path(summary_path)
+        merged_in = (
+            part if cur_path is None
+            else spark.read.parquet(cur_path).unionByName(part)
+        )
+        out = merge_summaries(merged_in, group_cols, cap)
+        publish_snapshot(out, summary_path, epoch_id)
+
+    return events.writeStream.foreachBatch(merge_batch)
+
+
+def read_quantile_summaries(
+    spark: SparkSession, summary_path: str
+) -> DataFrame:
+    """Read the live (pointer-published) summary snapshot."""
+    from parquet_sampler_spark.streaming.sinks import current_snapshot_path
+
+    snap = current_snapshot_path(summary_path)
+    if snap is None:
+        raise FileNotFoundError(
+            f"no published summaries at {summary_path}"
+        )
+    return spark.read.parquet(snap)

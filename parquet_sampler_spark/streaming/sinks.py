@@ -155,6 +155,22 @@ def _prune(base_path: str, keep: str, retain_versions: int = 1) -> None:
         )
 
 
+def publish_snapshot(
+    df: DataFrame, base_path: str, epoch_id: int, retain: int = 2
+) -> None:
+    """The shared foreachBatch state-commit (r08): write ``df`` as a
+    fresh ``v<epoch>`` dir, atomically swap the ``_CURRENT`` pointer,
+    prune to the ``retain`` newest PUBLISHED versions. Crash at any
+    byte offset leaves the pointer on the last published snapshot;
+    the replayed epoch overwrites its uncommitted dir wholesale. Used
+    by the reservoir samplers and the streaming quantile maintainer —
+    any foreachBatch loop whose state is 'the current snapshot'."""
+    vname = f"v{epoch_id:08d}"
+    df.write.mode("overwrite").parquet(os.path.join(base_path, vname))
+    _publish(base_path, vname)
+    _prune(base_path, vname, retain_versions=retain)
+
+
 def apply_cdc_batch(
     batch_df: DataFrame,
     batch_id: int,

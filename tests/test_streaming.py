@@ -1067,3 +1067,56 @@ def test_streaming_grouped_sample_matches_batch(spark, event_stream,
     per_group = Counter(t for t, _ in got)
     assert all(c <= 7 for c in per_group.values())
     assert len(per_group) == e.select("event_type").distinct().count()
+
+
+def test_streaming_quantile_summaries_envelope(spark, tmp_path):
+    """Online mergeable quantiles (r08): per-group summaries
+    maintained across micro-batches must answer quantiles inside the
+    same rank envelope as the batch build, with state bounded by
+    groups x cap — the mergeability claim exercised as streaming
+    state, not just a batch rollup."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.sketches import merged_quantiles
+    from parquet_sampler_spark.streaming.quantiles import (
+        read_quantile_summaries,
+        streaming_quantile_summaries,
+    )
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    rng = np.random.default_rng(23)
+    vals = rng.lognormal(2.0, 1.0, size=40_000)
+    half = len(vals) // 2
+    for i, chunk in enumerate((vals[:half], vals[half:])):
+        tbl = pa.table({
+            "g": pa.array(["a"] * len(chunk)),
+            "v": pa.array(chunk, pa.float64()),
+        })
+        pq.write_table(tbl, str(src / f"f{i}.parquet"))
+        os.utime(str(src / f"f{i}.parquet"), (1_000_000 * (i + 1),) * 2)
+
+    sum_path = str(tmp_path / "summ")
+    stream = (spark.readStream.schema("g string, v double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = streaming_quantile_summaries(
+        stream, ["g"], "v", sum_path, cap=256
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    summ = read_quantile_summaries(spark, sum_path).collect()
+    # bounded state: ONE summary row per group, <= cap kept values
+    assert len(summ) == 1 and len(summ[0].vals) <= 256
+
+    est = merged_quantiles(
+        read_quantile_summaries(spark, sum_path), ["g"], [0.5, 0.9]
+    ).collect()[0]
+    s = np.sort(vals)
+    for p, v in ((0.5, est.q50), (0.9, est.q90)):
+        lo = np.searchsorted(s, v, side="left") / len(s)
+        hi = np.searchsorted(s, v, side="right") / len(s)
+        assert lo - 0.01 <= p <= hi + 0.01, (p, v, lo, hi)
