@@ -80,6 +80,14 @@ def main() -> int:
     ))
     results["pq_16x16_rr100"] = len(pq_res & exact) / len(exact)
 
+    from parquet_sampler_spark.operators.similarity import ivfpq_topk
+
+    ivfpq = pairs(ivfpq_topk(
+        e, q, "vec_id", "embedding", k=K, nlist=16, nprobe=8,
+        m_sub=16, ncodes=16, rerank=100, seed=42,
+    ))
+    results["ivfpq_np8_rr100"] = len(ivfpq & exact) / len(exact)
+
     print(f"corpus: {n} vectors, {NQ} queries, k={K}")
     print("| variant | recall@10 |")
     print("|---|---|")
