@@ -1773,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "streaming_reservoir_grouped": _q_streaming_reservoir_grouped,
         "streaming_quantiles": _q_streaming_quantiles,
+        "schema_evolution": _q_schema_evolution,
         "winsorize_values": _q_winsorize_values,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
@@ -1856,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _sql_split_leakage(),
         "streaming_reservoir_grouped": _sql_streaming_reservoir_grouped(),
         "streaming_quantiles": _SQL_QUANTILE_ROLLUP,
+        "schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "winsorize_values": _SQL_WINSORIZE_VALUES,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
@@ -3842,6 +3844,60 @@ SELECT event_id, e.event_type, value,
        least(greatest(value, lo), hi) AS value_winsorized
 FROM events e JOIN b ON e.event_type = b.event_type
 WHERE value IS NOT NULL
+"""
+
+
+def _q_schema_evolution(spark, sf_dir):
+    """Schema-on-read evolution (r08): a table whose files were
+    written under TWO schema versions — v1 before a column existed,
+    v2 after — read back as ONE relation with ``mergeSchema``, the
+    missing column null-filled for v1 rows. This is how a 100 TB
+    table actually accretes columns: no rewrite of old files, the
+    reader reconciles footers (Spark reconciles per-file schemas;
+    column pruning and pushdown still apply per file). Fixture: even
+    custkeys written WITHOUT c_acctbal (v1), odd custkeys WITH it
+    (v2), both derived from the customer table; the oracle is the
+    same UNION with a typed NULL. Files staged once per (session,
+    sf_dir) with write-then-rename, like the stream fixtures."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"schema_evo_{tag}")
+    t = None
+    for name, cols, pred in (
+        ("v1", ["c_custkey", "c_name"], 0),
+        ("v2", ["c_custkey", "c_name", "c_acctbal"], 1),
+    ):
+        dst = os.path.join(d, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t is None:
+            t = pq.read_table(
+                f"{sf_dir}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_acctbal"],
+            )
+        import pyarrow.compute as pc
+
+        mask = pc.equal(pc.bit_wise_and(t["c_custkey"], 1), pred)
+        tmp = dst + ".tmp"
+        pq.write_table(t.filter(mask).select(cols), tmp)
+        os.replace(tmp, dst)
+    return (
+        spark.read.option("mergeSchema", "true").parquet(d)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_SQL_SCHEMA_EVOLUTION = """
+SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey % 2 = 1
 """
 
 

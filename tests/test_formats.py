@@ -80,3 +80,35 @@ def test_partition_pruning_on_partitioned_output(spark, small, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "isnotnull(s" in plan or "(s" in plan
     assert df.count() == 1
+
+
+def test_merge_schema_read_null_fills_old_files(spark, tmp_path):
+    """Schema-on-read evolution: a file written before a column
+    existed and one written after must read back as one relation with
+    mergeSchema, old rows null-filled — and column pruning must still
+    serve a v1-only projection without touching the new column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "evo"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "s": pa.array(["a", "b"])}),
+        str(d / "v1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()),
+                  "s": pa.array(["c"]),
+                  "extra": pa.array([9.5], pa.float64())}),
+        str(d / "v2.parquet"),
+    )
+    got = sorted(map(tuple, (
+        spark.read.option("mergeSchema", "true").parquet(str(d))
+        .select("id", "s", "extra").collect()
+    )))
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 9.5)]
+    # pruned projection over the mixed-schema dir still works
+    ids = sorted(r.id for r in spark.read.option("mergeSchema", "true")
+                 .parquet(str(d)).select("id").collect())
+    assert ids == [1, 2, 3]
