@@ -490,6 +490,79 @@ HAVING count(*) * {_HH_K} > (SELECT count(*) FROM t2)
 """
 
 
+def _q_streaming_heavy_hitters(spark, sf_dir):
+    """Heavy hitters maintained ONLINE (r08) — third member of the
+    sketch-as-streaming-state family (reservoir, quantiles, now
+    frequency): the documents token stream replays as a two-file
+    split, each micro-batch folds into a k-1-counter Misra-Gries
+    summary through the crash-atomic snapshot sink (kilobytes of
+    state forever), and the read-out verifies the streamed CANDIDATES
+    exactly against the corpus — the MG merge's superset guarantee
+    makes the result EQUAL to the batch operator's, so the oracle is
+    the same plain HAVING SQL. The candidates-then-verify split is
+    the point: the stream pays O(k) state per batch; exactness is
+    restored by one bounded verify at read time."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.frequency import (
+        heavy_hitters_from_stream,
+        streaming_heavy_hitters,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"stream_hh_{tag}")
+    src_dir = os.path.join(d, "src")
+    sum_path = os.path.join(d, "hh_summary.parquet")
+    os.makedirs(src_dir, exist_ok=True)
+    t = None
+    for name, lo, hi in (("docs_a", 0.0, 0.5), ("docs_b", 0.5, 1.0)):
+        dst = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t is None:
+            t = pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+        start = int(t.num_rows * lo)
+        stop = int(t.num_rows * hi)
+        tmp = dst + ".tmp"
+        pq.write_table(t.slice(start, stop - start), tmp)
+        os.replace(tmp, dst)
+    import shutil
+
+    # additive state: a stale snapshot from an aborted run must not
+    # double-count this drain (same contract as streaming_quantiles)
+    if os.path.exists(sum_path):
+        shutil.rmtree(sum_path)
+
+    def toks_of(df):
+        return df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), " ")
+            ).alias("term")
+        ).filter(F.col("term") != "")
+
+    with _stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src_dir)
+        )
+        q = (
+            streaming_heavy_hitters(
+                toks_of(stream), "term", _HH_K, sum_path
+            )
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    corpus_toks = toks_of(_t(spark, sf_dir, "documents"))
+    return heavy_hitters_from_stream(
+        spark, sum_path, corpus_toks, "term", _HH_K
+    )
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """N-gram language-model commonality score per document: the mean
     corpus document-frequency of a doc's distinct bigrams — high means
@@ -1774,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_reservoir_grouped": _q_streaming_reservoir_grouped,
         "streaming_quantiles": _q_streaming_quantiles,
         "schema_evolution": _q_schema_evolution,
+        "streaming_heavy_hitters": _q_streaming_heavy_hitters,
         "winsorize_values": _q_winsorize_values,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
@@ -1858,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_reservoir_grouped": _sql_streaming_reservoir_grouped(),
         "streaming_quantiles": _SQL_QUANTILE_ROLLUP,
         "schema_evolution": _SQL_SCHEMA_EVOLUTION,
+        "streaming_heavy_hitters": _SQL_HEAVY_HITTERS,
         "winsorize_values": _SQL_WINSORIZE_VALUES,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,

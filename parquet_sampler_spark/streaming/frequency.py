@@ -1,0 +1,139 @@
+"""Online heavy hitters: the Misra-Gries candidates-then-verify plan
+(operators/sketches.heavy_hitters) run as STREAMING state.
+
+Third member of the sketch-as-streaming-state family (with the exact-k
+reservoir and the mergeable quantile summaries): each micro-batch is
+summarized into a weighted Misra-Gries sketch and MERGED into the
+stored k-1-counter summary — the classic mergeability result: folding
+(key, weight) pairs of one MG summary into another with the same
+decrement rule keeps the combined undercount ≤ n_total/k, so the
+merged summary still proposes a SUPERSET of every globally-heavy key.
+State is k-1 counters + one running row count, kilobytes forever,
+committed through the shared crash-atomic snapshot protocol.
+
+Reading the answer stays a two-phase plan: the stream maintains
+CANDIDATES cheaply; :func:`verify_heavy_hitters` runs one exact
+bounded aggregation over the accumulated data (or any superset store)
+to keep only true heavy hitters with exact counts — which is why the
+registered row can carry the same plain-SQL HAVING oracle as the
+batch operator. Like the quantile state (and unlike the dedup-keyed
+reservoir), the merge is additive, so restart correctness rides the
+checkpoint's exactly-once batch delivery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_heavy_hitters(
+    keyed: DataFrame,
+    col: str,
+    k: int,
+    summary_path: str,
+):
+    """Maintain a k-1-counter Misra-Gries summary of ``col`` over the
+    stream at ``summary_path``. Snapshot schema: (``key`` string,
+    ``cnt`` long) candidate rows plus one (NULL, n) marker carrying
+    the running row count. Returns the ``DataStreamWriter``."""
+    if k < 2:
+        raise ValueError(f"streaming_heavy_hitters needs k >= 2, got {k}")
+
+    from parquet_sampler_spark.operators.sketches import _mg_update
+    from parquet_sampler_spark.streaming.sinks import (
+        current_snapshot_path,
+        publish_snapshot,
+    )
+
+    spark = keyed.sparkSession
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # exact per-batch key counts, shuffled on key — bounded output
+        # (distinct keys of ONE batch), collected as weighted updates.
+        # For adversarial per-batch cardinality swap this for the
+        # mapInPandas MG pass of the batch operator; the merge below
+        # is identical either way.
+        updates = (
+            batch.select(F.col(col).cast("string").alias("__k"))
+            .filter(F.col("__k").isNotNull())
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        counters: dict = {}
+        n = 0
+        cur = current_snapshot_path(summary_path)
+        if cur is not None:
+            for r in spark.read.parquet(cur).collect():
+                if r.key is None:
+                    n = r.cnt
+                else:
+                    counters[r.key] = r.cnt
+        for r in updates:
+            # dict-style access: Row.__k would hit Row's dunder guard
+            _mg_update(counters, r["__k"], int(r["__c"]), k - 1)
+            n += int(r["__c"])
+        rows = [(key, int(c)) for key, c in sorted(counters.items())]
+        rows.append((None, n))
+        publish_snapshot(
+            spark.createDataFrame(rows, "key string, cnt long"),
+            summary_path,
+            epoch_id,
+        )
+
+    return keyed.writeStream.foreachBatch(merge_batch)
+
+
+def verify_heavy_hitters(
+    spark: SparkSession,
+    summary_path: str,
+    data: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact read-out: keep only the summary's candidates whose EXACT
+    count in ``data`` clears the strict 1/k threshold (BIGINT compare,
+    engine-portable). The MG superset guarantee makes this equal to
+    the exact heavy hitters of ``data`` when the stream consumed
+    exactly ``data``."""
+    from parquet_sampler_spark.streaming.sinks import current_snapshot_path
+
+    cur = current_snapshot_path(summary_path)
+    if cur is None:
+        raise FileNotFoundError(f"no published summary at {summary_path}")
+    snap = spark.read.parquet(cur)
+    n_row = snap.filter(F.col("key").isNull()).collect()
+    if len(n_row) != 1:
+        raise ValueError(
+            f"corrupt summary at {summary_path}: expected one row-count "
+            f"marker, found {len(n_row)}"
+        )
+    n = n_row[0].cnt
+    candidates = snap.filter(F.col("key").isNotNull()).select(
+        F.col("key").alias("__k")
+    )
+    src = data.select(F.col(col).cast("string").alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+    exact = (
+        src.join(F.broadcast(candidates), "__k")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact, n
+
+
+def heavy_hitters_from_stream(
+    spark: SparkSession,
+    summary_path: str,
+    data: DataFrame,
+    col: str,
+    k: int,
+) -> DataFrame:
+    """Candidates from the streamed summary + one exact verify pass =
+    the exact heavy hitters of ``data`` (count·k > n, BIGINT)."""
+    exact, n = verify_heavy_hitters(spark, summary_path, data, col)
+    return (
+        exact.filter(F.col("cnt") * k > F.lit(n))
+        .select(F.col("__k").alias(col), "cnt")
+    )

@@ -1120,3 +1120,56 @@ def test_streaming_quantile_summaries_envelope(spark, tmp_path):
         lo = np.searchsorted(s, v, side="left") / len(s)
         hi = np.searchsorted(s, v, side="right") / len(s)
         assert lo - 0.01 <= p <= hi + 0.01, (p, v, lo, hi)
+
+
+def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
+    """Online Misra-Gries (r08): after draining a multi-batch stream,
+    candidates-from-state + exact verify must equal the batch
+    heavy_hitters operator — the MG merge's superset guarantee,
+    exercised across micro-batch boundaries with a skewed stream
+    whose heavy key is SPREAD so no single batch makes it heavy."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.sketches import heavy_hitters
+    from parquet_sampler_spark.streaming.frequency import (
+        heavy_hitters_from_stream,
+        streaming_heavy_hitters,
+    )
+
+    src = tmp_path / "hhsrc"
+    src.mkdir()
+    # 3 batches; key "hot" is ~15% overall but only via accumulation,
+    # plus per-batch-local noise keys that must NOT survive verify
+    batches = [
+        ["hot"] * 60 + [f"a{i}" for i in range(250)],
+        ["hot"] * 60 + [f"b{i}" for i in range(250)],
+        ["hot"] * 60 + [f"c{i}" for i in range(250)],
+    ]
+    for i, terms in enumerate(batches):
+        pq.write_table(
+            pa.table({"term": pa.array(terms)}), str(src / f"f{i}.parquet")
+        )
+        os.utime(str(src / f"f{i}.parquet"), (1_000_000 * (i + 1),) * 2)
+
+    sum_path = str(tmp_path / "hh_state")
+    stream = (spark.readStream.schema("term string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    # "hot" is 180/930 = 19.4%: above 1/6 (strict 180*6=1080 > 930)
+    # but NO single batch alone decides it — the merge must carry it
+    k = 6
+    q = streaming_heavy_hitters(stream, "term", k, sum_path) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    data = spark.read.parquet(str(src))
+    got = sorted(
+        map(tuple, heavy_hitters_from_stream(
+            spark, sum_path, data, "term", k
+        ).collect())
+    )
+    want = sorted(map(tuple, heavy_hitters(data, "term", k).collect()))
+    assert got == want
+    assert got == [("hot", 180)]
