@@ -1848,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantiles": _q_streaming_quantiles,
         "schema_evolution": _q_schema_evolution,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
+        "compaction_scan": _q_compaction_scan,
         "winsorize_values": _q_winsorize_values,
         "gap_fill_events": _q_gap_fill_events,
         "rolling_window_events": _q_rolling_window_events,
@@ -1933,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_quantiles": _SQL_QUANTILE_ROLLUP,
         "schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "streaming_heavy_hitters": _SQL_HEAVY_HITTERS,
+        "compaction_scan": _SQL_COMPACTION_SCAN,
         "winsorize_values": _SQL_WINSORIZE_VALUES,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
@@ -4129,6 +4131,58 @@ def _q_zorder_scan(spark, sf_dir):
 _SQL_ZORDER_SCAN = """
 SELECT * FROM events
 WHERE user_id <= 50 AND value >= 100.0 AND value <= 200.0
+"""
+
+
+_COMPACT_CACHE: dict = {}
+_COMPACT_SMALL_FILES = 64
+_COMPACT_TARGET_FILES = 4
+
+
+def _q_compaction_scan(spark, sf_dir):
+    """OPTIMIZE-style small-file compaction (r08) — the OTHER half of
+    table maintenance beside z-order clustering: a table that
+    accreted 64 tiny files (per-microbatch streaming sinks and
+    per-partition CDC writes do exactly this) is rewritten into 4
+    target-size files with ONE `repartitionByRange(user_id,
+    event_id)` pass — which also leaves each output file
+    range-clustered on user_id, so footer min/max skipping works on
+    the compacted layout for free. At 100 TB the small-file problem
+    is a real throughput cliff: open/footer overhead per file, tiny
+    row groups defeating columnar IO, and NameNode/listing pressure —
+    compaction restores scan bandwidth without touching row content.
+    Layout maintenance changes BYTES, never rows, so the oracle is
+    the raw table: a hash-green full read of the compacted layout
+    proves losslessness end-to-end. File-count and clustering
+    properties are pinned by pytest (test_scale_smoke)."""
+    import hashlib
+    import os
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    key = (spark.sparkContext.applicationId, norm)
+    if key not in _COMPACT_CACHE or not os.path.isdir(_COMPACT_CACHE[key]):
+        tag = hashlib.sha1(norm.encode()).hexdigest()[:8]
+        base = os.path.join(session_tmp_dir(spark, "compact_events"), tag)
+        small = os.path.join(base, "small")
+        compacted = os.path.join(base, "compacted")
+        # the degraded fixture: 64 round-robin shards of events
+        _events(spark, sf_dir).repartition(_COMPACT_SMALL_FILES) \
+            .write.mode("overwrite").parquet(small)
+        (
+            spark.read.parquet(small)
+            .repartitionByRange(
+                _COMPACT_TARGET_FILES, "user_id", "event_id"
+            )
+            .write.mode("overwrite").parquet(compacted)
+        )
+        _COMPACT_CACHE[key] = compacted
+    return spark.read.parquet(_COMPACT_CACHE[key])
+
+
+_SQL_COMPACTION_SCAN = """
+SELECT * FROM events
 """
 
 

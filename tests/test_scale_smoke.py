@@ -300,3 +300,55 @@ def test_bucketed_rolling_window_at_10m_rows(spark):
         for r in flat.filter(F.col("event_id").between(lo, hi)).collect()
     }
     assert got == want and len(got) == hi - lo + 1
+
+
+def test_compaction_restores_file_count_and_clusters(spark):
+    """compaction_scan's maintenance properties (r08): the degraded
+    fixture really has 64 data files, the compacted layout has the 4
+    target files, rows are conserved, and — the free bonus of
+    repartitionByRange — the compacted files' user_id footer ranges
+    are (near-)disjoint, so min/max skipping works post-compaction."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark import queries_ext as QX
+
+    sf = "/root/testdata/sf0.01"
+    out = QX._q_compaction_scan(spark, sf)
+    compacted = QX._COMPACT_CACHE[
+        (spark.sparkContext.applicationId, os.path.abspath(sf))
+    ]
+    small = os.path.join(os.path.dirname(compacted), "small")
+
+    def data_files(d):
+        return [
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+
+    assert len(data_files(small)) == QX._COMPACT_SMALL_FILES
+    cfiles = data_files(compacted)
+    assert len(cfiles) == QX._COMPACT_TARGET_FILES
+    n_raw = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert out.count() == n_raw
+
+    # range-clustering: per-file user_id [min, max] windows must not
+    # overlap beyond their boundary values (repartitionByRange splits
+    # at sampled quantiles, so a shared boundary key may straddle)
+    ranges = []
+    for f in cfiles:
+        md = pq.read_metadata(f)
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1 - 1, (ranges,)
