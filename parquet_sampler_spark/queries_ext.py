@@ -516,21 +516,10 @@ def _q_streaming_heavy_hitters(spark, sf_dir):
     d = session_tmp_dir(spark, f"stream_hh_{tag}")
     src_dir = os.path.join(d, "src")
     sum_path = os.path.join(d, "hh_summary.parquet")
-    os.makedirs(src_dir, exist_ok=True)
-    t = None
-    for name, lo, hi in (("docs_a", 0.0, 0.5), ("docs_b", 0.5, 1.0)):
-        dst = os.path.join(src_dir, f"{name}.parquet")
-        if os.path.exists(dst):
-            continue
-        if t is None:
-            t = pq.read_table(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-            )
-        start = int(t.num_rows * lo)
-        stop = int(t.num_rows * hi)
-        tmp = dst + ".tmp"
-        pq.write_table(t.slice(start, stop - start), tmp)
-        os.replace(tmp, dst)
+    _stage_split_stream(
+        sf_dir, "documents", src_dir,
+        columns=["doc_id", "text"], prefix="docs",
+    )
     import shutil
 
     # additive state: a stale snapshot from an aborted run must not
@@ -2662,6 +2651,35 @@ _RESERVOIR_K = 50
 _RESERVOIR_SEED = 42
 
 
+def _stage_split_stream(sf_dir, table, src_dir, columns=None, prefix=None):
+    """Stage ``table`` as TWO parquet halves under ``src_dir`` — the
+    shared fixture for every streaming row that needs a multi-batch
+    replay. Per-file write-then-rename: a run interrupted mid-staging
+    must not leave a partial file a later call silently reuses
+    (dir-level existence checks have exactly that failure mode)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(src_dir, exist_ok=True)
+    prefix = prefix or table
+    t = None
+    for name, lo, hi in ((f"{prefix}_a", 0.0, 0.5),
+                         (f"{prefix}_b", 0.5, 1.0)):
+        dst = os.path.join(src_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t is None:
+            t = pq.read_table(
+                f"{sf_dir}/{table}.parquet", columns=columns
+            )
+        start = int(t.num_rows * lo)
+        stop = int(t.num_rows * hi)
+        tmp = dst + ".tmp"
+        pq.write_table(t.slice(start, stop - start), tmp)
+        os.replace(tmp, dst)
+
+
 def _q_streaming_reservoir(spark, sf_dir):
     """The online exact-k reservoir sampler (foreachBatch maintaining
     "k smallest Lehmer-hash rows seen so far" as a parquet reservoir)
@@ -2690,23 +2708,7 @@ def _q_streaming_reservoir(spark, sf_dir):
     d = session_tmp_dir(spark, f"stream_res_{tag}")
     src_dir = os.path.join(d, "src")
     res_path = os.path.join(d, "reservoir.parquet")
-    os.makedirs(src_dir, exist_ok=True)
-    # per-file staging with write-then-rename: a run interrupted
-    # mid-staging must not leave a partial source dir that later calls
-    # silently reuse (dir-level existence checks have exactly that
-    # failure mode; the dedup query's per-file guard avoids it too)
-    t = None
-    for name, lo, hi in (("events_a", 0.0, 0.5), ("events_b", 0.5, 1.0)):
-        dst = os.path.join(src_dir, f"{name}.parquet")
-        if os.path.exists(dst):
-            continue
-        if t is None:
-            t = pq.read_table(f"{sf_dir}/events.parquet")
-        start = int(t.num_rows * lo)
-        stop = int(t.num_rows * hi)
-        tmp = dst + ".tmp"
-        pq.write_table(t.slice(start, stop - start), tmp)
-        os.replace(tmp, dst)
+    _stage_split_stream(sf_dir, "events", src_dir)
     # fresh reservoir per call: re-drains are idempotent by the
     # invariant, but a reservoir left by an aborted earlier run must
     # not leak into this one's hash
@@ -2769,19 +2771,7 @@ def _q_streaming_quantiles(spark, sf_dir):
     d = session_tmp_dir(spark, f"stream_q_{tag}")
     src_dir = os.path.join(d, "src")
     sum_path = os.path.join(d, "summaries.parquet")
-    os.makedirs(src_dir, exist_ok=True)
-    t = None
-    for name, lo, hi in (("events_a", 0.0, 0.5), ("events_b", 0.5, 1.0)):
-        dst = os.path.join(src_dir, f"{name}.parquet")
-        if os.path.exists(dst):
-            continue
-        if t is None:
-            t = pq.read_table(f"{sf_dir}/events.parquet")
-        start = int(t.num_rows * lo)
-        stop = int(t.num_rows * hi)
-        tmp = dst + ".tmp"
-        pq.write_table(t.slice(start, stop - start), tmp)
-        os.replace(tmp, dst)
+    _stage_split_stream(sf_dir, "events", src_dir)
     # additive state: a stale snapshot from an aborted run must not
     # double-weight this drain (summaries are NOT dedup-idempotent,
     # unlike the keyed reservoir — see streaming/quantiles.py)
@@ -2832,19 +2822,7 @@ def _q_streaming_reservoir_grouped(spark, sf_dir):
     d = session_tmp_dir(spark, f"stream_gres_{tag}")
     src_dir = os.path.join(d, "src")
     res_path = os.path.join(d, "reservoir_grouped.parquet")
-    os.makedirs(src_dir, exist_ok=True)
-    t = None
-    for name, lo, hi in (("events_a", 0.0, 0.5), ("events_b", 0.5, 1.0)):
-        dst = os.path.join(src_dir, f"{name}.parquet")
-        if os.path.exists(dst):
-            continue
-        if t is None:
-            t = pq.read_table(f"{sf_dir}/events.parquet")
-        start = int(t.num_rows * lo)
-        stop = int(t.num_rows * hi)
-        tmp = dst + ".tmp"
-        pq.write_table(t.slice(start, stop - start), tmp)
-        os.replace(tmp, dst)
+    _stage_split_stream(sf_dir, "events", src_dir)
     if os.path.exists(res_path):
         shutil.rmtree(res_path)
     with _stream_shuffle(spark):

@@ -16,9 +16,12 @@ CANDIDATES cheaply; :func:`verify_heavy_hitters` runs one exact
 bounded aggregation over the accumulated data (or any superset store)
 to keep only true heavy hitters with exact counts — which is why the
 registered row can carry the same plain-SQL HAVING oracle as the
-batch operator. Like the quantile state (and unlike the dedup-keyed
-reservoir), the merge is additive, so restart correctness rides the
-checkpoint's exactly-once batch delivery.
+batch operator. Like the quantile state, the merge is ADDITIVE, so
+each batch gates on ``published_epoch`` and a replayed
+already-published epoch is skipped — without it, a crash between the
+pointer swap and the checkpoint commit would fold the same counts in
+twice and inflate ``n``, which can silently drop a true heavy hitter
+at the 1/k boundary.
 """
 
 from __future__ import annotations
@@ -44,11 +47,17 @@ def streaming_heavy_hitters(
     from parquet_sampler_spark.streaming.sinks import (
         current_snapshot_path,
         publish_snapshot,
+        published_epoch,
     )
 
     spark = keyed.sparkSession
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # additive state: skip a replayed published epoch (see module
+        # docstring — double-counting inflates n and drops true HHs)
+        pub = published_epoch(summary_path)
+        if pub is not None and pub >= epoch_id:
+            return
         # exact per-batch key counts, shuffled on key — bounded output
         # (distinct keys of ONE batch), collected as weighted updates.
         # For adversarial per-batch cardinality swap this for the
@@ -90,12 +99,12 @@ def verify_heavy_hitters(
     summary_path: str,
     data: DataFrame,
     col: str,
-) -> DataFrame:
-    """Exact read-out: keep only the summary's candidates whose EXACT
-    count in ``data`` clears the strict 1/k threshold (BIGINT compare,
-    engine-portable). The MG superset guarantee makes this equal to
-    the exact heavy hitters of ``data`` when the stream consumed
-    exactly ``data``."""
+) -> tuple[DataFrame, int]:
+    """Exact candidate counts + the streamed total: returns
+    ``(exact_counts_df, n)`` where the DataFrame carries each
+    candidate's EXACT count in ``data`` and ``n`` is the summary's
+    running row count — :func:`heavy_hitters_from_stream` applies the
+    strict ``cnt·k > n`` BIGINT threshold to finish the read-out."""
     from parquet_sampler_spark.streaming.sinks import current_snapshot_path
 
     cur = current_snapshot_path(summary_path)

@@ -92,12 +92,20 @@ def streaming_exact_sample(
     from parquet_sampler_spark.streaming.sinks import (
         current_snapshot_path,
         publish_snapshot,
+        published_epoch,
     )
 
     spark = events.sparkSession
     pr = lehmer_hash(key_cols, seed)
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # exactly-once: a crash after publish but before the
+        # checkpoint commit replays this epoch — already published, so
+        # skip (re-merging would also lazily read v<N> while
+        # overwriting v<N>, which Spark refuses — stream wedge)
+        pub = published_epoch(reservoir_path)
+        if pub is not None and pub >= epoch_id:
+            return
         tagged = batch.withColumn("__pr", pr)
         # pointer-resolved read: an uncommitted v* dir from a crashed
         # attempt is invisible here; a transient READ error on a
@@ -153,6 +161,7 @@ def streaming_grouped_sample(
     from parquet_sampler_spark.streaming.sinks import (
         current_snapshot_path,
         publish_snapshot,
+        published_epoch,
     )
 
     spark = events.sparkSession
@@ -162,6 +171,10 @@ def streaming_grouped_sample(
     )
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        # exactly-once epoch skip — see streaming_exact_sample
+        pub = published_epoch(reservoir_path)
+        if pub is not None and pub >= epoch_id:
+            return
         tagged = batch.withColumn("__pr", pr)
         cur_path = current_snapshot_path(reservoir_path)
         merged = (

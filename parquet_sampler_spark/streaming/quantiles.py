@@ -15,12 +15,13 @@ difference between a dashboard and a backfill job.
 
 State commits through the shared versioned-snapshot + pointer
 protocol (streaming/sinks.publish_snapshot) — crash-atomic, replayed
-batches overwrite their own uncommitted dir. NOT replay-idempotent in
-the strict sense (re-merging the same batch's values doubles their
-weight), so correctness over restarts relies on the checkpoint's
-exactly-once batch delivery — the documented contract difference from
-the dedup-keyed reservoir, and the standard contract for additive
-streaming state (counts and sums share it).
+batches overwrite their own uncommitted dir. The merge is ADDITIVE
+(re-merging the same batch's values would double their weight), so
+each batch is gated on ``published_epoch``: a replayed
+already-published epoch is SKIPPED, turning the checkpoint's
+at-least-once delivery into exactly-once state — the same guard the
+CDC merge sink uses, and the standard contract for additive streaming
+state (counts and sums share it).
 """
 
 from __future__ import annotations
@@ -41,19 +42,28 @@ def streaming_quantile_summaries(
     operators/sketches.merged_quantiles). Returns the
     ``DataStreamWriter``."""
     from parquet_sampler_spark.operators.sketches import (
+        _partition_quantile_summaries,
         merge_summaries,
-        quantile_summaries,
     )
     from parquet_sampler_spark.streaming.sinks import (
         current_snapshot_path,
         publish_snapshot,
+        published_epoch,
     )
 
     spark = events.sparkSession
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        part = quantile_summaries(
-            batch, group_cols, [], value_col, cap=cap
+        # additive state: a replayed published epoch would double the
+        # batch's weight — skip it (exactly-once by epoch id)
+        pub = published_epoch(summary_path)
+        if pub is not None and pub >= epoch_id:
+            return
+        # partition-local summaries only; ONE merge covers both the
+        # batch's partials and the stored state (merging twice would
+        # waste a shuffle and an extra lossy compression level)
+        part = _partition_quantile_summaries(
+            batch, group_cols, [], value_col, cap
         )
         cur_path = current_snapshot_path(summary_path)
         merged_in = (

@@ -155,6 +155,20 @@ def _prune(base_path: str, keep: str, retain_versions: int = 1) -> None:
         )
 
 
+def published_epoch(base_path: str) -> int | None:
+    """Epoch id of the live published snapshot, or None before the
+    first publish. Every ``publish_snapshot`` consumer MUST skip a
+    batch whose ``epoch_id`` is at or below this (the guard
+    ``apply_cdc_batch`` pioneered): a crash can land after the
+    pointer swap but before the streaming checkpoint commits, and the
+    replayed epoch would otherwise (a) read ``v<N>`` lazily while
+    overwriting the same ``v<N>`` — Spark refuses, wedging the stream
+    — or (b) for additive state, silently fold the same batch in
+    twice. Skipping is what makes at-least-once delivery exactly-once
+    state."""
+    return _published_batch_id(base_path)
+
+
 def publish_snapshot(
     df: DataFrame, base_path: str, epoch_id: int, retain: int = 2
 ) -> None:
@@ -163,8 +177,10 @@ def publish_snapshot(
     prune to the ``retain`` newest PUBLISHED versions. Crash at any
     byte offset leaves the pointer on the last published snapshot;
     the replayed epoch overwrites its uncommitted dir wholesale. Used
-    by the reservoir samplers and the streaming quantile maintainer —
-    any foreachBatch loop whose state is 'the current snapshot'."""
+    by the reservoir samplers and the streaming quantile/frequency
+    maintainers — any foreachBatch loop whose state is 'the current
+    snapshot'. Callers must gate on :func:`published_epoch` FIRST
+    (see its docstring for the crash window this closes)."""
     vname = f"v{epoch_id:08d}"
     df.write.mode("overwrite").parquet(os.path.join(base_path, vname))
     _publish(base_path, vname)

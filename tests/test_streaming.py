@@ -1173,3 +1173,65 @@ def test_streaming_heavy_hitters_matches_batch(spark, tmp_path):
     want = sorted(map(tuple, heavy_hitters(data, "term", k).collect()))
     assert got == want
     assert got == [("hot", 180)]
+
+
+def test_additive_snapshot_state_skips_replayed_epoch(spark, tmp_path):
+    """The published-epoch guard on additive snapshot state (r08 code
+    review): a crash can land after the pointer swap but before the
+    streaming checkpoint commits, so a restart REPLAYS an epoch whose
+    counts/weights are already in the snapshot. The sink must skip
+    it — here simulated by re-draining a one-file prefix of the
+    stream against the same state path with a fresh checkpoint: the
+    replayed epoch id (0) is at or below the published epoch (1), so
+    the state must come back byte-identical, not double-weighted
+    toward the prefix's distribution."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.quantiles import (
+        read_quantile_summaries,
+        streaming_quantile_summaries,
+    )
+    from parquet_sampler_spark.streaming.sinks import published_epoch
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    # file A: low values; file B: high values — a replay that
+    # double-weights A would drag p50 down measurably
+    for i, (lo, hi) in enumerate(((0.0, 100.0), (1000.0, 1100.0))):
+        vals = np.linspace(lo, hi, 5000)
+        pq.write_table(
+            pa.table({"g": pa.array(["x"] * len(vals)),
+                      "v": pa.array(vals, pa.float64())}),
+            str(src / f"f{i}.parquet"),
+        )
+        os.utime(str(src / f"f{i}.parquet"), (1_000_000 * (i + 1),) * 2)
+
+    sum_path = str(tmp_path / "state")
+
+    def drain(src_dir, ckpt):
+        stream = (spark.readStream.schema("g string, v double")
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = (streaming_quantile_summaries(stream, ["g"], "v", sum_path,
+                                          cap=128)
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain(str(src), "ckpt1")
+    assert published_epoch(sum_path) == 1
+    before = read_quantile_summaries(spark, sum_path).collect()
+
+    # replay scenario: a fresh checkpoint over only file A re-delivers
+    # epoch 0, whose weight is already in the snapshot
+    prefix = tmp_path / "qsrc_prefix"
+    prefix.mkdir()
+    os.link(str(src / "f0.parquet"), str(prefix / "f0.parquet"))
+    drain(str(prefix), "ckpt2")
+
+    after = read_quantile_summaries(spark, sum_path).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    assert published_epoch(sum_path) == 1  # nothing republished
