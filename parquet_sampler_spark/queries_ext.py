@@ -4418,12 +4418,20 @@ def _q_pagerank_dups(spark, sf_dir):
 
 
 def _sql_pagerank_dups() -> str:
+    # MATERIALIZED everywhere multiply-referenced (r08): DuckDB may
+    # INLINE a CTE per reference, and each iteration references
+    # p{k} twice — without the hint the quadratic jpairs join
+    # re-expands up to 2^iters times, which at sf0.1 fills the entire
+    # disk with spill before dying (observed; Spark side runs in
+    # seconds). Pure evaluation hint — results are identical.
     base = (100 - _PR_DAMP) * _PR_SCALE // 100
-    ctes = [f"p0 AS (SELECT doc_id, CAST({_PR_SCALE} AS BIGINT) AS pr "
-            f"FROM documents)"]
+    ctes = [
+        f"p0 AS MATERIALIZED (SELECT doc_id, "
+        f"CAST({_PR_SCALE} AS BIGINT) AS pr FROM documents)"
+    ]
     for k in range(_PR_ITERS):
         ctes.append(f"""
-p{k + 1} AS (
+p{k + 1} AS MATERIALIZED (
   SELECT n.doc_id,
          CAST({base} + ({_PR_DAMP} * coalesce(s.s, 0)) // 100
               AS BIGINT) AS pr
@@ -4436,12 +4444,15 @@ p{k + 1} AS (
 )""")
     return (
         "WITH " + _SQL_SHINGLES2 + """,
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM jpairs WHERE jaccard >= 0.5
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM jpairs WHERE jaccard >= 0.5
+jp AS MATERIALIZED (
+  SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.5
 ),
-deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM jp
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM jp
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS d FROM edges GROUP BY src),
 """ + ",".join(ctes)
         + f" SELECT doc_id, pr FROM p{_PR_ITERS}"
     )
