@@ -1846,6 +1846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_chunk_windows": _q_udtf_chunk_windows,
         "normalize_values": _q_normalize_values,
         "hourly_deltas": _q_hourly_deltas,
+        "twap_events": _q_twap_events,
+        "mixture_drift": _q_mixture_drift,
+        "table_checksum": _q_table_checksum,
+        "scd2_history": _q_scd2_history,
     }
 
 
@@ -1932,6 +1936,10 @@ def oracle_sql() -> dict[str, str]:
         "udtf_chunk_windows": _SQL_UDTF_CHUNK_WINDOWS,
         "normalize_values": _SQL_NORMALIZE_VALUES,
         "hourly_deltas": _SQL_HOURLY_DELTAS,
+        "twap_events": _SQL_TWAP_EVENTS,
+        "mixture_drift": _sql_mixture_drift(),
+        "table_checksum": _sql_table_checksum(),
+        "scd2_history": _SQL_SCD2_HISTORY,
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -4584,4 +4592,324 @@ SELECT hour, event_type, n,
        END AS pct_change
 FROM hourly
 WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions: time-weighted average, distribution drift,
+# distributed table fingerprint, SCD2 dimension history
+# ---------------------------------------------------------------------------
+
+def _q_twap_events(spark, sf_dir):
+    """Time-WEIGHTED average value per user — the time-series mean where
+    each observation holds until the next one (TWAP / last-observation-
+    carried-forward), not the row-count mean a plain avg() gives.
+
+    Shape: one window pass partitioned by user (lead ts over (ts,
+    event_id) — total order, tie-broken), then one groupBy(user) — a
+    single shuffle on user_id, all JVM expressions. At 100 TB the
+    window state per user is one row (lead), and the aggregate is
+    map-side partial.
+
+    Determinism contract (driver hashes values): durations are exact
+    integer milliseconds (microsecond diff, integer DIV 1000 — Spark
+    ``DIV`` and DuckDB ``//`` agree on non-negative ints); values are
+    exact cents; the sums are BIGINT (value_e2 <= 49_102 at any sf and
+    per-user total duration < 2^40 ms keeps the dot product < 2^62);
+    the only float op is one identical division chain at the end.
+    """
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_e2"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id", "value_e2",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    seg = seg.withColumn("dur_ms", F.expr("dur_us DIV 1000"))
+    agg = seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur_ms").alias("total_ms"),
+        F.sum(F.col("value_e2") * F.col("dur_ms")).alias("__num"),
+    ).filter(F.col("total_ms") > 0)
+    return agg.select(
+        "user_id", "n_segments", "total_ms",
+        (F.col("__num").cast("double")
+         / F.col("total_ms").cast("double") / F.lit(100.0)).alias("twap"),
+    )
+
+
+_SQL_TWAP_EVENTS = """
+WITH seg AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_e2,
+         (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+          - epoch_us(ts)) // 1000 AS dur_ms
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+       CAST(CAST(sum(value_e2 * dur_ms) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(dur_ms) AS BIGINT) AS DOUBLE) / 100.0 AS twap
+FROM seg
+WHERE dur_ms IS NOT NULL
+GROUP BY user_id
+HAVING sum(dur_ms) > 0
+"""
+
+
+# The corpus language set is closed (driver generator emits exactly
+# these five); the drift expression pivots it to FIXED columns so the
+# chi-square sum is a single fixed-order double expression — no
+# float-aggregation-order ambiguity (see module docstring).
+_DRIFT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _q_mixture_drift(spark, sf_dir):
+    """Per-source language-mixture drift vs the whole corpus — the
+    chi-square statistic every corpus-monitoring job computes to catch
+    a crawl source whose composition shifted (new locale, spam influx)
+    before it poisons the training mix.
+
+    Shape: one groupBy(source) with per-language conditional counts
+    (map-side partial, 20 output rows), one 1-row corpus-totals
+    aggregate broadcast back (the only crossJoin — a broadcast of a
+    single row). All integer arithmetic until the final per-term
+    divisions, written in one fixed-order expression per source.
+
+    chi2 = sum_l (c_l - E_l)^2 / E_l with E_l = t_s * g_l / T, computed
+    as d_l^2 / (T * t_s * g_l) with d_l = T*c_l - t_s*g_l exact BIGINT
+    (|d_l| < 2^35 at sf10 — squares taken in float64 AFTER the exact
+    integer difference).
+    """
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("t_s"),
+        *[F.sum(F.when(F.col("lang") == l, 1).otherwise(0))
+          .cast("bigint").alias(f"c_{l}") for l in _DRIFT_LANGS],
+    )
+    corpus = docs.groupBy().agg(
+        F.count(F.lit(1)).alias("T"),
+        *[F.sum(F.when(F.col("lang") == l, 1).otherwise(0))
+          .cast("bigint").alias(f"g_{l}") for l in _DRIFT_LANGS],
+    )
+    j = per_src.crossJoin(F.broadcast(corpus))
+    terms = []
+    for l in _DRIFT_LANGS:
+        d = F.col("T") * F.col(f"c_{l}") - F.col("t_s") * F.col(f"g_{l}")
+        terms.append(
+            (d.cast("double") * d.cast("double"))
+            / (F.col("T").cast("double") * F.col("t_s").cast("double")
+               * F.col(f"g_{l}").cast("double"))
+        )
+    chi2 = terms[0]
+    for t in terms[1:]:
+        chi2 = chi2 + t
+    return j.select(
+        "source", F.col("t_s").alias("n_docs"), chi2.alias("chi2"),
+    )
+
+
+def _sql_mixture_drift() -> str:
+    c_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE lang = '{l}') AS BIGINT) AS c_{l}"
+        for l in _DRIFT_LANGS
+    )
+    g_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE lang = '{l}') AS BIGINT) AS g_{l}"
+        for l in _DRIFT_LANGS
+    )
+    terms = " + ".join(
+        f"(CAST(T * c_{l} - t_s * g_{l} AS DOUBLE)"
+        f" * CAST(T * c_{l} - t_s * g_{l} AS DOUBLE))"
+        f" / (CAST(T AS DOUBLE) * CAST(t_s AS DOUBLE)"
+        f" * CAST(g_{l} AS DOUBLE))"
+        for l in _DRIFT_LANGS
+    )
+    return f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS t_s, {c_cols}
+  FROM documents GROUP BY source
+),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS T, {g_cols} FROM documents
+)
+SELECT source, t_s AS n_docs, {terms} AS chi2
+FROM per_src CROSS JOIN corpus
+"""
+
+
+def _q_table_checksum(spark, sf_dir):
+    """Distributed table fingerprint: an order-independent per-bucket
+    checksum of lineitem, the anti-entropy primitive for verifying two
+    replicas / a migration / a CDC pipeline moved every row without
+    shipping the data. Two tables match iff all bucket rows match;
+    a mismatch localizes the repair to one bucket (1/16 of the keys).
+
+    Shape: one scan, all-JVM row hashing (portable Lehmer fold of the
+    integer key+measure columns + the mixed string hash of the flag
+    pair), one map-side-partial groupBy on a 16-value bucket key. No
+    data movement beyond 16 rows per partition — at 100 TB this is the
+    cheapest possible full-table integrity pass.
+
+    Determinism: the row hash is the repo's portable integer Lehmer
+    arithmetic (functions/hashing.py — identical expression in the
+    oracle); BIT_XOR is order-independent and width-preserving, and the
+    additive component sums 20-bit residues (< 2^62 for up to ~4e12
+    rows) so duplicate-pair swaps that XOR would miss still move it.
+    """
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        lehmer_hash,
+        mixed_string_hash,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    h1 = lehmer_hash(
+        [
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.round(F.col("l_quantity") * 100).cast("bigint"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+        ],
+        seed=7,
+    )
+    h2 = mixed_string_hash(
+        F.concat(F.col("l_returnflag"), F.col("l_linestatus"))
+    )
+    rows = li.select(
+        (F.col("l_orderkey") % 16).alias("bucket"),
+        ((h1 * F.lit(131) + h2) % F.lit(MODULUS)).alias("h"),
+    )
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("h").alias("xor_hash"),
+        F.sum(F.col("h") % F.lit(1_048_576)).cast("bigint")
+        .alias("sum_hash"),
+    )
+
+
+def _sql_table_checksum() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        lehmer_hash_sql,
+        mixed_string_hash_sql,
+    )
+
+    h1 = lehmer_hash_sql(
+        [
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "CAST(round(l_quantity * 100) AS BIGINT)",
+            "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        ],
+        seed=7,
+    )
+    h2 = mixed_string_hash_sql("flagpair")
+    return f"""
+WITH f AS (
+  SELECT l_orderkey % 16 AS bucket,
+         l_orderkey, l_linenumber, l_partkey, l_quantity,
+         l_extendedprice,
+         l_returnflag || l_linestatus AS flagpair
+  FROM lineitem
+),
+hashed AS (
+  SELECT bucket, (({h1}) * 131 + ({h2})) % {MODULUS} AS h FROM f
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_hash,
+       CAST(sum(h % 1048576) AS BIGINT) AS sum_hash
+FROM hashed GROUP BY bucket
+"""
+
+
+def _q_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: the base
+    customer snapshot (epoch 0) plus two deterministic CDC change
+    batches (epoch 1 = the shared merge batch: every 100th re-priced
+    +1000, every 250th tombstoned, 3 inserts; epoch 2: every 150th
+    re-priced +2000, every 450th tombstoned) folded into versioned
+    rows with [valid_from, valid_to) epochs and an is_current flag —
+    the standard warehouse dimension-history pattern.
+
+    Shape: union of three keyed snapshots, ONE window pass per key
+    (lead(epoch) closes each version; a tombstone closes its
+    predecessor and emits nothing — so a key deleted at epoch 1 and
+    re-inserted at epoch 2 correctly re-opens). Single shuffle on the
+    dimension key; per-key window state is one row. Change volume, not
+    base volume, drives the cost of an incremental re-run at scale —
+    the batches are ~1% of the base here by construction.
+
+    Determinism: epochs are exact ints; the only float op is one IEEE
+    addition per changed row (acctbal + literal), identical both
+    engines; no float aggregation anywhere.
+    """
+    from parquet_sampler_spark.queries_olap import _merge_batch
+
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(0).alias("epoch"), F.lit(False).alias("is_deleted"),
+    )
+    b1 = _merge_batch(spark, sf_dir).select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit(1).alias("epoch"), "is_deleted",
+    )
+    c = _t(spark, sf_dir, "customer")
+    b2 = c.filter(F.col("c_custkey") % 150 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 2000.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(2).alias("epoch"),
+        (F.col("c_custkey") % 450 == 0).alias("is_deleted"),
+    )
+    versions = base.unionByName(b1).unionByName(b2)
+    w = Window.partitionBy("c_custkey").orderBy("epoch")
+    hist = versions.select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "is_deleted",
+        F.col("epoch").alias("valid_from"),
+        F.lead("epoch").over(w).alias("valid_to"),
+    ).filter(~F.col("is_deleted"))
+    return hist.select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "valid_from",
+        "valid_to", F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+_SQL_SCD2_HISTORY = """
+WITH versions AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, 0 AS epoch,
+         false AS is_deleted
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 1000.0, c_mktsegment, 1,
+         (c_custkey % 250 = 0)
+  FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (10000001, 0.0, 'BUILDING', 1, false),
+    (10000002, 0.0, 'BUILDING', 1, false),
+    (10000003, 0.0, 'BUILDING', 1, false))
+    v(c_custkey, c_acctbal, c_mktsegment, epoch, is_deleted)
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 2000.0, c_mktsegment, 2,
+         (c_custkey % 450 = 0)
+  FROM customer WHERE c_custkey % 150 = 0
+),
+hist AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, is_deleted,
+         epoch AS valid_from,
+         lead(epoch) OVER (PARTITION BY c_custkey ORDER BY epoch)
+           AS valid_to
+  FROM versions
+)
+SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM hist WHERE NOT is_deleted
 """

@@ -1,0 +1,222 @@
+"""Semantics pins for the r08-late additions beyond the oracle gate:
+table_checksum (mutation sensitivity + partition-order invariance),
+twap_events (hand-computed duration weighting), scd2_history (interval
+chaining, tombstone close, reopen-after-delete), mixture_drift
+(non-negativity + the zero-drift identity on a synthetic uniform mix).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from parquet_sampler_spark.queries_ext import (
+    _q_mixture_drift,
+    _q_scd2_history,
+    _q_table_checksum,
+    _q_twap_events,
+)
+from tests.conftest import SF_MED, SF_SMALL
+
+
+# ---------------------------------------------------------------- checksum
+
+def _checksum_map(spark, sf_dir):
+    return {
+        r["bucket"]: (r["n_rows"], r["xor_hash"], r["sum_hash"])
+        for r in _q_table_checksum(spark, sf_dir).collect()
+    }
+
+
+def test_checksum_partition_order_invariant(spark, tmp_path):
+    """The fingerprint must be a pure function of the SET of rows:
+    rewriting the table with a different partitioning / row order
+    cannot move any bucket."""
+    base = _checksum_map(spark, SF_SMALL)
+    shuffled = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet") \
+        .orderBy(F.col("l_extendedprice").desc()).repartition(7)
+    out = f"{tmp_path}/li_shuffled"
+    shuffled.write.parquet(out)
+    tmp_sf = f"{tmp_path}/sf"
+    import os
+    os.makedirs(tmp_sf, exist_ok=True)
+    os.symlink(out, f"{tmp_sf}/lineitem.parquet")
+    assert _checksum_map(spark, tmp_sf) == base
+
+
+def test_checksum_detects_single_row_mutation(spark, tmp_path):
+    """Flipping one measure in one row must move exactly that row's
+    bucket (xor + sum), leaving the other 15 untouched — the
+    localization property that makes bucket-level repair work."""
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    first = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    k, ln = first["l_orderkey"], first["l_linenumber"]
+    hit = (F.col("l_orderkey") == k) & (F.col("l_linenumber") == ln)
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(hit, F.col("l_quantity") + 1.0).otherwise(F.col("l_quantity")),
+    )
+    out = f"{tmp_path}/li_mut"
+    mutated.write.parquet(out)
+    tmp_sf = f"{tmp_path}/sf"
+    import os
+    os.makedirs(tmp_sf, exist_ok=True)
+    os.symlink(out, f"{tmp_sf}/lineitem.parquet")
+
+    base = _checksum_map(spark, SF_SMALL)
+    mut = _checksum_map(spark, tmp_sf)
+    moved = [b for b in base if base[b] != mut[b]]
+    assert moved == [k % 16]
+    b = moved[0]
+    # row count unchanged, both hash components moved
+    assert base[b][0] == mut[b][0]
+    assert base[b][1] != mut[b][1]
+    assert base[b][2] != mut[b][2]
+
+
+# ---------------------------------------------------------------- twap
+
+def test_twap_matches_hand_fold(spark):
+    """Recompute one user's TWAP with a plain pandas fold (sort by
+    (ts, event_id), cents * exact-ms durations) and require bit
+    equality with the operator's row."""
+    res = _q_twap_events(spark, SF_SMALL)
+    uid = res.orderBy("user_id").limit(1).collect()[0]["user_id"]
+    got = res.filter(F.col("user_id") == uid).collect()[0]
+
+    ev = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .filter(F.col("user_id") == uid)
+        .select("event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    ts = pd.to_datetime(ev["ts"]).astype("int64")  # ns since epoch
+    num = den = nseg = 0
+    for i in range(len(ev) - 1):
+        dur_ms = (ts[i + 1] - ts[i]) // 1_000_000
+        ve2 = int(round(ev["value"][i] * 100))
+        num += ve2 * dur_ms
+        den += dur_ms
+        nseg += 1
+    assert got["n_segments"] == nseg
+    assert got["total_ms"] == den
+    assert got["twap"] == num / den / 100.0
+
+
+def test_twap_weights_by_duration_not_rows(spark):
+    """Synthetic 3-event user: value 10 held for 9s then value 100 for
+    1s → TWAP 19.0, while the row mean of contributing values is 55.
+    Pins that the operator is duration-weighted."""
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, 10.0),
+            (2, "2024-01-01 00:00:09", 7, 100.0),
+            (3, "2024-01-01 00:00:10", 7, 555.0),  # terminal, no weight
+        ],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = df.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_e2"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    seg = seg.withColumn("dur_ms", F.expr("dur_us DIV 1000"))
+    row = (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dur_ms").alias("total_ms"),
+            F.sum(F.col("value_e2") * F.col("dur_ms")).alias("num"),
+        )
+        .collect()[0]
+    )
+    assert row["total_ms"] == 10_000
+    assert row["num"] / row["total_ms"] / 100.0 == 19.0
+
+
+# ---------------------------------------------------------------- scd2
+
+def test_scd2_interval_chaining(spark):
+    """Every key's surviving versions must chain [0,a) [a,b) ... [z,∞):
+    valid_from strictly increasing, each valid_to equal to the next
+    version's valid_from, exactly one current row per surviving key,
+    and no interval may be empty."""
+    hist = _q_scd2_history(spark, SF_MED).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    assert len(by_key) > 1000
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r["valid_from"])
+        n_current = sum(1 for r in rows if r["is_current"])
+        # keys whose LAST version was tombstoned have no current row
+        assert n_current <= 1
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] is not None and a["valid_to"] > a["valid_from"]
+        for r in rows:
+            assert r["is_current"] == (r["valid_to"] is None)
+
+
+def test_scd2_tombstone_and_reopen(spark):
+    """Key classes pinned exactly: %500 keys are tombstoned at epoch 1
+    (closing [0,1) with NO current row unless %150 re-inserts at 2);
+    %150∧¬%100 keys skip epoch 1 entirely ([0,2) then [2,∞))."""
+    rows = _q_scd2_history(spark, SF_MED).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    keys = sorted(by_key)
+    max_k = max(k for k in keys if k < 10_000_000)
+
+    deleted_only = [k for k in range(500, max_k + 1, 500)
+                    if k % 150 != 0 and k % 250 == 0]
+    for k in deleted_only[:5]:
+        vs = sorted(by_key[k], key=lambda r: r["valid_from"])
+        assert [(v["valid_from"], v["valid_to"]) for v in vs] == [(0, 1)]
+
+    reopened = [k for k in range(1500, max_k + 1, 1500) if k % 450 != 0]
+    for k in reopened[:5]:
+        vs = sorted(by_key[k], key=lambda r: r["valid_from"])
+        # e1 tombstone closed [0,1); e2 re-insert opens [2,∞) — the
+        # [1,2) hole is the deleted span, correctly unrepresented
+        assert [(v["valid_from"], v["valid_to"]) for v in vs] \
+            == [(0, 1), (2, None)]
+        assert vs[1]["is_current"]
+
+    skip_e1 = [k for k in range(150, max_k + 1, 150)
+               if k % 100 != 0 and k % 450 != 0]
+    for k in skip_e1[:5]:
+        vs = sorted(by_key[k], key=lambda r: r["valid_from"])
+        assert [(v["valid_from"], v["valid_to"]) for v in vs] \
+            == [(0, 2), (2, None)]
+
+
+# ---------------------------------------------------------------- drift
+
+def test_mixture_drift_nonnegative_and_additive(spark):
+    res = _q_mixture_drift(spark, SF_MED).collect()
+    assert len(res) == 20
+    assert all(r["chi2"] >= 0.0 for r in res)
+    assert sum(r["n_docs"] for r in res) == spark.read.parquet(
+        f"{SF_MED}/documents.parquet"
+    ).count()
+
+
+def test_mixture_drift_zero_on_uniform_mix(spark, tmp_path):
+    """A source whose language mix is exactly proportional to the
+    corpus mix must score chi2 == 0.0 (d_l = T*c_l - t_s*g_l vanishes
+    identically — integer, so EXACTLY zero, no epsilon)."""
+    rows = [(i, f"t{i}", lang, f"src{i % 2}", 5)
+            for i, lang in enumerate(["en", "de", "es", "fr", "zh"] * 8)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = f"{tmp_path}/documents.parquet"
+    df.write.parquet(out)
+    res = {r["source"]: r["chi2"]
+           for r in _q_mixture_drift(spark, str(tmp_path)).collect()}
+    assert res == {"src0": 0.0, "src1": 0.0}

@@ -277,6 +277,37 @@ def main() -> int:
         must_not=["CartesianProduct"],
     )
 
+    # 24. table checksum (r08): the per-bucket fingerprint must combine
+    # map-side (partial count/xor/sum before the 16-key exchange) and
+    # the row hash must stay whole-stage-codegen JVM expressions
+    check(
+        "table_checksum",
+        R.queries()["table_checksum"](spark, sf_dir),
+        must_contain=["partial_count", "HashAggregate"],
+        must_not=["CartesianProduct", "BatchEvalPython"],
+    )
+
+    # 25. mixture drift (r08): the corpus-totals side is a 1-row
+    # aggregate joined back by broadcast nested loop (the ONLY
+    # legitimate cross join shape) — never a shuffled join; the
+    # per-source conditional counts must partially aggregate
+    check(
+        "mixture_drift",
+        R.queries()["mixture_drift"](spark, sf_dir),
+        must_contain=["BroadcastNestedLoopJoin", "partial_count"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
+    # 26. TWAP (r08): lead() over (user, ts, id) then the per-user
+    # fold — the aggregate must combine map-side after the single
+    # user_id exchange; no Python evaluation anywhere
+    check(
+        "twap_events",
+        R.queries()["twap_events"](spark, sf_dir),
+        must_contain=["Window", "partial_sum"],
+        must_not=["BatchEvalPython", "CartesianProduct"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
