@@ -1850,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_drift": _q_mixture_drift,
         "table_checksum": _q_table_checksum,
         "scd2_history": _q_scd2_history,
+        "dpp_scan": _q_dpp_scan,
     }
 
 
@@ -1940,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_drift": _sql_mixture_drift(),
         "table_checksum": _sql_table_checksum(),
         "scd2_history": _SQL_SCD2_HISTORY,
+        "dpp_scan": _sql_dpp_scan(),
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -4912,4 +4914,82 @@ hist AS (
 SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
        (valid_to IS NULL) AS is_current
 FROM hist WHERE NOT is_deleted
+"""
+
+
+# written-once-per-session partitioned orders tree for dpp_scan (same
+# per-(session, sf_dir) pattern as queries_olap's _MERGE_CACHE)
+_DPP_CACHE: dict = {}
+
+_DPP_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def _q_dpp_scan(spark, sf_dir):
+    """Dynamic partition pruning on a Hive-partitioned fact: orders
+    written once per session partitioned by o_orderpriority, then
+    joined to a dimension whose relevant priority is only knowable at
+    RUNTIME (region filtered by name, priority derived from the key) —
+    Catalyst cannot constant-fold the partition predicate, so the scan
+    must be pruned by the broadcast-reused subquery DPP injects.
+
+    This is THE mechanism that makes fact⋈dim on a date/tenant-
+    partitioned 100 TB table read only the matching directories: the
+    plan audit pins ``dynamicpruningexpression`` inside the fact
+    scan's PartitionFilters (a static filter would be constant-folded;
+    no filter at all would scan all five directories).
+
+    Oracle: the identical case-mapped join/rollup on the RAW orders
+    table — partitioning changes bytes read, never rows. Exact-cents
+    totalprice sum.
+    """
+    import os
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    # isdir guard: clear_caches() wipes the session tmp roots, so a
+    # cached path may dangle (same self-heal as _ZORDER_CACHE)
+    if key not in _DPP_CACHE or not os.path.isdir(_DPP_CACHE[key]):
+        out = f"{session_tmp_dir(spark, 'dpp')}/orders"
+        _t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(out)
+        _DPP_CACHE[key] = out
+    fact = spark.read.parquet(_DPP_CACHE[key])
+
+    dim = _t(spark, sf_dir, "region").select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in _DPP_PRIORITIES]),
+            F.col("r_regionkey").cast("int") + 1,
+        ).alias("priority"),
+        "r_name",
+    ).filter(F.col("r_name") == "ASIA")
+
+    joined = fact.join(
+        F.broadcast(dim), fact["o_orderpriority"] == dim["priority"]
+    )
+    return joined.groupBy("o_orderpriority", "r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+         / 100.0).alias("total_price"),
+    )
+
+
+def _sql_dpp_scan() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{p}'" for i, p in enumerate(_DPP_PRIORITIES)
+    )
+    return f"""
+WITH dim AS (
+  SELECT CASE r_regionkey {cases} END AS priority, r_name
+  FROM region WHERE r_name = 'ASIA'
+)
+SELECT o_orderpriority, r_name,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_price
+FROM orders JOIN dim ON o_orderpriority = priority
+GROUP BY o_orderpriority, r_name
 """

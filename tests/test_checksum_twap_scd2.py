@@ -220,3 +220,33 @@ def test_mixture_drift_zero_on_uniform_mix(spark, tmp_path):
     res = {r["source"]: r["chi2"]
            for r in _q_mixture_drift(spark, str(tmp_path)).collect()}
     assert res == {"src0": 0.0, "src1": 0.0}
+
+
+# ---------------------------------------------------------------- dpp
+
+def test_dpp_scan_prunes_partitions(spark):
+    """The partitioned-fact join must carry a RUNTIME partition filter
+    (dynamicpruningexpression in the scan's PartitionFilters) and every
+    surviving row must come from the single matching partition
+    directory — the 100 TB fact⋈dim read-only-matching-dirs property."""
+    from parquet_sampler_spark.queries_ext import _DPP_CACHE, _q_dpp_scan
+    from tests.conftest import SF_MED
+
+    q = _q_dpp_scan(spark, SF_MED)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan
+
+    fact_dir = _DPP_CACHE[(spark.sparkContext.applicationId, SF_MED)]
+    fact = spark.read.parquet(fact_dir)
+    from pyspark.sql import functions as F
+    dim = spark.createDataFrame([("3-MEDIUM",)], "priority string")
+    files = (
+        fact.join(F.broadcast(dim),
+                  fact["o_orderpriority"] == dim["priority"])
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    assert files and all(
+        "o_orderpriority=3-MEDIUM" in r["f"] for r in files
+    )

@@ -308,6 +308,18 @@ def main() -> int:
         must_not=["BatchEvalPython", "CartesianProduct"],
     )
 
+    # 27. dynamic partition pruning (r08): the partitioned fact scan
+    # must carry a RUNTIME partition filter injected from the dim side
+    # (dynamicpruningexpression) — a static filter would be constant
+    # folding, no filter would scan all five directories; and the dim
+    # join must be a broadcast, never a shuffle
+    check(
+        "dpp_scan",
+        R.queries()["dpp_scan"](spark, sf_dir),
+        must_contain=["dynamicpruningexpression", "BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
