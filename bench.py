@@ -40,7 +40,7 @@ SETUP_ROWS = frozenset({
     "setup_pairs_graph", "setup_dup_graph", "setup_bucketed_tables",
     "setup_merge_batch", "setup_ivf_model", "setup_streaming",
     "setup_pq_model", "setup_ivfpq_model", "setup_zorder",
-    "setup_compaction",
+    "setup_compaction", "setup_dpp",
 })
 
 
@@ -105,6 +105,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_compaction_scan(spark, sf_dir).count()
     times["setup_compaction"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    queries_ext._q_dpp_scan(spark, sf_dir).count()
+    times["setup_dpp"] = round(time.perf_counter() - t0, 4)
 
     # Absorb the one-time Structured Streaming machinery cost (state
     # store providers, streaming listener, checkpoint plumbing) with a

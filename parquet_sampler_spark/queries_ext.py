@@ -4764,35 +4764,22 @@ def _q_table_checksum(spark, sf_dir):
     additive component sums 20-bit residues (< 2^62 for up to ~4e12
     rows) so duplicate-pair swaps that XOR would miss still move it.
     """
-    from parquet_sampler_spark.functions.hashing import (
-        MODULUS,
-        lehmer_hash,
-        mixed_string_hash,
-    )
+    from parquet_sampler_spark.operators.integrity import table_fingerprint
 
     li = _t(spark, sf_dir, "lineitem")
-    h1 = lehmer_hash(
-        [
+    return table_fingerprint(
+        li,
+        int_cols=[
             F.col("l_orderkey"),
             F.col("l_linenumber"),
             F.col("l_partkey"),
             F.round(F.col("l_quantity") * 100).cast("bigint"),
             F.round(F.col("l_extendedprice") * 100).cast("bigint"),
         ],
+        str_col=F.concat(F.col("l_returnflag"), F.col("l_linestatus")),
+        bucket_col="l_orderkey",
+        buckets=16,
         seed=7,
-    )
-    h2 = mixed_string_hash(
-        F.concat(F.col("l_returnflag"), F.col("l_linestatus"))
-    )
-    rows = li.select(
-        (F.col("l_orderkey") % 16).alias("bucket"),
-        ((h1 * F.lit(131) + h2) % F.lit(MODULUS)).alias("h"),
-    )
-    return rows.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.bit_xor("h").alias("xor_hash"),
-        F.sum(F.col("h") % F.lit(1_048_576)).cast("bigint")
-        .alias("sum_hash"),
     )
 
 

@@ -250,3 +250,37 @@ def test_dpp_scan_prunes_partitions(spark):
     assert files and all(
         "o_orderpriority=3-MEDIUM" in r["f"] for r in files
     )
+
+
+def test_fingerprint_diff_localizes(spark, tmp_path):
+    """fingerprint_diff of a table against itself is empty; against a
+    copy with one mutated row it returns exactly the one affected
+    bucket with both sides' components present."""
+    from parquet_sampler_spark.operators.integrity import (
+        fingerprint_diff,
+        table_fingerprint,
+    )
+
+    def fp(df):
+        return table_fingerprint(
+            df,
+            int_cols=[F.col("l_orderkey"), F.col("l_linenumber"),
+                      F.col("l_partkey")],
+            str_col=F.col("l_returnflag"),
+            bucket_col="l_orderkey",
+        )
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    assert fingerprint_diff(fp(li), fp(li)).count() == 0
+
+    first = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    k, ln = first["l_orderkey"], first["l_linenumber"]
+    hit = (F.col("l_orderkey") == k) & (F.col("l_linenumber") == ln)
+    mutated = li.withColumn(
+        "l_partkey",
+        F.when(hit, F.col("l_partkey") + 1).otherwise(F.col("l_partkey")),
+    )
+    d = fingerprint_diff(fp(li), fp(mutated)).collect()
+    assert [r["bucket"] for r in d] == [k % 16]
+    assert d[0]["a_rows"] == d[0]["b_rows"]
+    assert d[0]["a_xor"] != d[0]["b_xor"]
