@@ -1235,3 +1235,140 @@ def test_additive_snapshot_state_skips_replayed_epoch(spark, tmp_path):
     after = read_quantile_summaries(spark, sum_path).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
     assert published_epoch(sum_path) == 1  # nothing republished
+
+
+def test_streaming_quantiles_kill_restart_checkpoint(spark, tmp_path):
+    """Kill-restart e2e for the ADDITIVE quantile-summary state (the
+    reservoir got this in r08; this closes the symmetric gap): stop()
+    after at least one published epoch of a 3-file source, restart
+    from the same checkpoint, and the final per-group summary must
+    equal the uninterrupted run's byte for byte. Valid as an equality
+    (not envelope) check because batch boundaries replay exactly from
+    the checkpointed offsets and the published-epoch guard skips
+    re-merges — the lossy grid merge sees the identical merge tree."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.quantiles import (
+        read_quantile_summaries,
+        streaming_quantile_summaries,
+    )
+
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    for i in range(3):
+        n = 4000
+        vals = [((j * 2654435761 + i * 97) % 100_000) / 7.0
+                for j in range(n)]
+        tbl = pa.table({
+            "grp": pa.array([f"g{j % 3}" for j in range(n)]),
+            "v": pa.array(vals, pa.float64()),
+        })
+        pq.write_table(tbl, str(src / f"f{i}.parquet"))
+        os.utime(str(src / f"f{i}.parquet"), (1_000_000 * (i + 1),) * 2)
+
+    def stream():
+        return (spark.readStream.schema("grp string, v double")
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    def run(summary_path, ckpt, trigger_kwargs):
+        return (
+            streaming_quantile_summaries(
+                stream(), ["grp"], "v", summary_path, cap=64)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs).start()
+        )
+
+    sp = str(tmp_path / "summ")
+    ckpt = str(tmp_path / "ckpt")
+    q = run(sp, ckpt, {"processingTime": "50 milliseconds"})
+    ptr = os.path.join(sp, "_CURRENT")
+    deadline = time.time() + 60
+    while not os.path.exists(ptr) and time.time() < deadline:
+        time.sleep(0.05)
+    q.stop()  # kill between batches or with one in flight
+    q.awaitTermination(60)
+    assert os.path.exists(ptr), "no epoch published before the kill"
+
+    q2 = run(sp, ckpt, {"availableNow": True})
+    q2.awaitTermination(120)
+
+    sp_ctl = str(tmp_path / "summ_ctl")
+    q3 = run(sp_ctl, str(tmp_path / "ckpt_ctl"), {"availableNow": True})
+    q3.awaitTermination(120)
+
+    def snap(p):
+        return sorted(
+            tuple(r) for r in read_quantile_summaries(spark, p).collect()
+        )
+
+    got, want = snap(sp), snap(sp_ctl)
+    assert got == want and len(got) > 0
+
+
+def test_streaming_heavy_hitters_kill_restart_checkpoint(spark, tmp_path):
+    """Same kill-restart contract for the Misra-Gries state: the
+    restarted run's (key, cnt) counters and the (NULL, n) row-count
+    marker must equal the uninterrupted run's exactly."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.frequency import (
+        streaming_heavy_hitters,
+    )
+    from parquet_sampler_spark.streaming.sinks import current_snapshot_path
+
+    src = tmp_path / "hsrc"
+    src.mkdir()
+    for i in range(3):
+        keys = (["hot"] * 500
+                + [f"k{(j * 31 + i) % 40}" for j in range(700)])
+        tbl = pa.table({"key": pa.array(keys)})
+        pq.write_table(tbl, str(src / f"f{i}.parquet"))
+        os.utime(str(src / f"f{i}.parquet"), (1_000_000 * (i + 1),) * 2)
+
+    def stream():
+        return (spark.readStream.schema("key string")
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    def run(summary_path, ckpt, trigger_kwargs):
+        return (
+            streaming_heavy_hitters(stream(), "key", 8, summary_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs).start()
+        )
+
+    sp = str(tmp_path / "hh")
+    ckpt = str(tmp_path / "hckpt")
+    q = run(sp, ckpt, {"processingTime": "50 milliseconds"})
+    ptr = os.path.join(sp, "_CURRENT")
+    deadline = time.time() + 60
+    while not os.path.exists(ptr) and time.time() < deadline:
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+    assert os.path.exists(ptr), "no epoch published before the kill"
+
+    q2 = run(sp, ckpt, {"availableNow": True})
+    q2.awaitTermination(120)
+
+    sp_ctl = str(tmp_path / "hh_ctl")
+    q3 = run(sp_ctl, str(tmp_path / "hckpt_ctl"), {"availableNow": True})
+    q3.awaitTermination(120)
+
+    def snap(p):
+        cur = current_snapshot_path(p)
+        return {
+            (r.key, r.cnt) for r in spark.read.parquet(cur).collect()
+        }
+
+    got, want = snap(sp), snap(sp_ctl)
+    assert got == want
+    # the marker row carries the full stream's row count
+    assert (None, 3 * 1200) in got
