@@ -42,10 +42,15 @@ def table_fingerprint(
 
     ``int_cols``: up to 5 integer-valued columns/expressions folded by
     the portable Lehmer hash (quantize doubles to exact cents/e4
-    BIGINTs first — the caller owns the quantization contract).
-    ``str_col``: optional string column/expression folded via the
-    mixed polynomial hash. ``bucket_col``: integer expression to
-    bucket the keyspace by (defaults to the first int col).
+    BIGINTs first — the caller owns the quantization contract; prefer
+    NON-NEGATIVE values, since ``%``'s dividend-sign convention makes
+    a negative input produce a negative — though still engine-portable
+    and deterministic — hash). ``str_col``: optional string column/
+    expression folded via the mixed polynomial hash. ``bucket_col``:
+    integer expression to bucket the keyspace by (defaults to the
+    first int col); pmod keeps buckets in [0, buckets) even for
+    negative keys, preserving the 1/``buckets`` repair-localization
+    contract.
     """
     if not int_cols:
         raise ValueError("table_fingerprint requires int_cols")
@@ -55,7 +60,7 @@ def table_fingerprint(
     b = bucket_col if bucket_col is not None else int_cols[0]
     b = F.col(b) if isinstance(b, str) else b
     rows = df.select(
-        (b % F.lit(buckets)).cast("bigint").alias("bucket"),
+        F.pmod(b, F.lit(buckets)).cast("bigint").alias("bucket"),
         h.alias("h"),
     )
     return rows.groupBy("bucket").agg(

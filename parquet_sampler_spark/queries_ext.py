@@ -4931,15 +4931,22 @@ def _q_dpp_scan(spark, sf_dir):
     table — partitioning changes bytes read, never rows. Exact-cents
     totalprice sum.
     """
+    import hashlib
     import os
 
     from parquet_sampler_spark.queries import session_tmp_dir
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # normalized + sha1-suffixed like _ZORDER_CACHE: without the
+    # per-sf_dir path tag a second scale factor in the same session
+    # would overwrite the first's tree while its cache entry still
+    # passed the isdir guard — returning wrong-sf data
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    key = (spark.sparkContext.applicationId, norm)
     # isdir guard: clear_caches() wipes the session tmp roots, so a
     # cached path may dangle (same self-heal as _ZORDER_CACHE)
     if key not in _DPP_CACHE or not os.path.isdir(_DPP_CACHE[key]):
-        out = f"{session_tmp_dir(spark, 'dpp')}/orders"
+        tag = hashlib.sha1(norm.encode()).hexdigest()[:8]
+        out = f"{session_tmp_dir(spark, 'dpp')}/{tag}/orders"
         _t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
             "o_orderpriority"
         ).parquet(out)

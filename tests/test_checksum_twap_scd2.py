@@ -8,7 +8,6 @@ chaining, tombstone close, reopen-after-delete), mixture_drift
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from parquet_sampler_spark.queries_ext import (
@@ -106,10 +105,11 @@ def test_twap_matches_hand_fold(spark):
     assert got["twap"] == num / den / 100.0
 
 
-def test_twap_weights_by_duration_not_rows(spark):
-    """Synthetic 3-event user: value 10 held for 9s then value 100 for
-    1s → TWAP 19.0, while the row mean of contributing values is 55.
-    Pins that the operator is duration-weighted."""
+def test_twap_weights_by_duration_not_rows(spark, tmp_path):
+    """Synthetic 3-event user fed through the REAL operator (written
+    as an events.parquet dir): value 10 held for 9s then value 100
+    for 1s → TWAP 19.0, while the row mean of contributing values is
+    55. Pins that _q_twap_events itself is duration-weighted."""
     df = spark.createDataFrame(
         [
             (1, "2024-01-01 00:00:00", 7, 10.0),
@@ -118,24 +118,13 @@ def test_twap_weights_by_duration_not_rows(spark):
         ],
         "event_id long, ts string, user_id long, value double",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seg = df.select(
-        "user_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("value_e2"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
-        .alias("dur_us"),
-    ).filter(F.col("dur_us").isNotNull())
-    seg = seg.withColumn("dur_ms", F.expr("dur_us DIV 1000"))
-    row = (
-        seg.groupBy("user_id")
-        .agg(
-            F.sum("dur_ms").alias("total_ms"),
-            F.sum(F.col("value_e2") * F.col("dur_ms")).alias("num"),
-        )
-        .collect()[0]
-    )
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    row = _q_twap_events(spark, str(tmp_path)).collect()
+    assert len(row) == 1
+    row = row[0]
+    assert row["n_segments"] == 2
     assert row["total_ms"] == 10_000
-    assert row["num"] / row["total_ms"] / 100.0 == 19.0
+    assert row["twap"] == 19.0
 
 
 # ---------------------------------------------------------------- scd2
@@ -161,25 +150,36 @@ def test_scd2_interval_chaining(spark):
             assert r["is_current"] == (r["valid_to"] is None)
 
 
-def test_scd2_tombstone_and_reopen(spark):
-    """Key classes pinned exactly: %500 keys are tombstoned at epoch 1
-    (closing [0,1) with NO current row unless %150 re-inserts at 2);
-    %150∧¬%100 keys skip epoch 1 entirely ([0,2) then [2,∞))."""
-    rows = _q_scd2_history(spark, SF_MED).collect()
+def test_scd2_tombstone_and_reopen(spark, tmp_path):
+    """Key classes pinned exactly — on an INJECTED customer corpus
+    whose keyspace (0..4500) actually contains every class, because
+    sf0.01's 0..1499 range has no reopen key (k % 1500 == 0, k > 0;
+    found vacuous by review): %500∧¬%150 keys are tombstoned at
+    epoch 1 closing [0,1) with no current row; %1500∧¬%450 keys
+    reopen at epoch 2 after the tombstone; %150∧¬%100∧¬%450 keys
+    skip epoch 1 entirely ([0,2) then [2,∞))."""
+    rows = [(k, f"Customer#{k}", k % 25, float(k), "BUILDING")
+            for k in range(0, 4501)]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, "
+              "c_acctbal double, c_mktsegment string"
+    ).write.parquet(f"{tmp_path}/customer.parquet")
+    hist = _q_scd2_history(spark, str(tmp_path)).collect()
     by_key: dict = {}
-    for r in rows:
+    for r in hist:
         by_key.setdefault(r["c_custkey"], []).append(r)
-    keys = sorted(by_key)
-    max_k = max(k for k in keys if k < 10_000_000)
+    max_k = 4500
 
     deleted_only = [k for k in range(500, max_k + 1, 500)
                     if k % 150 != 0 and k % 250 == 0]
-    for k in deleted_only[:5]:
+    assert deleted_only, "key class empty — corpus too small"
+    for k in deleted_only:
         vs = sorted(by_key[k], key=lambda r: r["valid_from"])
         assert [(v["valid_from"], v["valid_to"]) for v in vs] == [(0, 1)]
 
     reopened = [k for k in range(1500, max_k + 1, 1500) if k % 450 != 0]
-    for k in reopened[:5]:
+    assert reopened, "key class empty — corpus too small"
+    for k in reopened:
         vs = sorted(by_key[k], key=lambda r: r["valid_from"])
         # e1 tombstone closed [0,1); e2 re-insert opens [2,∞) — the
         # [1,2) hole is the deleted span, correctly unrepresented
@@ -189,7 +189,8 @@ def test_scd2_tombstone_and_reopen(spark):
 
     skip_e1 = [k for k in range(150, max_k + 1, 150)
                if k % 100 != 0 and k % 450 != 0]
-    for k in skip_e1[:5]:
+    assert skip_e1, "key class empty — corpus too small"
+    for k in skip_e1[:10]:
         vs = sorted(by_key[k], key=lambda r: r["valid_from"])
         assert [(v["valid_from"], v["valid_to"]) for v in vs] \
             == [(0, 2), (2, None)]
