@@ -1851,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": _q_table_checksum,
         "scd2_history": _q_scd2_history,
         "dpp_scan": _q_dpp_scan,
+        "manifest_prune": _q_manifest_prune,
     }
 
 
@@ -1942,6 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": _sql_table_checksum(),
         "scd2_history": _SQL_SCD2_HISTORY,
         "dpp_scan": _sql_dpp_scan(),
+        "manifest_prune": _SQL_MANIFEST_PRUNE,
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -4143,6 +4145,13 @@ def _q_compaction_scan(spark, sf_dir):
     the raw table: a hash-green full read of the compacted layout
     proves losslessness end-to-end. File-count and clustering
     properties are pinned by pytest (test_scale_smoke)."""
+    return spark.read.parquet(_compacted_events_path(spark, sf_dir))
+
+
+def _compacted_events_path(spark, sf_dir) -> str:
+    """Write (once per session, sf_dir) the 64-shard degraded events
+    fixture and its 4-file range-clustered compaction; return the
+    compacted path. Shared by compaction_scan and manifest_prune."""
     import hashlib
     import os
 
@@ -4166,7 +4175,7 @@ def _q_compaction_scan(spark, sf_dir):
             .write.mode("overwrite").parquet(compacted)
         )
         _COMPACT_CACHE[key] = compacted
-    return spark.read.parquet(_COMPACT_CACHE[key])
+    return _COMPACT_CACHE[key]
 
 
 _SQL_COMPACTION_SCAN = """
@@ -4986,4 +4995,55 @@ SELECT o_orderpriority, r_name,
          / 100.0 AS total_price
 FROM orders JOIN dim ON o_orderpriority = priority
 GROUP BY o_orderpriority, r_name
+"""
+
+
+_MANIFEST_LO, _MANIFEST_HI = 10, 40
+
+
+def _q_manifest_prune(spark, sf_dir):
+    """Manifest-level file skipping (Iceberg/Delta's data-skipping
+    step on plain parquet): the range-clustered compacted events
+    layout is scan-PLANNED driver-side — pyarrow footer min/max on
+    user_id prune the FILE LIST before Spark opens a single file —
+    then the survivors are read with the predicate re-applied
+    (footer ranges are necessary, not sufficient) and rolled up.
+
+    Beside row-group pushdown (which runs AFTER a task opens a file),
+    this is the piece that matters at 10^6-file scale: listing,
+    scheduling, and footer reads collapse into one O(files) metadata
+    pass, and the executors only ever see surviving files. The pytest
+    pins that the plan actually dropped files (kept < total on the
+    4-file clustered layout) and that results equal the unpruned
+    read. Oracle = the same filter + rollup on the raw events table —
+    planning changes bytes read, never rows.
+    """
+    from parquet_sampler_spark.sources.io import plan_files_by_stats
+
+    path = _compacted_events_path(spark, sf_dir)
+    kept, _total = plan_files_by_stats(
+        path, "user_id", _MANIFEST_LO, _MANIFEST_HI
+    )
+    if not kept:  # conservative planner kept nothing => empty result
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
+    df = spark.read.parquet(*kept).filter(
+        (F.col("user_id") >= _MANIFEST_LO)
+        & (F.col("user_id") <= _MANIFEST_HI)
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0)
+        .alias("total_value"),
+    )
+
+
+_SQL_MANIFEST_PRUNE = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS total_value
+FROM events
+WHERE user_id >= {_MANIFEST_LO} AND user_id <= {_MANIFEST_HI}
+GROUP BY event_type
 """

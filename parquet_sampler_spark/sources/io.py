@@ -123,3 +123,53 @@ def _dataset_bytes(spark: SparkSession, path: str) -> int:
     if total == 0:
         raise FileNotFoundError(f"no *.parquet data files under {path!r}")
     return total
+
+
+def plan_files_by_stats(
+    path: str, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Manifest-level scan planning: keep only the parquet files whose
+    footer min/max range on ``col`` can overlap ``[lo, hi]`` —
+    Iceberg/Delta's data-skipping step done from the footers directly
+    (pyarrow, O(files) metadata reads, zero Spark jobs). Returns
+    ``(kept_file_paths, total_files)``.
+
+    Why this exists beside row-group pushdown: Spark's PushedFilters
+    skip row groups AFTER a task opens a file; at 10^6 small files the
+    cost is listing + scheduling + footer reads per task. Pruning the
+    FILE LIST driver-side turns those into one metadata pass and hands
+    Spark only the survivors — the manifest architecture, on plain
+    parquet. Sound only as a NECESSARY filter: a kept file may still
+    contain non-matching rows (the caller must re-apply the predicate;
+    min/max are conservative), and a file with no stats for ``col`` is
+    always kept.
+    """
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    p = Path(path)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path!r}")
+    kept: list[str] = []
+    for f in files:
+        md = pq.read_metadata(f)
+        fmin = fmax = None
+        have = True
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats = None
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col:
+                    stats = c.statistics
+                    break
+            if stats is None or not stats.has_min_max:
+                have = False
+                break
+            fmin = stats.min if fmin is None else min(fmin, stats.min)
+            fmax = stats.max if fmax is None else max(fmax, stats.max)
+        if not have or fmin is None or (fmax >= lo and fmin <= hi):
+            kept.append(str(f))
+    return kept, len(files)

@@ -285,3 +285,59 @@ def test_fingerprint_diff_localizes(spark, tmp_path):
     assert [r["bucket"] for r in d] == [k % 16]
     assert d[0]["a_rows"] == d[0]["b_rows"]
     assert d[0]["a_xor"] != d[0]["b_xor"]
+
+
+# ---------------------------------------------------------------- manifest
+
+def test_manifest_prune_skips_files_losslessly(spark):
+    """The footer-stats planner must actually DROP files on the
+    4-file range-clustered layout (kept < total) and the pruned read
+    + re-applied predicate must equal the unpruned filtered read —
+    the necessary-not-sufficient contract."""
+    from parquet_sampler_spark.queries_ext import (
+        _MANIFEST_HI,
+        _MANIFEST_LO,
+        _compacted_events_path,
+    )
+    from parquet_sampler_spark.sources.io import plan_files_by_stats
+    from tests.conftest import SF_MED
+
+    path = _compacted_events_path(spark, SF_MED)
+    kept, total = plan_files_by_stats(
+        path, "user_id", _MANIFEST_LO, _MANIFEST_HI
+    )
+    assert total == 4
+    assert 0 < len(kept) < total, (kept, total)
+
+    pred = (F.col("user_id") >= _MANIFEST_LO) & \
+        (F.col("user_id") <= _MANIFEST_HI)
+    pruned = sorted(
+        tuple(r) for r in
+        spark.read.parquet(*kept).filter(pred)
+        .select("event_id", "user_id", "value").collect()
+    )
+    full = sorted(
+        tuple(r) for r in
+        spark.read.parquet(path).filter(pred)
+        .select("event_id", "user_id", "value").collect()
+    )
+    assert pruned == full and len(full) > 0
+
+
+def test_manifest_planner_keeps_statless_files(spark, tmp_path):
+    """A file with no usable stats for the column must be KEPT (the
+    planner is conservative): files written with statistics disabled
+    survive planning for any probe range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.sources.io import plan_files_by_stats
+
+    t = pa.table({"k": pa.array([100, 200], pa.int64())})
+    pq.write_table(t, str(tmp_path / "a.parquet"))
+    pq.write_table(t, str(tmp_path / "b.parquet"),
+                   write_statistics=False)
+    kept, total = plan_files_by_stats(str(tmp_path), "k", 0, 1)
+    assert total == 2
+    # a.parquet (stats 100..200) prunes; b.parquet (no stats) is kept
+    assert [k.endswith("b.parquet") for k in kept] == [True]
