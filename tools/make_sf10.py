@@ -57,6 +57,12 @@ def main() -> int:
             f"user_id + {{k}} * {USER_STRIDE} AS user_id"
         ),
     }
+    # scale-invariant dims needed by registry rows (dpp_scan joins
+    # region): copy through unchanged
+    import shutil
+    for dim in ("region",):
+        shutil.copyfile(SRC / f"{dim}.parquet", OUT / f"{dim}.parquet")
+        print(f"{dim}: copied (scale-invariant)")
     for t, repl in plans.items():
         src = SRC / f"{t}.parquet"
         union = " UNION ALL ".join(
