@@ -34,6 +34,7 @@ CUST_STRIDE = 1_000_000
 ORDER_STRIDE = 100_000_000
 EVENT_STRIDE = 10_000_000
 USER_STRIDE = 1_000_000
+DOC_STRIDE = 1_000_000
 
 
 def main() -> int:
@@ -56,6 +57,10 @@ def main() -> int:
             f"event_id + {{k}} * {EVENT_STRIDE} AS event_id, "
             f"user_id + {{k}} * {USER_STRIDE} AS user_id"
         ),
+        # key-shifted copies only — per-source language mixes are
+        # preserved exactly, so mixture_drift's statistic scales its
+        # counts 10x with identical structure
+        "documents": f"doc_id + {{k}} * {DOC_STRIDE} AS doc_id",
     }
     # scale-invariant dims needed by registry rows (dpp_scan joins
     # region): copy through unchanged
