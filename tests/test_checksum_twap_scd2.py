@@ -341,3 +341,29 @@ def test_manifest_planner_keeps_statless_files(spark, tmp_path):
     assert total == 2
     # a.parquet (stats 100..200) prunes; b.parquet (no stats) is kept
     assert [k.endswith("b.parquet") for k in kept] == [True]
+
+
+def test_twap_equal_timestamp_tiebreak(spark, tmp_path):
+    """Two events at the SAME instant: the (ts, event_id) total order
+    decides which value owns the following interval — the same tie
+    lesson the sessionize family learned in r07, pinned here by
+    construction. Events: (id 1, t0, v=10) and (id 2, t0, v=30) then
+    (id 3, t0+10s, v=99). The id-2 row wins the 10 s interval (it
+    sorts last at t0, so id 1's segment has zero duration); TWAP must
+    be 30.0, not 10.0, not 20.0."""
+    df = spark.createDataFrame(
+        [
+            (2, "2024-01-01 00:00:00", 5, 30.0),
+            (1, "2024-01-01 00:00:00", 5, 10.0),
+            (3, "2024-01-01 00:00:10", 5, 99.0),
+        ],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(f"{tmp_path}/events.parquet")
+    rows = _q_twap_events(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # id-1 segment: 0 ms (tie); id-2 segment: 10_000 ms at value 30
+    assert r["n_segments"] == 2
+    assert r["total_ms"] == 10_000
+    assert r["twap"] == 30.0
