@@ -185,6 +185,67 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     )
 
 
+def mg_weighted_updates(
+    src: DataFrame, col: str, k: int
+) -> tuple[list[tuple[str, int]], int]:
+    """Partition-local weighted Misra-Gries pass over a STRING key
+    column: one ``mapInPandas`` scan where each partition keeps at
+    most ``k-1`` counters and emits them as weighted ``(key, count)``
+    updates plus one row-count marker — the distributed half of the
+    :func:`heavy_hitters` candidate phase, exposed for callers that
+    need the WEIGHTS (the streaming frequency maintainer folds these
+    into its running summary; the batch operator only needs the keys
+    because it re-counts exactly in its verify phase).
+
+    Returns ``(updates, n)`` where ``updates`` is sorted by key (so
+    any downstream fold is order-deterministic and the published
+    summary bytes are reproducible) and ``n`` is the EXACT number of
+    non-null input rows, carried on per-partition marker rows rather
+    than recovered from the (undercounting) MG weights.
+
+    Bound: the driver receives at most ``k`` rows per partition
+    (``k-1`` counters + 1 marker), independent of the partition's
+    distinct-key count — the mergeable-summaries result (Agarwal et
+    al.): folding weighted MG updates with the same decrement rule
+    keeps the combined undercount ≤ n_total/k, so the merged summary
+    still proposes a superset of every globally-heavy key.
+    """
+    if k < 2:
+        raise ValueError(f"mg_weighted_updates needs k >= 2, got {k}")
+    keyed = src.select(F.col(col).cast("string").alias("__k")).filter(
+        F.col("__k").isNotNull()
+    )
+
+    def local_summary(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_part = 0
+        for b in batches:
+            n_part += len(b)
+            for key, c in b["__k"].value_counts().items():
+                _mg_update(counters, key, int(c), k - 1)
+        keys = list(counters.keys())
+        yield pd.DataFrame(
+            {
+                "__k": pd.Series(keys + [None], dtype=object),
+                "__c": pd.Series(
+                    [int(counters[key]) for key in keys] + [n_part],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    rows = keyed.mapInPandas(
+        local_summary, schema="__k string, __c long"
+    ).collect()
+    n = sum(int(r["__c"]) for r in rows if r["__k"] is None)
+    updates = sorted(
+        (r["__k"], int(r["__c"])) for r in rows if r["__k"] is not None
+    )
+    return updates, n
+
+
 def _weighted_grid(
     vals: np.ndarray, ws: np.ndarray, cap: int
 ) -> tuple[np.ndarray, float]:
@@ -196,6 +257,11 @@ def _weighted_grid(
     the input already fits (``len <= cap`` with uniform weights);
     otherwise each kept value's implied rank is off by at most
     ``W / (2·m)`` — one half grid cell of the weight it represents."""
+    if len(vals) == 0:
+        # a summary row with an empty vals array is malformed input;
+        # fail loudly here rather than as an IndexError on ws[0] deep
+        # inside an applyInPandas worker (r8 ADVICE)
+        raise ValueError("_weighted_grid: empty value array")
     order = np.argsort(vals, kind="stable")
     vals, ws = vals[order], ws[order]
     if len(vals) <= cap and np.all(ws == ws[0]):

@@ -3349,8 +3349,12 @@ def _q_funnel(spark, sf_dir):
     )
     return (
         v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        )
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        )
     )
 
 
@@ -3803,8 +3807,13 @@ def _q_split_leakage(spark, sf_dir):
     from parquet_sampler_spark.operators.sample import assign_splits
 
     d0 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # offset 10^9 sits far above any generated doc_id at every scale
+    # slice (make_sf10.py's DOC_STRIDE is exactly 10^6, so a 10^6
+    # offset would ALIAS the injected dup onto a real copy-1 doc at
+    # sf10 and the cross-split property would silently test nothing —
+    # r8 ADVICE)
     recrawl = d0.filter(F.col("doc_id") % 41 == 0).select(
-        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
     )
     d = d0.unionByName(recrawl)
     s = assign_splits(d, ["doc_id"], seed=13)
@@ -3849,7 +3858,7 @@ def _sql_split_leakage() -> str:
 WITH dirty AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text
+  SELECT doc_id + 1000000000 AS doc_id, text
   FROM documents WHERE doc_id % 41 = 0
 ),
 s AS (
@@ -4712,10 +4721,16 @@ def _q_mixture_drift(spark, sf_dir):
     terms = []
     for l in _DRIFT_LANGS:
         d = F.col("T") * F.col(f"c_{l}") - F.col("t_s") * F.col(f"g_{l}")
+        # a corpus missing this language entirely (g_l = 0 forces
+        # c_l = 0 too) contributes nothing — without the guard the
+        # term is 0.0/0.0 = NaN and poisons every source's chi2
         terms.append(
-            (d.cast("double") * d.cast("double"))
-            / (F.col("T").cast("double") * F.col("t_s").cast("double")
-               * F.col(f"g_{l}").cast("double"))
+            F.when(
+                F.col(f"g_{l}") > 0,
+                (d.cast("double") * d.cast("double"))
+                / (F.col("T").cast("double") * F.col("t_s").cast("double")
+                   * F.col(f"g_{l}").cast("double")),
+            ).otherwise(F.lit(0.0))
         )
     chi2 = terms[0]
     for t in terms[1:]:
@@ -4735,10 +4750,11 @@ def _sql_mixture_drift() -> str:
         for l in _DRIFT_LANGS
     )
     terms = " + ".join(
+        f"(CASE WHEN g_{l} > 0 THEN "
         f"(CAST(T * c_{l} - t_s * g_{l} AS DOUBLE)"
         f" * CAST(T * c_{l} - t_s * g_{l} AS DOUBLE))"
         f" / (CAST(T AS DOUBLE) * CAST(t_s AS DOUBLE)"
-        f" * CAST(g_{l} AS DOUBLE))"
+        f" * CAST(g_{l} AS DOUBLE)) ELSE 0.0 END)"
         for l in _DRIFT_LANGS
     )
     return f"""

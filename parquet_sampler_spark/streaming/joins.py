@@ -63,6 +63,7 @@ def streaming_exact_sample(
     reservoir_path: str,
     key_cols: list[str],
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ):
     """Maintain a k-row deterministic reservoir of the stream at
     ``reservoir_path`` (a versioned parquet table — read it with
@@ -88,11 +89,15 @@ def streaming_exact_sample(
     Returns the ``DataStreamWriter`` (caller adds a trigger and calls
     ``.start()``). Local-filesystem reservoir paths only (POSIX rename
     atomicity; on object stores this layer is a table format's job).
+    ``checkpoint_dir``, when given, is attached as the stream's
+    ``checkpointLocation`` and its stable query id scopes the
+    replayed-epoch guard (``sinks.guard_epoch``).
     """
     from parquet_sampler_spark.streaming.sinks import (
+        checkpoint_query_id,
         current_snapshot_path,
+        guard_epoch,
         publish_snapshot,
-        published_epoch,
     )
 
     spark = events.sparkSession
@@ -102,9 +107,13 @@ def streaming_exact_sample(
         # exactly-once: a crash after publish but before the
         # checkpoint commit replays this epoch — already published, so
         # skip (re-merging would also lazily read v<N> while
-        # overwriting v<N>, which Spark refuses — stream wedge)
-        pub = published_epoch(reservoir_path)
-        if pub is not None and pub >= epoch_id:
+        # overwriting v<N>, which Spark refuses — stream wedge);
+        # run-scoped when a managed checkpoint identifies the query
+        run_id = (
+            checkpoint_query_id(checkpoint_dir)
+            if checkpoint_dir is not None else None
+        )
+        if guard_epoch(reservoir_path, epoch_id, run_id):
             return
         tagged = batch.withColumn("__pr", pr)
         # pointer-resolved read: an uncommitted v* dir from a crashed
@@ -126,9 +135,12 @@ def streaming_exact_sample(
             merged.dropDuplicates(key_cols)
             .orderBy(F.col("__pr"), *key_cols).limit(k)
         )
-        publish_snapshot(top, reservoir_path, epoch_id)
+        publish_snapshot(top, reservoir_path, epoch_id, run_id=run_id)
 
-    return events.writeStream.foreachBatch(merge_batch)
+    writer = events.writeStream.foreachBatch(merge_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
 
 def streaming_grouped_sample(
@@ -138,6 +150,7 @@ def streaming_grouped_sample(
     group_cols: list[str],
     key_cols: list[str],
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ):
     """Per-GROUP k-row deterministic reservoir (r08): for every value
     of ``group_cols``, maintain the k smallest (pr, key) rows seen so
@@ -159,9 +172,10 @@ def streaming_grouped_sample(
     from pyspark.sql import Window
 
     from parquet_sampler_spark.streaming.sinks import (
+        checkpoint_query_id,
         current_snapshot_path,
+        guard_epoch,
         publish_snapshot,
-        published_epoch,
     )
 
     spark = events.sparkSession
@@ -172,8 +186,11 @@ def streaming_grouped_sample(
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         # exactly-once epoch skip — see streaming_exact_sample
-        pub = published_epoch(reservoir_path)
-        if pub is not None and pub >= epoch_id:
+        run_id = (
+            checkpoint_query_id(checkpoint_dir)
+            if checkpoint_dir is not None else None
+        )
+        if guard_epoch(reservoir_path, epoch_id, run_id):
             return
         tagged = batch.withColumn("__pr", pr)
         cur_path = current_snapshot_path(reservoir_path)
@@ -187,9 +204,12 @@ def streaming_grouped_sample(
             .filter(F.col("__rn") <= k)
             .drop("__rn")
         )
-        publish_snapshot(top, reservoir_path, epoch_id)
+        publish_snapshot(top, reservoir_path, epoch_id, run_id=run_id)
 
-    return events.writeStream.foreachBatch(merge_batch)
+    writer = events.writeStream.foreachBatch(merge_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
 
 def read_reservoir(spark: SparkSession, reservoir_path: str) -> DataFrame:

@@ -35,29 +35,39 @@ def streaming_quantile_summaries(
     value_col: str,
     summary_path: str,
     cap: int = 512,
+    checkpoint_dir: str | None = None,
 ):
     """Maintain one quantile summary per ``group_cols`` value over the
     stream at ``summary_path`` (versioned snapshots; read the live one
     with :func:`read_quantile_summaries`, answer quantiles with
     operators/sketches.merged_quantiles). Returns the
-    ``DataStreamWriter``."""
+    ``DataStreamWriter``. ``checkpoint_dir``, when given, is attached
+    as the stream's ``checkpointLocation`` and its stable query id
+    scopes the replayed-epoch guard (``sinks.guard_epoch`` — a fresh
+    checkpoint over existing state raises instead of silently
+    skipping its early epochs)."""
     from parquet_sampler_spark.operators.sketches import (
         _partition_quantile_summaries,
         merge_summaries,
     )
     from parquet_sampler_spark.streaming.sinks import (
+        checkpoint_query_id,
         current_snapshot_path,
+        guard_epoch,
         publish_snapshot,
-        published_epoch,
     )
 
     spark = events.sparkSession
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         # additive state: a replayed published epoch would double the
-        # batch's weight — skip it (exactly-once by epoch id)
-        pub = published_epoch(summary_path)
-        if pub is not None and pub >= epoch_id:
+        # batch's weight — skip it (exactly-once by epoch id),
+        # run-scoped when a managed checkpoint identifies the query
+        run_id = (
+            checkpoint_query_id(checkpoint_dir)
+            if checkpoint_dir is not None else None
+        )
+        if guard_epoch(summary_path, epoch_id, run_id):
             return
         # partition-local summaries only; ONE merge covers both the
         # batch's partials and the stored state (merging twice would
@@ -71,9 +81,12 @@ def streaming_quantile_summaries(
             else spark.read.parquet(cur_path).unionByName(part)
         )
         out = merge_summaries(merged_in, group_cols, cap)
-        publish_snapshot(out, summary_path, epoch_id)
+        publish_snapshot(out, summary_path, epoch_id, run_id=run_id)
 
-    return events.writeStream.foreachBatch(merge_batch)
+    writer = events.writeStream.foreachBatch(merge_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
 
 def read_quantile_summaries(

@@ -42,6 +42,15 @@ newest N published snapshots, and ``read_merge_snapshot(version=...)``
 time-travels to any retained one — the ``VERSION AS OF`` read path.
 Local-filesystem paths only: ``os.replace`` atomicity is a POSIX
 rename guarantee; on S3 this layer is replaced by the table format.
+
+Run-identity scoping (r9): epoch ids are CHECKPOINT-scoped while the
+published epoch is STATE-scoped, so the replay guard additionally
+records the publishing query's id (``checkpoint_query_id``) on the
+pointer and :func:`guard_epoch` RAISES when a different query (i.e. a
+fresh checkpoint) tries to drive existing state — without this, the
+fresh checkpoint's restarted epoch numbering would silently skip
+early epochs carrying genuinely new data. Reusing a state path with
+a fresh checkpoint requires deleting the state first.
 """
 
 from __future__ import annotations
@@ -68,8 +77,81 @@ def current_snapshot_path(base_path: str) -> str | None:
     if not os.path.exists(ptr):
         return None
     with open(ptr, encoding="ascii") as f:
-        name = f.read().strip()
+        name = f.readline().strip()
     return os.path.join(base_path, name)
+
+
+def published_run_id(base_path: str) -> str | None:
+    """Streaming-query identity recorded by the last publish (second
+    line of the pointer file), or None if the snapshot predates run
+    scoping / was published without one. See :func:`guard_epoch` for
+    why this exists: epoch ids are CHECKPOINT-scoped, so comparing
+    them across different checkpoints is meaningless."""
+    ptr = _pointer_path(base_path)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="ascii") as f:
+        f.readline()
+        run = f.readline().strip()
+    return run or None
+
+
+def checkpoint_query_id(checkpoint_dir: str) -> str | None:
+    """The structured-streaming query id persisted in a checkpoint's
+    ``metadata`` file — STABLE across restarts of the same checkpoint
+    (unlike ``runId``), fresh for a fresh checkpoint, which is exactly
+    the identity the epoch guard needs. Returns None before the query
+    has started (Spark writes ``metadata`` at query start, so inside a
+    ``foreachBatch`` body it always exists)."""
+    import json
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    if not os.path.exists(meta):
+        return None
+    with open(meta, encoding="utf-8") as f:
+        return json.load(f).get("id")
+
+
+def guard_epoch(
+    base_path: str, epoch_id: int, run_id: str | None = None
+) -> bool:
+    """Shared replay/identity gate for every ``publish_snapshot``
+    consumer — call FIRST in the ``foreachBatch`` body; True means
+    "this epoch is already in the snapshot, skip it".
+
+    Epoch ids are scoped to one streaming CHECKPOINT; the published
+    epoch is scoped to the STATE directory. Comparing them is only
+    sound when both belong to the same query, so when both the
+    caller's ``run_id`` (from :func:`checkpoint_query_id`) and the
+    snapshot's recorded run id are known and DIFFER, this raises
+    instead of comparing: a fresh checkpoint over existing state
+    restarts epoch numbering at 0, and the bare ``pub >= epoch_id``
+    compare would silently skip early epochs carrying genuinely new
+    data (r8 ADVICE — silent data loss, not an error). The caller
+    must either delete/move the state directory or restart from the
+    original checkpoint.
+
+    With no run identity on either side (legacy snapshots, callers
+    without a managed checkpoint) the guard degrades to the bare
+    epoch compare — correct for same-checkpoint crash replay and for
+    re-delivery of identical data, but unable to detect the
+    fresh-checkpoint-over-live-state hazard; callers that reuse state
+    paths across checkpoints must pass ``checkpoint_dir`` so identity
+    is enforced."""
+    pub = _published_batch_id(base_path)
+    if pub is None:
+        return False
+    stored = published_run_id(base_path)
+    if run_id is not None and stored is not None and run_id != stored:
+        raise ValueError(
+            f"state at {base_path} was published by streaming query "
+            f"{stored}, but this query is {run_id} (fresh checkpoint "
+            f"over existing state?). Epoch ids are checkpoint-scoped, "
+            f"so the replay guard cannot compare them across queries: "
+            f"delete/move the state directory to start fresh, or "
+            f"restart from the original checkpoint."
+        )
+    return pub >= epoch_id
 
 
 def read_merge_snapshot(
@@ -129,12 +211,19 @@ def _published_batch_id(base_path: str) -> int | None:
     return int(os.path.basename(snap)[1:])
 
 
-def _publish(base_path: str, version_name: str) -> None:
-    """Atomically point ``_CURRENT`` at ``version_name``."""
+def _publish(
+    base_path: str, version_name: str, run_id: str | None = None
+) -> None:
+    """Atomically point ``_CURRENT`` at ``version_name``. When
+    ``run_id`` is given it rides the same atomic swap as a second
+    pointer-file line, so snapshot version and publishing-query
+    identity can never disagree."""
     ptr = _pointer_path(base_path)
     tmp = ptr + ".__tmp"
     with open(tmp, "w", encoding="ascii") as f:
         f.write(version_name + "\n")
+        if run_id is not None:
+            f.write(run_id + "\n")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, ptr)
@@ -170,7 +259,8 @@ def published_epoch(base_path: str) -> int | None:
 
 
 def publish_snapshot(
-    df: DataFrame, base_path: str, epoch_id: int, retain: int = 2
+    df: DataFrame, base_path: str, epoch_id: int, retain: int = 2,
+    run_id: str | None = None,
 ) -> None:
     """The shared foreachBatch state-commit (r08): write ``df`` as a
     fresh ``v<epoch>`` dir, atomically swap the ``_CURRENT`` pointer,
@@ -180,10 +270,13 @@ def publish_snapshot(
     by the reservoir samplers and the streaming quantile/frequency
     maintainers — any foreachBatch loop whose state is 'the current
     snapshot'. Callers must gate on :func:`published_epoch` FIRST
-    (see its docstring for the crash window this closes)."""
+    (see its docstring for the crash window this closes); passing the
+    same ``run_id`` given to :func:`guard_epoch` records the
+    publishing query's identity on the pointer so the guard can
+    detect a fresh checkpoint reusing this state path."""
     vname = f"v{epoch_id:08d}"
     df.write.mode("overwrite").parquet(os.path.join(base_path, vname))
-    _publish(base_path, vname)
+    _publish(base_path, vname, run_id=run_id)
     _prune(base_path, vname, retain_versions=retain)
 
 

@@ -276,3 +276,39 @@ def test_quantile_summaries_validation(spark):
     summ = quantile_summaries(df, ["g"], ["s"], "v")
     with _pt.raises(ValueError, match="within"):
         merged_quantiles(summ, ["g"], [1.5])
+
+
+def test_mg_weighted_updates_bounded_and_exact_n(spark):
+    """The partition-local weighted MG pass (the streaming frequency
+    maintainer's per-batch update path) ships at most k rows per
+    partition no matter how many distinct keys a partition holds, the
+    marker-carried n is EXACT, the updates are key-sorted (fold
+    determinism), and folding them recovers every truly-heavy key."""
+    from parquet_sampler_spark.operators.sketches import (
+        _mg_update,
+        mg_weighted_updates,
+    )
+
+    k = 6
+    # 4 partitions × 3000 distinct singleton keys + a spread hot key:
+    # exact per-partition groupBy would ship ~12k rows; MG ships ≤ k·4
+    rows = []
+    for p in range(4):
+        rows += [(f"p{p}u{i}",) for i in range(3000)]
+        rows += [("hot",)] * 900
+    df = spark.createDataFrame(rows, "term string").repartition(4)
+
+    updates, n = mg_weighted_updates(df, "term", k)
+    assert n == df.count()  # marker rows carry the exact count
+    assert len(updates) <= (k - 1) * df.rdd.getNumPartitions()
+    assert updates == sorted(updates)  # deterministic fold order
+
+    counters: dict = {}
+    for key, c in updates:
+        assert c > 0
+        _mg_update(counters, key, c, k - 1)
+    # "hot" is 3600/15600 = 23% > 1/6 — must survive the merged fold
+    assert "hot" in counters
+
+    with pytest.raises(ValueError):
+        mg_weighted_updates(df, "term", 1)

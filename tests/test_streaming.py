@@ -993,9 +993,11 @@ def test_streaming_exact_sample_kill_restart_checkpoint(spark, tmp_path):
 
     ckpt = str(tmp_path / "ckpt")
     res = str(tmp_path / "res")
+    # checkpoint_dir through the maintainer: run-identity scoping on
+    # (the guard compares epochs only within this checkpoint's query)
     q = (streaming_exact_sample(stream(), k=25, reservoir_path=res,
-                                key_cols=["event_id"], seed=3)
-         .option("checkpointLocation", ckpt)
+                                key_cols=["event_id"], seed=3,
+                                checkpoint_dir=ckpt)
          .trigger(processingTime="50 milliseconds").start())
     ptr = os.path.join(res, "_CURRENT")
     deadline = time.time() + 60
@@ -1007,8 +1009,8 @@ def test_streaming_exact_sample_kill_restart_checkpoint(spark, tmp_path):
 
     # restart from the SAME checkpoint; drain whatever remains
     q2 = (streaming_exact_sample(stream(), k=25, reservoir_path=res,
-                                 key_cols=["event_id"], seed=3)
-          .option("checkpointLocation", ckpt)
+                                 key_cols=["event_id"], seed=3,
+                                 checkpoint_dir=ckpt)
           .trigger(availableNow=True).start())
     q2.awaitTermination(120)
     got = sorted(r.event_id for r in read_reservoir(spark, res).collect())
@@ -1016,8 +1018,8 @@ def test_streaming_exact_sample_kill_restart_checkpoint(spark, tmp_path):
     # uninterrupted control: fresh checkpoint + fresh reservoir
     res2 = str(tmp_path / "res_ctl")
     q3 = (streaming_exact_sample(stream(), k=25, reservoir_path=res2,
-                                 key_cols=["event_id"], seed=3)
-          .option("checkpointLocation", str(tmp_path / "ckpt_ctl"))
+                                 key_cols=["event_id"], seed=3,
+                                 checkpoint_dir=str(tmp_path / "ckpt_ctl"))
           .trigger(availableNow=True).start())
     q3.awaitTermination(120)
     want = sorted(
@@ -1277,8 +1279,8 @@ def test_streaming_quantiles_kill_restart_checkpoint(spark, tmp_path):
     def run(summary_path, ckpt, trigger_kwargs):
         return (
             streaming_quantile_summaries(
-                stream(), ["grp"], "v", summary_path, cap=64)
-            .option("checkpointLocation", ckpt)
+                stream(), ["grp"], "v", summary_path, cap=64,
+                checkpoint_dir=ckpt)
             .trigger(**trigger_kwargs).start()
         )
 
@@ -1339,8 +1341,8 @@ def test_streaming_heavy_hitters_kill_restart_checkpoint(spark, tmp_path):
 
     def run(summary_path, ckpt, trigger_kwargs):
         return (
-            streaming_heavy_hitters(stream(), "key", 8, summary_path)
-            .option("checkpointLocation", ckpt)
+            streaming_heavy_hitters(stream(), "key", 8, summary_path,
+                                    checkpoint_dir=ckpt)
             .trigger(**trigger_kwargs).start()
         )
 
@@ -1372,3 +1374,75 @@ def test_streaming_heavy_hitters_kill_restart_checkpoint(spark, tmp_path):
     assert got == want
     # the marker row carries the full stream's row count
     assert (None, 3 * 1200) in got
+
+
+def test_fresh_checkpoint_over_live_state_raises(spark, tmp_path):
+    """Run-identity scoping (r8 ADVICE): epoch ids are checkpoint-
+    scoped, so a FRESH checkpoint driving EXISTING snapshot state
+    restarts numbering at 0 and the bare epoch compare would silently
+    skip early epochs carrying genuinely new data. With
+    ``checkpoint_dir`` managed by the maintainer, the guard records
+    the publishing query's id and a different query must RAISE, not
+    silently drop the batch."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.streaming.quantiles import (
+        streaming_quantile_summaries,
+    )
+    from parquet_sampler_spark.streaming.sinks import (
+        published_epoch,
+        published_run_id,
+    )
+
+    src = tmp_path / "rsrc"
+    src.mkdir()
+
+    def add_file(i, lo):
+        vals = [lo + j / 100.0 for j in range(2000)]
+        pq.write_table(
+            pa.table({"g": pa.array(["x"] * len(vals)),
+                      "v": pa.array(vals, pa.float64())}),
+            str(src / f"f{i}.parquet"),
+        )
+        os.utime(str(src / f"f{i}.parquet"), (1_000_000 * (i + 1),) * 2)
+
+    add_file(0, 0.0)
+    add_file(1, 100.0)
+    sp = str(tmp_path / "state")
+
+    def drain(ckpt):
+        stream = (spark.readStream.schema("g string, v double")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (streaming_quantile_summaries(
+                stream, ["g"], "v", sp, cap=64,
+                checkpoint_dir=str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain("ck1")
+    assert published_epoch(sp) == 1
+    run1 = published_run_id(sp)
+    assert run1 is not None  # identity recorded on the pointer
+
+    # the source GAINS a file; a fresh checkpoint re-delivers
+    # everything starting at epoch 0 — under the old bare epoch
+    # compare, epochs 0..1 (including the new file's data, if it
+    # lands there) would be silently skipped
+    add_file(2, 1000.0)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException,
+                       match="fresh checkpoint"):
+        drain("ck2")
+    # state untouched by the refused run: same epoch, same identity
+    assert published_epoch(sp) == 1
+    assert published_run_id(sp) == run1
+
+    # the ORIGINAL checkpoint may keep driving the state: it resumes
+    # at epoch 2 with only the new file and merges it in
+    drain("ck1")
+    assert published_epoch(sp) == 2
+    assert published_run_id(sp) == run1
