@@ -552,6 +552,117 @@ def _q_streaming_heavy_hitters(spark, sf_dir):
     )
 
 
+def _q_streaming_late_watermark(spark, sf_dir):
+    """Watermark DISCARD semantics pinned against a batch oracle that
+    replicates the drop rule (r8 VERDICT #8): the events table is
+    replayed OUT OF ORDER as three micro-batches (file b = event_id
+    mod 3 — each batch spans nearly the whole month, so after batch 0
+    the 2-hour watermark sits near the stream's end and most of
+    batches 1-2 arrive late), through a watermarked 1-hour tumbling
+    count in APPEND mode. The streaming contract this hashes:
+
+    - the watermark APPLIED to batch i's rows = floor-to-ms(max event
+      time over batches ≤ i−2) − 2h (Spark tracks event-time stats in
+      ms; a batch's stats are folded in when the NEXT batch is
+      constructed, so the filter lags the data by one batch —
+      measured here, and matching the "eviction lags the watermark by
+      one batch" note pinned in tests/test_streaming.py); batches 0
+      and 1 see the epoch-zero initial watermark,
+    - a row is DROPPED iff its window end ≤ that watermark
+      (WatermarkSupport's eviction expression — windows are
+      half-open, so end ≤ wm means the window left the state store),
+    - a window is EMITTED (append mode) iff its end ≤ the final
+      watermark; later windows stay open and never reach the sink
+      (availableNow's trailing no-data batch flushes the rest).
+
+    The oracle replays the identical rule in SQL: per-batch running
+    max → per-batch watermark → accept filter → final-watermark
+    emission filter — integer microsecond arithmetic end to end, so
+    the row is hash-exact, not envelope-checked. A green row proves
+    dropped-late-event semantics (not just happy-path windowing)
+    agree between the streaming engine and the declarative spec."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.queries import session_tmp_dir
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"stream_late_{tag}")
+    src_dir = os.path.join(d, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    t = None
+    for b in range(3):
+        dst = os.path.join(src_dir, f"mod{b}.parquet")
+        if not os.path.exists(dst):
+            if t is None:
+                t = pq.read_table(
+                    f"{sf_dir}/events.parquet",
+                    columns=["event_id", "ts"],
+                )
+            import pyarrow as pa
+
+            mask = t["event_id"].to_numpy() % 3 == b
+            part = t.filter(pa.array(mask))
+            tmp = dst + ".tmp"
+            pq.write_table(part, tmp)
+            os.replace(tmp, dst)
+        os.utime(dst, (1_000_000 * (b + 1),) * 2)
+
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, src_dir)
+        agg = (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "n_events",
+            )
+        )
+        name = f"psx_stream_late_{next(_STREAM_SEQ)}"
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# the streaming drop rule, replayed declaratively: the watermark
+# applied to batch b = ms-floored running max over batches <= b-2,
+# minus 2h (stats fold in one batch late — see the query docstring);
+# accept iff window end > that watermark; emit iff window end <= the
+# final watermark
+_SQL_STREAMING_LATE_WATERMARK = """
+WITH e AS (
+  SELECT epoch_us(ts) AS ts_us, event_id % 3 AS b FROM events
+),
+bm AS (SELECT b, max(ts_us) AS mx FROM e GROUP BY b),
+wm AS (
+  SELECT b,
+         (max(mx) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 2 PRECEDING) // 1000 - 7200000) * 1000
+           AS wm_us
+  FROM bm
+),
+fwm AS (SELECT (max(mx) // 1000 - 7200000) * 1000 AS final_wm FROM bm),
+acc AS (
+  SELECT (e.ts_us // 3600000000) * 3600000000 AS win_start_us
+  FROM e JOIN wm USING (b)
+  WHERE wm.wm_us IS NULL
+     OR (e.ts_us // 3600000000 + 1) * 3600000000 > wm.wm_us
+)
+SELECT win_start_us, CAST(count(*) AS BIGINT) AS n_events
+FROM acc, fwm
+WHERE win_start_us + 3600000000 <= fwm.final_wm
+GROUP BY win_start_us
+"""
+
+
 def _q_bigram_novelty(spark, sf_dir):
     """N-gram language-model commonality score per document: the mean
     corpus document-frequency of a doc's distinct bigrams — high means
@@ -1837,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_quantiles": _q_streaming_quantiles,
         "schema_evolution": _q_schema_evolution,
         "streaming_heavy_hitters": _q_streaming_heavy_hitters,
+        "streaming_late_watermark": _q_streaming_late_watermark,
         "compaction_scan": _q_compaction_scan,
         "winsorize_values": _q_winsorize_values,
         "gap_fill_events": _q_gap_fill_events,
@@ -1929,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_quantiles": _SQL_QUANTILE_ROLLUP,
         "schema_evolution": _SQL_SCHEMA_EVOLUTION,
         "streaming_heavy_hitters": _SQL_HEAVY_HITTERS,
+        "streaming_late_watermark": _SQL_STREAMING_LATE_WATERMARK,
         "compaction_scan": _SQL_COMPACTION_SCAN,
         "winsorize_values": _SQL_WINSORIZE_VALUES,
         "gap_fill_events": _SQL_GAP_FILL_EVENTS,

@@ -1446,3 +1446,56 @@ def test_fresh_checkpoint_over_live_state_raises(spark, tmp_path):
     drain("ck1")
     assert published_epoch(sp) == 2
     assert published_run_id(sp) == run1
+
+
+def test_watermark_filter_lags_one_batch(spark, tmp_path):
+    """Pin the EXACT drop-rule timing the streaming_late_watermark
+    oracle replicates: the watermark applied to batch i's rows derives
+    from the event-time stats of batches ≤ i−2 (a batch's stats fold
+    in when the NEXT batch is constructed). Batch C carries two
+    stragglers: one late against batch A's max (dropped) and one late
+    only against batch B's max (ACCEPTED — under a no-lag model it
+    would be dropped)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "lagsrc"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_batch(name, hours, mtime):
+        tbl = pa.table({
+            "ts": pa.array([t0 + dt.timedelta(hours=h) for h in hours],
+                           pa.timestamp("us")),
+        })
+        path = str(src / name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    write_batch("a.parquet", list(range(11)), 1_000_000)   # max 10h
+    write_batch("b.parquet", [20], 2_000_000)              # max 20h
+    # batch C sees wm = max(A) - 2h = 8h, NOT max(B) - 2h = 18h:
+    #  - 5.5h -> window [5,6) end 6h <= 8h  -> dropped
+    #  - 9.5h -> window [9,10) end 10h > 8h -> accepted (would be
+    #    dropped under the no-lag model: 10h <= 18h)
+    write_batch("c.parquet", [5.5, 9.5], 3_000_000)
+    # batch D advances the final watermark to 21h - 2h = 19h so the
+    # hour-9 window finalizes and reaches the append sink
+    write_batch("d.parquet", [21], 4_000_000)
+
+    stream = (spark.readStream.schema("ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    agg = (stream.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("ws"), "n"))
+    q = (agg.writeStream.format("memory").queryName("wm_lag")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.ws: r.n for r in spark.sql("SELECT * FROM wm_lag").collect()}
+
+    assert got[t0 + dt.timedelta(hours=5)] == 1   # straggler dropped
+    assert got[t0 + dt.timedelta(hours=9)] == 2   # straggler accepted
