@@ -813,27 +813,54 @@ def ivfpq_topk(
     train_rows: int = 4096,
     train_max_iter: int = 20,
     broadcast_queries: bool | str = "auto",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF+PQ approximate top-k — the production large-corpus ANN
-    shape (FAISS IVFPQ without residual encoding): the IVF coarse
-    quantizer restricts each query to its ``nprobe`` nearest cells'
-    members, PQ asymmetric distances rank those members from 8-byte
-    codes (no raw-vector arithmetic in the scan), and the exact cosine
-    rerank repairs the top ``rerank``. Versus the standalone parts:
-    :func:`ivf_topk` reranks EVERY probed-cell member with full
-    vectors (memory-bound at scale), :func:`pq_topk` ADC-scans the
-    WHOLE corpus (compute grows with n); the composition touches
-    ``~nprobe/nlist`` of the corpus with code-width arithmetic and
-    only ``rerank`` raw vectors per query — both bounds at once.
+    shape: the IVF coarse quantizer restricts each query to its
+    ``nprobe`` nearest cells' members, PQ asymmetric distances rank
+    those members from 8-byte codes (no raw-vector arithmetic in the
+    scan), and the exact cosine rerank repairs the top ``rerank``.
+    Versus the standalone parts: :func:`ivf_topk` reranks EVERY
+    probed-cell member with full vectors (memory-bound at scale),
+    :func:`pq_topk` ADC-scans the WHOLE corpus (compute grows with n);
+    the composition touches ``~nprobe/nlist`` of the corpus with
+    code-width arithmetic and only ``rerank`` raw vectors per query —
+    both bounds at once.
 
     Training: ONE bounded Lehmer sketch feeds both models (the IVF
     centroids via the shared Lloyd fit, the PQ codebooks via
     :func:`pq_train_codebooks_numpy` on the same rows), so the index
-    build stays one scan + one top-k job. No residual encoding: codes
-    quantize the RAW vectors (a deliberate simplification — residuals
-    sharpen ADC but put a float subtraction between the two trained
-    models; raw-vector codes keep every stage exact-int and
-    oracle-replicable with the same literals as ann_ivf + ann_pq).
+    build stays one scan + one top-k job.
+
+    ``residual=False`` (default): codes quantize the RAW vectors — a
+    deliberate simplification that keeps every stage exact-int and
+    oracle-replicable with the same literals as ann_ivf + ann_pq. On
+    density-uniform corpora it costs ~2 recall points vs IVF.
+
+    ``residual=True`` (FAISS IVFADC): codes quantize ``v − centroid[
+    cell(v)]`` and each query builds one LUT PER PROBED CELL from
+    ``q − centroid[cell]``. This is the production default on
+    CLUSTERED corpora: with raw codes the codebooks spend their
+    resolution on the between-cluster structure, every member of a
+    hot cluster quantizes alike, and the rerank set is effectively
+    random within the cluster — measured recall@10 collapse 0.97 →
+    0.15 on a Zipf mixture-of-Gaussians corpus
+    (tools/ann_recall_sf1.py --clustered). Measured recovery there:
+    residual codes alone 0.15 → 0.73 at the registry's
+    demonstration-size 4-bit codebooks; residual + 8-bit codebooks
+    (ncodes 256, the FAISS-standard byte-per-subspace width) → 0.99,
+    where 8-bit RAW codes reach only 0.82 and rerank 100→1000 alone
+    only 0.73 — so the production rule on clustered data is
+    residual=True with byte codes. Still integer-exact: residuals
+    subtract QUANTIZED
+    vectors from QUANTIZED centroids, codebooks are trained on the
+    same integer-grid residuals, so determinism and engine
+    portability are unchanged — the registered row keeps raw codes
+    only so its DuckDB oracle stays the ann_ivf + ann_pq literal
+    composition. LUT cost grows ×nprobe per query; amortized over
+    probed-cell members it is noise at corpus scale. Callers using
+    ``model_cache`` must put ``residual`` in the cache key (the
+    codebooks differ).
 
     Exact-oracle parity: identical contracts to the parents — integer
     quantized cell distances and ADC (``_IVF_QSCALE``), ties to the
@@ -858,8 +885,22 @@ def ivfpq_topk(
         centroids = _lloyd_kmeans(
             X[: 256 * nlist], min(nlist, len(X)), seed, train_max_iter
         )
+        if residual:
+            # train codebooks on the SAME integer-grid residuals the
+            # online path codes: quantize, assign, subtract, then
+            # rescale to float so the trainer's own quantization
+            # lands back on the identical grid
+            cq_t = _ivf_quantize(centroids)
+            Xq = _ivf_quantize(X)
+            assign = (
+                ((Xq[:, None, :] - cq_t[None, :, :]) ** 2)
+                .sum(axis=2).argmin(axis=1)
+            )
+            train_vecs = (Xq - cq_t[assign]) / float(_IVF_QSCALE)
+        else:
+            train_vecs = X
         codebooks = pq_train_codebooks_numpy(
-            ids, X, m_sub, ncodes, seed,
+            ids, train_vecs, m_sub, ncodes, seed,
             train_rows=train_rows, train_max_iter=train_max_iter,
         )
         if model_cache is not None:
@@ -879,6 +920,9 @@ def ivfpq_topk(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def codes_of(vs: pd.Series) -> pd.Series:
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        if residual:
+            dcell = ((x[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+            x = x - cq[dcell.argmin(axis=1)]
         xs = x.reshape(len(vs), m_sub, dsub)
         d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
         return pd.Series(d.argmin(axis=2).astype("int32").tolist())
@@ -897,16 +941,37 @@ def ivfpq_topk(
         d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
         return pd.Series(d.reshape(len(vs), -1).tolist())
 
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def lut_res(vs: pd.Series, cells: pd.Series) -> pd.Series:
+        # residual ADC: the query's LUT is cell-specific (q − that
+        # cell's centroid), so this runs AFTER the probe-cell explode
+        x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        x = x - cq[cells.to_numpy(dtype=np.int64)]
+        xs = x.reshape(len(vs), m_sub, dsub)
+        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        return pd.Series(d.reshape(len(vs), -1).tolist())
+
     coded = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         cell_of(F.col(vec_col)).alias("__cell"),
         codes_of(F.col(vec_col)).alias("__codes"),
     )
-    q = spread(queries).select(
-        F.col(id_col).alias("query_id"),
-        F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
-        lut_of(F.col(vec_col)).alias("__lut"),
-    )
+    if residual:
+        q = (
+            spread(queries).select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qvec"),
+                F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+            )
+            .withColumn("__lut", lut_res(F.col("__qvec"), F.col("__cell")))
+            .drop("__qvec")
+        )
+    else:
+        q = spread(queries).select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe_cells(F.col(vec_col))).alias("__cell"),
+            lut_of(F.col(vec_col)).alias("__lut"),
+        )
     bc = broadcast_queries in (True, "auto")
     small = F.broadcast if bc else (lambda d: d)
 

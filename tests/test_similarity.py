@@ -366,3 +366,53 @@ def test_ivfpq_recall_and_candidate_subset(embeddings, queries):
         embeddings, queries, "vec_id", "embedding", k=10,
         nlist=16, nprobe=8).collect()}
     assert full == ivf
+
+
+def test_ivfpq_residual_recovers_clustered_recall(spark):
+    """Residual encoding (FAISS IVFADC) on a CLUSTERED corpus: with
+    raw codes the PQ codebooks spend their resolution on the
+    between-cluster structure, every member of a hot cluster
+    quantizes alike, and recall collapses; coding v − centroid[cell]
+    restores it at the same index parameters. Pinned on a small
+    seeded Zipf mixture of Gaussians (the density shape the uniform
+    corpus fixtures cannot exhibit)."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_sampler_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, n_clusters = 4000, 16, 6
+    weights = 1.0 / np.arange(1, n_clusters + 1)
+    weights /= weights.sum()
+    assign = rng.choice(n_clusters, size=n, p=weights)
+    centroids = rng.normal(0.0, 1.0, size=(n_clusters, dim))
+    vecs = (centroids[assign]
+            + rng.normal(0.0, 0.15, size=(n, dim))).astype(np.float32)
+    e = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(vecs),
+    })).cache()
+    q = e.filter(F.col("vec_id") < 20)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    exact = pairs(cosine_topk(e, q, "vec_id", "embedding", k=10))
+
+    def recall(res):
+        got = pairs(ivfpq_topk(
+            e, q, "vec_id", "embedding", k=10, nlist=8, nprobe=4,
+            m_sub=8, ncodes=16, rerank=30, seed=42, residual=res,
+        ))
+        return len(got & exact) / len(exact)
+
+    raw, residual = recall(False), recall(True)
+    # measured at this seed: raw 0.495, residual 0.835 — asserted
+    # with margin for numerical drift, the GAP is the pinned claim
+    assert raw < 0.65, f"raw-code recall unexpectedly high: {raw}"
+    assert residual > 0.75, f"residual recall too low: {residual}"
+    assert residual > raw + 0.2

@@ -1,88 +1,121 @@
-"""Analyze the interleaved r5-vs-r6 bench A/B (VERDICT r06 task 2).
+"""Compare two bench snapshots on their common entries, normalized by
+the host-noise calibration row (r8 VERDICT #5).
 
-Input: .scratch/ab_{r5,r6}_run{1,2,3}.json — six full BENCH_LOCAL
-payloads produced by running the r5 (f431df6) and r6 (b476fda)
-worktrees' bench.py ALTERNATELY on the same host (r5, r6, r5, r6, ...),
-so every host-noise epoch hits both versions equally.
+Same-code bench totals swing ×1.15 between runs on this host, so raw
+cross-round totals cannot tell a regression from a noisy neighbor.
+This tool compares two BENCH_LOCAL-style payloads (bench.py's full
+per-query record, ``raw`` passes included) by:
 
-Output: per-query median-of-3 for each version over their COMMON
-entries, the total drift, and a table of every query whose median
-moved more than MOVER_X between versions — the judge's question was
-whether the +14% common-subset drift r5->r6 was host noise or real;
-medians over interleaved runs answer it. Also prints each version's
-own run-to-run spread (max/min of totals) as the noise band.
+1. common-subset per-query MEDIANS (across each snapshot's raw
+   passes when present, else the recorded value),
+2. the ratio of common-subset totals,
+3. the ratio of the ``calibration_cpu`` rows (a fixed CPU+shuffle
+   workload timed per pass — pure host drift), and
+4. the NORMALIZED ratio = suite ratio / calibration ratio — the
+   number a round verdict should cite: >1 after normalization means
+   the code got slower beyond what the host alone explains.
 
-Usage: python tools/ab_compare.py
+Snapshots that predate the calibration row (≤ r8) compare with
+calibration ratio 1.0 and a warning — i.e. the old raw behavior.
+
+Usage: python tools/ab_compare.py OLD.json NEW.json
+(e.g. BENCH_LOCAL_r08.json BENCH_LOCAL.json)
+
+The original r5-vs-r6 interleaved A/B files this tool grew out of
+remain readable: artifacts/ab_{r5,r6}_run{1,2,3}.json are plain
+BENCH_LOCAL payloads — pass any one pair.
 """
 
 from __future__ import annotations
 
 import json
 import statistics
+import sys
 from pathlib import Path
 
-REPO = Path(__file__).resolve().parent.parent
-SCRATCH = REPO / ".scratch"
 MOVER_X = 1.3
+CAL_ROW = "calibration_cpu"
 
 
-def load(version: str) -> list[dict]:
-    runs = []
-    for i in (1, 2, 3):
-        p = SCRATCH / f"ab_{version}_run{i}.json"
-        if not p.is_file():  # committed copy (scratch is ephemeral)
-            p = REPO / "artifacts" / f"ab_{version}_run{i}.json"
-        runs.append(json.loads(p.read_text())["queries"])
-    return runs
+def load(path: str) -> tuple[dict[str, float], list[dict[str, float]]]:
+    """Return (per-query medians-across-passes, raw passes)."""
+    payload = json.loads(Path(path).read_text())
+    queries = payload["queries"]
+    raw = payload.get("raw") or [queries]
+    med = {
+        q: statistics.median(p[q] for p in raw if q in p)
+        for q in queries
+    }
+    return med, raw
 
 
 def main() -> int:
-    r5_runs, r6_runs = load("r5"), load("r6")
-    common = sorted(
-        set(r5_runs[0]) & set(r6_runs[0])
-    )
+    if len(sys.argv) != 3:
+        raise SystemExit(__doc__)
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    old, old_raw = load(old_path)
+    new, new_raw = load(new_path)
 
-    med5 = {q: statistics.median(r[q] for r in r5_runs) for q in common}
-    med6 = {q: statistics.median(r[q] for r in r6_runs) for q in common}
+    common = sorted((set(old) & set(new)) - {CAL_ROW})
+    tot_old = sum(old[q] for q in common)
+    tot_new = sum(new[q] for q in common)
+    ratio = tot_new / tot_old
 
-    tot5_runs = [sum(r[q] for q in common) for r in r5_runs]
-    tot6_runs = [sum(r[q] for q in common) for r in r6_runs]
-    tot5, tot6 = sum(med5.values()), sum(med6.values())
+    if CAL_ROW in old and CAL_ROW in new:
+        cal_ratio = new[CAL_ROW] / old[CAL_ROW]
+        cal_note = (
+            f"calibration: old {old[CAL_ROW]:.2f}s  "
+            f"new {new[CAL_ROW]:.2f}s  ratio {cal_ratio:.3f}"
+        )
+    else:
+        cal_ratio = 1.0
+        cal_note = (
+            "calibration: row missing in at least one snapshot "
+            "(pre-r9) — reporting the RAW ratio"
+        )
+    norm_ratio = ratio / cal_ratio
+
+    def spread(raw: list[dict[str, float]]) -> float:
+        tots = [sum(p.get(q, 0.0) for q in common) for p in raw]
+        return max(tots) / min(tots) if min(tots) > 0 else float("nan")
 
     print(f"common entries: {len(common)}")
-    print(f"r5 totals per run: {[round(t, 1) for t in tot5_runs]}  "
-          f"spread x{max(tot5_runs) / min(tot5_runs):.2f}")
-    print(f"r6 totals per run: {[round(t, 1) for t in tot6_runs]}  "
-          f"spread x{max(tot6_runs) / min(tot6_runs):.2f}")
-    print(f"median-of-3 common-subset total: r5 {tot5:.1f}s  "
-          f"r6 {tot6:.1f}s  ratio {tot6 / tot5:.3f}")
+    print(f"old ({old_path}): {tot_old:.1f}s over common subset, "
+          f"pass spread x{spread(old_raw):.2f}")
+    print(f"new ({new_path}): {tot_new:.1f}s over common subset, "
+          f"pass spread x{spread(new_raw):.2f}")
+    print(cal_note)
+    print(f"raw ratio {ratio:.3f}  ->  host-normalized ratio "
+          f"{norm_ratio:.3f}")
 
     movers = [
-        (q, med5[q], med6[q], med6[q] / max(med5[q], 1e-9))
+        (q, old[q], new[q], new[q] / max(old[q], 1e-9))
         for q in common
-        if max(med5[q], med6[q]) > 0.15
-        and (med6[q] / max(med5[q], 1e-9) > MOVER_X
-             or med5[q] / max(med6[q], 1e-9) > MOVER_X)
+        if max(old[q], new[q]) > 0.15
+        and (new[q] / max(old[q], 1e-9) > MOVER_X
+             or old[q] / max(new[q], 1e-9) > MOVER_X)
     ]
     movers.sort(key=lambda t: -abs(t[3] - 1))
     print(f"\nmovers > x{MOVER_X} (median vs median, >0.15s):")
-    print("| query | r5 med s | r6 med s | ratio |")
+    print("| query | old med s | new med s | ratio |")
     print("|---|---|---|---|")
     for q, a, b, x in movers:
         print(f"| {q} | {a:.2f} | {b:.2f} | {x:.2f} |")
 
     print(json.dumps({
-        "metric": "ab_r5_r6",
+        "metric": "ab_compare",
+        "old": old_path,
+        "new": new_path,
         "common": len(common),
-        "total_r5_median": round(tot5, 1),
-        "total_r6_median": round(tot6, 1),
-        "ratio": round(tot6 / tot5, 3),
-        "spread_r5": round(max(tot5_runs) / min(tot5_runs), 3),
-        "spread_r6": round(max(tot6_runs) / min(tot6_runs), 3),
+        "total_old_median": round(tot_old, 1),
+        "total_new_median": round(tot_new, 1),
+        "raw_ratio": round(ratio, 3),
+        "calibration_ratio": round(cal_ratio, 3),
+        "normalized_ratio": round(norm_ratio, 3),
         "movers": {q: round(x, 2) for q, _, _, x in movers},
     }))
     return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -17,7 +17,15 @@ query's nearest cells); LSH recall follows the banding s-curve of the
 bucket-collision probability — neither should fall off a cliff just
 because the corpus is 10x denser.
 
-Usage: python tools/ann_recall_sf1.py  (prints markdown + one JSON line)
+``--clustered`` (r8 VERDICT #6) swaps the corpus for a seeded
+20k-vector MIXTURE OF GAUSSIANS (Zipf-weighted cluster sizes, so the
+coarse quantizer faces hot cells and near-empty cells) — the density
+shape on which IVF recall actually degrades; the uniform-density sf1
+corpus cannot exhibit it. Reports the same variants plus an IVF
+nprobe sweep (2/4/6/8) for sensitivity.
+
+Usage: python tools/ann_recall_sf1.py [--clustered]
+(prints markdown + one JSON line)
 """
 
 from __future__ import annotations
@@ -38,9 +46,38 @@ def pairs(df) -> set:
     return {(r.query_id, r.neighbor_id) for r in df.collect()}
 
 
+def clustered_corpus(spark, n: int = 20_000, dim: int = 64,
+                     n_clusters: int = 12, seed: int = 7):
+    """Seeded mixture-of-Gaussians corpus with Zipf cluster weights:
+    cluster c holds ~n/(c+1)/H_k vectors, so the coarse quantizer sees
+    a few HOT cells holding most of the mass and a tail of near-empty
+    ones — exactly the layout where fixed nprobe under-probes (the
+    query's true neighbors concentrate in a hot cell that k-means may
+    SPLIT across several centroids). Centroid spread 1.0, in-cluster
+    σ 0.15 (≈ the sf1 corpus's bulk-to-neighbor cosine contrast).
+    Cluster assignment is shuffled across vec_id, so the NQ query ids
+    sample all clusters, hot and cold."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    weights = 1.0 / np.arange(1, n_clusters + 1)
+    weights /= weights.sum()
+    assign = rng.choice(n_clusters, size=n, p=weights)
+    centroids = rng.normal(0.0, 1.0, size=(n_clusters, dim))
+    vecs = (centroids[assign]
+            + rng.normal(0.0, 0.15, size=(n, dim))).astype(np.float32)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(vecs),
+    })
+    return spark.createDataFrame(pdf), np.bincount(
+        assign, minlength=n_clusters
+    ).tolist()
+
+
 def main() -> int:
-    if not (SF1 / "embeddings.parquet").is_file():
-        raise SystemExit("run tools/make_sf1.py first")
+    clustered = "--clustered" in sys.argv
 
     from pyspark.sql import functions as F
 
@@ -52,7 +89,14 @@ def main() -> int:
     from parquet_sampler_spark.session import get_spark
 
     spark = get_spark("ann-recall-sf1")
-    e = spark.read.parquet(str(SF1 / "embeddings.parquet"))
+    if clustered:
+        e, sizes = clustered_corpus(spark)
+        e = e.cache()
+        print(f"clustered corpus, cluster sizes: {sizes}")
+    else:
+        if not (SF1 / "embeddings.parquet").is_file():
+            raise SystemExit("run tools/make_sf1.py first")
+        e = spark.read.parquet(str(SF1 / "embeddings.parquet"))
     q = e.filter(F.col("vec_id") < NQ)
     n = e.count()
 
@@ -65,7 +109,9 @@ def main() -> int:
     ))
     results["lsh_4x16"] = len(lsh & exact) / len(exact)
 
-    for nprobe in (6, 8):
+    # nprobe sweep on the clustered corpus (sensitivity is the point
+    # there); the uniform corpus keeps the original 6/8 pair
+    for nprobe in (2, 4, 6, 8) if clustered else (6, 8):
         ivf = pairs(ivf_topk(
             e, q, "vec_id", "embedding", k=K, nlist=16, nprobe=nprobe,
             seed=42,
@@ -88,13 +134,31 @@ def main() -> int:
     ))
     results["ivfpq_np8_rr100"] = len(ivfpq & exact) / len(exact)
 
-    print(f"corpus: {n} vectors, {NQ} queries, k={K}")
+    if clustered:
+        # the recovery ladder for the measured raw-code collapse:
+        # residual encoding (FAISS IVFADC), then residual + 8-bit
+        # codebooks — the production shape on clustered data
+        for label, kwargs in (
+            ("ivfpq_np8_residual", dict(ncodes=16, residual=True)),
+            ("ivfpq_np8_residual_8bit",
+             dict(ncodes=256, residual=True)),
+            ("ivfpq_np8_raw_8bit", dict(ncodes=256)),
+        ):
+            r = pairs(ivfpq_topk(
+                e, q, "vec_id", "embedding", k=K, nlist=16, nprobe=8,
+                m_sub=16, rerank=100, seed=42, **kwargs,
+            ))
+            results[label] = len(r & exact) / len(exact)
+
+    label = "clustered-20k" if clustered else "sf1"
+    print(f"corpus: {label}, {n} vectors, {NQ} queries, k={K}")
     print("| variant | recall@10 |")
     print("|---|---|")
     for name, r in results.items():
         print(f"| {name} | {r:.3f} |")
     print(json.dumps({
-        "metric": "ann_recall_sf1", "n_vectors": n, "nq": NQ, "k": K,
+        "metric": f"ann_recall_{label}", "n_vectors": n, "nq": NQ,
+        "k": K,
         "recall": {k2: round(v, 4) for k2, v in results.items()},
     }))
     return 0

@@ -65,6 +65,26 @@ DEFAULT_QUERIES = [
 REPS = 2
 SUPERLINEAR_ALPHA = 1.25
 
+# Queries whose first call after clear_caches() pays a ONE-TIME
+# session fixture build (bench.py's setup_* pattern): time the
+# fixture and the query separately, else the per-rep rebuild is
+# charged to the operator and its exponent measures the fixture
+# write, not the plan (r8 VERDICT #3 — manifest_prune's α 0.41 was
+# its 64-shard rewrite). The builder is invoked first (cold), then
+# the query runs against the warm fixture.
+FIXTURES: dict[str, str] = {
+    "manifest_prune": "setup_manifest",
+    "compaction_scan": "setup_compaction",
+}
+
+
+def _fixture_builder(name: str):
+    from parquet_sampler_spark import queries_ext
+
+    if name in ("manifest_prune", "compaction_scan"):
+        return queries_ext._compacted_events_path
+    raise KeyError(name)
+
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT_QUERIES
@@ -94,16 +114,31 @@ def main() -> None:
     if with_sf1:
         sf_dirs.append(("1", str(SF1_DIR)))
 
-    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    out_names = []
+    for n in names:
+        if n in FIXTURES:
+            out_names.append(FIXTURES[n])
+        out_names.append(n)
+    times: dict[str, dict[str, float]] = {n: {} for n in out_names}
     for sf, sf_dir in sf_dirs:
         for name in names:
             best = math.inf
+            best_setup = math.inf
             for _ in range(REPS):
                 registry.clear_caches()
+                if name in FIXTURES:
+                    t0 = time.perf_counter()
+                    _fixture_builder(name)(spark, sf_dir)
+                    best_setup = min(
+                        best_setup, time.perf_counter() - t0
+                    )
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             times[name][sf] = round(best, 3)
+            if name in FIXTURES:
+                times[FIXTURES[name]][sf] = round(best_setup, 3)
+    names = out_names
 
     def alpha(lo_t: float, hi_t: float) -> float:
         return round(math.log(hi_t / lo_t) / math.log(10.0), 2)

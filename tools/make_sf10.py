@@ -37,6 +37,45 @@ USER_STRIDE = 1_000_000
 DOC_STRIDE = 1_000_000
 
 
+def amplify_embeddings() -> None:
+    """10 vec_id-shifted, Gaussian-jittered copies of the SF1
+    embeddings (same recipe as make_sf1.amplify_embeddings, one
+    decade wider — r8 VERDICT #4: the ANN family needs a measured
+    sf1→sf10 step). Verbatim copies would plant 9 exact twins per
+    vector and every ANN/near-dup timing would measure an artifact;
+    σ=0.02 seeded jitter preserves the bulk cosine distribution.
+    Scale-TREND timing only; oracle parity stays on driver data."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    vec_ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.array(t.column("label").to_pylist())
+    rng = np.random.default_rng(977)
+    stride = int(vec_ids.max()) + 1
+    all_ids, all_vecs, all_labels = [], [], []
+    for k in range(COPIES):
+        all_ids.append(vec_ids + k * stride)
+        all_vecs.append(
+            vecs if k == 0
+            else vecs
+            + rng.normal(0.0, 0.02, size=vecs.shape).astype(np.float32)
+        )
+        all_labels.append(labels)
+    out = pa.table({
+        "vec_id": pa.array(np.concatenate(all_ids), type=pa.int64()),
+        "embedding": pa.array(
+            list(np.concatenate(all_vecs)), type=pa.list_(pa.float32())
+        ),
+        "label": pa.array(np.concatenate(all_labels).tolist(),
+                          type=pa.int32()),
+    })
+    pq.write_table(out, OUT / "embeddings.parquet")
+    print(f"embeddings: {out.num_rows} rows (jittered copies)")
+
+
 def main() -> int:
     needed = ["customer", "orders", "lineitem", "events"]
     missing = [t for t in needed if not (SRC / f"{t}.parquet").is_file()]
@@ -68,6 +107,7 @@ def main() -> int:
     for dim in ("region",):
         shutil.copyfile(SRC / f"{dim}.parquet", OUT / f"{dim}.parquet")
         print(f"{dim}: copied (scale-invariant)")
+    amplify_embeddings()
     for t, repl in plans.items():
         src = SRC / f"{t}.parquet"
         union = " UNION ALL ".join(

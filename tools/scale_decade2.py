@@ -1,15 +1,23 @@
-"""Second scale decade (sf1 → sf10) for the α ≥ 0.5 tail — VERDICT
-r07 #3.
+"""Second scale decade (sf1 → sf10): α(1→10) for registry queries.
 
-`tpch_q13` (0.55), `streaming_sessionize` (0.61, the Python-state
-fold) and `sql_correlated_subquery` (0.50) were the only registered
-defaults above α 0.5 on the sf0.1→sf1 step. An exponent near the
-noise floor at ONE decade can't distinguish "approaching linear" from
-"fixed overhead still amortizing", so this runs exactly those three
-at sf1 and at the make_sf10.py slice and reports α(1→10): stable or
-falling exponents close the question; α > 1 names a plan to fix.
+Grew out of VERDICT r07 #3 (the α ≥ 0.5 tail: tpch_q13,
+sql_correlated_subquery, streaming_sessionize); r8 VERDICT #4 widens
+it to the heavy families whose 100 TB story is the point — the dup
+graph (jaccard_pairs_capped, minhash_pairs, cluster_dedup,
+pagerank_dups), ANN (ann_lsh, ann_ivfpq) and the streaming sketch
+rows — so the tool now takes query names on the command line.
 
-Usage: python tools/scale_decade2.py  (after tools/make_sf10.py)
+An exponent near the noise floor at ONE decade can't distinguish
+"approaching linear" from "fixed overhead still amortizing"; a second
+measured decade closes the question: stable or falling exponents are
+the sub-linear claim, α > 1 names a plan to fix.
+
+Queries with a one-time session fixture (bench_scaling.FIXTURES) are
+split into a setup row and a warm-fixture query row, so the operator
+exponent never charges the fixture rewrite (r8 VERDICT #3).
+
+Usage: python tools/scale_decade2.py [query ...]
+(defaults to the r07 tail; run tools/make_sf1.py + make_sf10.py first)
 Prints a markdown table for SCALING.md and one JSON line.
 """
 
@@ -23,12 +31,18 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
-QUERIES = ["tpch_q13", "sql_correlated_subquery", "streaming_sessionize"]
+from bench_scaling import FIXTURES, _fixture_builder  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "tpch_q13", "sql_correlated_subquery", "streaming_sessionize",
+]
 REPS = 2
 
 
 def main() -> int:
+    names = sys.argv[1:] or DEFAULT_QUERIES
     sf1 = REPO / ".scratch" / "sf1"
     sf10 = REPO / ".scratch" / "sf10"
     for d, gen in ((sf1, "make_sf1"), (sf10, "make_sf10")):
@@ -40,23 +54,40 @@ def main() -> int:
 
     spark = get_spark("scale-decade2")
     qs = registry.queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
     spark.read.parquet(f"{sf1}/lineitem.parquet").count()  # warmup
 
-    times: dict[str, dict[str, float]] = {n: {} for n in QUERIES}
+    out_names = []
+    for n in names:
+        if n in FIXTURES:
+            out_names.append(FIXTURES[n])
+        out_names.append(n)
+    times: dict[str, dict[str, float]] = {n: {} for n in out_names}
     for sf, sf_dir in (("1", str(sf1)), ("10", str(sf10))):
-        for name in QUERIES:
+        for name in names:
             best = math.inf
+            best_setup = math.inf
             for _ in range(REPS):
                 registry.clear_caches()
+                if name in FIXTURES:
+                    t0 = time.perf_counter()
+                    _fixture_builder(name)(spark, sf_dir)
+                    best_setup = min(
+                        best_setup, time.perf_counter() - t0
+                    )
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
             times[name][sf] = round(best, 3)
+            if name in FIXTURES:
+                times[FIXTURES[name]][sf] = round(best_setup, 3)
 
     print("| query | sf1 s | sf10 s | α(1→10) |")
     print("|---|---|---|---|")
     alphas = {}
-    for name in QUERIES:
+    for name in out_names:
         t1, t10 = times[name]["1"], times[name]["10"]
         a = round(math.log(t10 / t1) / math.log(10.0), 2)
         alphas[name] = a
