@@ -23,12 +23,14 @@ from parquet_sampler_spark.operators.semijoin import semi_join_reduce
 from parquet_sampler_spark.operators.asof import asof_join
 from parquet_sampler_spark.operators.merge import merge_upsert
 from parquet_sampler_spark.operators.dedup import (
+    bloom_decontaminate,
     cluster_dedup,
     duplicate_clusters,
     exact_dedup,
     jaccard_dedup,
     minhash_dedup,
     minhash_lsh_pairs,
+    ngram_dup_spans,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -53,12 +55,14 @@ __all__ = [
     "semi_join_reduce",
     "asof_join",
     "merge_upsert",
+    "bloom_decontaminate",
     "cluster_dedup",
     "duplicate_clusters",
     "exact_dedup",
     "jaccard_dedup",
     "minhash_dedup",
     "minhash_lsh_pairs",
+    "ngram_dup_spans",
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "cosine_topk",

@@ -751,3 +751,289 @@ def cluster_dedup(
     keep = labels.filter(F.col(id_col) == F.col("cluster")).select(id_col)
     return df.join(keep, id_col, "left_semi")
 
+
+
+def ngram_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-n-gram SPAN detection — the substring-
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): find, per document, the maximal token
+    spans covered by sliding ``n``-token windows whose window text
+    occurs in at least ``min_df`` DISTINCT documents. Those spans are
+    what a substring-level dedup pass cuts from the training corpus
+    (doc-level dedup misses boilerplate shared across otherwise-distinct
+    pages; this finds it).
+
+    Output: ``(id_col, span_start, span_end, span_tokens,
+    n_dup_windows)`` with 1-based inclusive token positions.
+    Overlapping and touching duplicated windows merge into one span
+    (gaps-and-islands: a window starting more than ``n`` positions
+    after its predecessor starts a new span). Within-document-only
+    repetition is NOT flagged (frequency counts distinct documents).
+
+    Plan shape (the 100 TB contract): windows are generated by a
+    per-row map (``posexplode`` of the shared ``word_ngrams`` builder)
+    fused into the scan — O(total tokens) rows. Duplicated grams are
+    found by ONE hash aggregation on the 64-bit gram hash (map-side
+    partial, so a boilerplate gram appearing in millions of docs still
+    ships one partial row per partition), flagged back onto the window
+    stream by a shuffle semi-join on the same hash, and spans form with
+    ONE window pass per document. No self-join anywhere — unlike the
+    pair-join dedup family there is no quadratic hot-shingle term, so
+    no df cap is needed. Grams travel as 31-bit mixed hashes, never as
+    strings; a hash collision can only over-flag a window (identically
+    in the DuckDB oracle, which replicates the same hash).
+    """
+    from parquet_sampler_spark.functions.hashing import mixed_string_hash
+    from parquet_sampler_spark.functions.text import word_ngrams
+    from parquet_sampler_spark.plans.layout import spread
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+
+    grams = word_ngrams(text_col, n, distinct=False)
+    windows = spread(df).select(
+        F.col(id_col),
+        F.posexplode(grams).alias("__pos0", "__gram"),
+    ).select(
+        F.col(id_col),
+        (F.col("__pos0") + 1).cast("bigint").alias("pos"),
+        mixed_string_hash(F.col("__gram")).alias("gh"),
+    )
+    dup_grams = (
+        windows.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_df)
+        .select("gh")
+    )
+    dup_windows = windows.join(dup_grams, "gh", "left_semi")
+
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w_doc) > n, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = dup_windows.withColumn("__brk", brk).withColumn(
+        "__island",
+        F.sum("__brk").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + n - 1).alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).alias("span_tokens"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    ).drop("__island")
+
+
+# Bloom-filter decontamination: k probe-position derivations reuse the
+# Lehmer column multipliers; constants are shared with the SQL-free
+# probe expression and the pytest false-negative proof.
+_BLOOM_PROBES = ((48_271, 65_537), (69_069, 12_345),
+                 (22_695_477, 7), (12_820_163, 101))
+
+
+def _bloom_positions(fp, nbits: int):
+    """The k probe bit-positions of a 31-bit fingerprint column (JVM
+    expression): ``(fp * a_j + c_j) % M % nbits``. The mod-M mixing
+    round keeps each probe a bijection of the fingerprint space before
+    the truncation to nbits (fp*a alone would leave probes of nearby
+    fingerprints correlated)."""
+    from parquet_sampler_spark.functions.hashing import MODULUS
+
+    return [
+        ((fp * F.lit(a) + F.lit(c)) % F.lit(MODULUS)) % F.lit(nbits)
+        for a, c in _BLOOM_PROBES
+    ]
+
+
+def _np_poly_fps(texts, modulus: int):
+    """Vectorized numpy twin of ``functions.text.fingerprint``: the
+    rolling polynomial ``h = (h*31 + codepoint) % M`` over the
+    space-trimmed text, computed per Arrow batch as a chunked
+    dot-product against a precomputed 31-power table (each <=1024-char
+    chunk's term sum stays below 2^62, so plain int64 arithmetic is
+    exact — the identical value the JVM expression and the DuckDB
+    oracle produce, pytest-pinned on ascii/unicode/edge strings).
+    Returns int64 fps with -1 for null texts. ~100x faster than the
+    JVM higher-order-function form, which evaluates an interpreted
+    per-character substring fold (~11 us/char measured)."""
+    import numpy as np
+
+    n = len(texts)
+    out = np.full(n, -1, dtype=np.int64)
+    vals = texts.tolist()
+    max_len = 0
+    for t in vals:
+        if t is not None and len(t) > max_len:
+            max_len = len(t)
+    pows = np.ones(max_len + 2, dtype=np.int64)
+    for i in range(1, max_len + 2):
+        pows[i] = (pows[i - 1] * 31) % modulus
+    chunk = 1024
+    for j, t in enumerate(vals):
+        if t is None:
+            continue
+        s = t.strip(" ")
+        L = len(s)
+        if L == 0:
+            out[j] = 0
+            continue
+        if s.isascii():
+            codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+            codes = codes.astype(np.int64)
+        else:
+            codes = np.fromiter(map(ord, s), dtype=np.int64, count=L)
+        h = 0
+        for off in range(0, L, chunk):
+            part = codes[off:off + chunk]
+            lc = len(part)
+            ch = int(np.dot(part, pows[lc - 1::-1])) % modulus
+            h = (h * int(pows[lc]) + ch) % modulus
+        out[j] = h
+    return out
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    nbits: int = 1 << 16,
+    probe: str = "auto",
+) -> DataFrame:
+    """EXACT-duplicate decontamination through a Bloom prefilter: drop
+    every corpus row whose text fingerprint appears in ``bench`` —
+    bit-identical to the plain anti-join, but the corpus-side work is a
+    scan plus k integer probes against kilobytes of broadcast state
+    instead of a join touching every row.
+
+    Plan (the 100 TB contract): the benchmark side folds into an
+    ``nbits``-bit Bloom bitmap (k=4 seeded Lehmer probes per
+    fingerprint; the distinct-position collect is bounded by
+    min(nbits, 4·|bench|) rows — O(kilobytes), never corpus- or
+    bench-fingerprint-sized). The corpus pass keeps only rows whose k
+    bits ALL hit (the Bloom guarantee: every true contaminant hits, so
+    no false negatives); that candidate sliver — true contaminants
+    plus the ~(load)^k false positives — is exact-verified with one
+    semi-join against the (never-collected, distributed) bench
+    fingerprints, and the confirmed ids broadcast-anti-join back onto
+    the corpus. The corpus itself never shuffles.
+
+    ``probe="pandas"`` (the default via ``"auto"``) runs the whole
+    fingerprint+probe pass as ONE Arrow-batched ``mapInPandas`` that
+    emits only candidate ``(id, fingerprint)`` rows: the polynomial
+    hash is a vectorized numpy chunked dot-product
+    (:func:`_np_poly_fps`) — measured ~100x faster than the JVM
+    higher-order-function fingerprint, whose per-character fold is
+    interpreted (~11 us/char), and opaque to predicate pushdown so the
+    expensive pass cannot sink below the ``spread()`` repartition onto
+    a narrow local scan. ``probe="expr"`` keeps the pure-JVM
+    expression path (bitmap as a literal int-word array probed with
+    element_at/bit masks) as the no-Python capability surface. Both
+    paths are value-identical (pytest-pinned), and the numpy/JVM/
+    DuckDB fingerprint parity is pinned on edge strings.
+    """
+    from parquet_sampler_spark.functions.text import fingerprint
+    from parquet_sampler_spark.plans.layout import spread
+
+    if nbits < 64 or nbits & (nbits - 1):
+        raise ValueError(f"nbits must be a power of two >= 64, got {nbits}")
+    if probe not in ("auto", "expr", "pandas"):
+        raise ValueError(f"unknown probe mode {probe!r}")
+    if probe == "auto":
+        probe = "pandas"
+
+    bench_fp = bench.select(
+        fingerprint(text_col).alias("__bfp")
+    ).distinct()
+    # fold the bench side into the bitmap: explode the k positions,
+    # distinct, collect — bounded by min(nbits, 4·|bench|), kilobytes.
+    pos_rows = (
+        bench_fp.select(
+            F.explode(
+                F.array(*_bloom_positions(F.col("__bfp"), nbits))
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    nwords = nbits // 32
+    words = [0] * nwords
+    for r in pos_rows:
+        p = int(r.p)
+        words[p // 32] |= 1 << (p % 32)
+
+    if probe == "expr":
+        # one O(text)-cost fingerprint per row, computed ONCE and
+        # carried as a column through probe + exact verify (inlining
+        # it into each of the 4 probe expressions would recompute the
+        # per-character fold 4x); spread() widens a small single-file
+        # input to all cores before the expensive map work (a no-op on
+        # any real multi-split table — no shuffle at scale)
+        base = spread(corpus).withColumn("__fp", fingerprint(text_col))
+        fp = F.col("__fp")
+        # 32-bit words as signed int literals: fold the sign bit in
+        signed = [w - (1 << 32) if w >= 1 << 31 else w for w in words]
+        bitmap = F.array(*[F.lit(w).cast("int") for w in signed])
+        hit = F.lit(True)
+        for pcol in _bloom_positions(fp, nbits):
+            word = F.element_at(bitmap, (pcol / 32).cast("int") + 1)
+            # mask = 2^(p%32) is exact in double for exponents <= 31;
+            # the 0xFFFFFFFF widen keeps the probe of bit 31 correct
+            # on the signed 32-bit words
+            mask = F.pow(F.lit(2.0), (pcol % 32).cast("int")).cast("bigint")
+            word_u = word.cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+            hit = hit & (word_u.bitwiseAND(mask) != 0)
+        candidates = (
+            base.filter(hit).select(id_col, "__fp")
+        )
+    else:
+        import numpy as np
+
+        from parquet_sampler_spark.functions.hashing import MODULUS
+
+        bits = np.zeros(nwords, dtype=np.uint32)
+        for i, w in enumerate(words):
+            bits[i] = np.uint32(w & 0xFFFFFFFF)
+        sc = corpus.sparkSession.sparkContext
+        bbits = sc.broadcast(bits)
+        probes = list(_BLOOM_PROBES)
+        out_schema = T.StructType(
+            [corpus.schema[id_col], T.StructField("__fp", T.LongType())]
+        )
+        tcol, icol = text_col, id_col
+
+        def _candidates(batches):
+            arr = None
+            for pdf in batches:
+                if arr is None:
+                    arr = bbits.value
+                nb = len(arr) * 32
+                fps = _np_poly_fps(pdf[tcol], MODULUS)
+                hit = fps >= 0
+                for a, c in probes:
+                    p = ((fps * a + c) % MODULUS) % nb
+                    hit &= ((arr[p // 32] >> (p % 32)) & 1) == 1
+                out = pdf.loc[hit, [icol]].copy()
+                out["__fp"] = fps[hit]
+                yield out
+
+        candidates = spread(corpus).mapInPandas(_candidates, out_schema)
+
+    confirmed = (
+        candidates.join(
+            F.broadcast(bench_fp),
+            F.col("__fp") == F.col("__bfp"),
+            "left_semi",
+        )
+        .select(id_col)
+    )
+    return corpus.join(F.broadcast(confirmed), id_col, "left_anti")

@@ -1964,6 +1964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": _q_scd2_history,
         "dpp_scan": _q_dpp_scan,
         "manifest_prune": _q_manifest_prune,
+        "ngram_dup_spans": _q_ngram_dup_spans,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "streaming_enrich": _q_streaming_enrich,
     }
 
 
@@ -2057,6 +2060,9 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SQL_SCD2_HISTORY,
         "dpp_scan": _sql_dpp_scan(),
         "manifest_prune": _SQL_MANIFEST_PRUNE,
+        "ngram_dup_spans": _sql_ngram_dup_spans(),
+        "bloom_decontaminate": _sql_bloom_decontaminate(),
+        "streaming_enrich": _SQL_STREAMING_ENRICH,
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -5175,4 +5181,179 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM events
 WHERE user_id >= {_MANIFEST_LO} AND user_id <= {_MANIFEST_HI}
 GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-n-gram spans (substring dedup, r09)
+# ---------------------------------------------------------------------------
+
+_DUP_SPAN_N = 8
+_DUP_SPAN_MIN_DF = 2
+
+
+def _q_ngram_dup_spans(spark, sf_dir):
+    """Span-level cross-document duplicated text (r09): the maximal
+    token spans covered by sliding 8-token windows that occur in >= 2
+    distinct documents — the substring-dedup signal of Lee et al. 2022
+    (doc- and pair-level dedup miss boilerplate shared across
+    otherwise-distinct pages; these spans are what a substring pass
+    cuts). One hash aggregation over 31-bit gram hashes (map-side
+    partial — a boilerplate gram in millions of docs ships one partial
+    row per partition), one semi-join flagging duplicated windows, one
+    gaps-and-islands window per document. NO self-join: unlike the
+    pair-dedup family there is no quadratic hot-shingle term, so no df
+    cap is needed."""
+    from parquet_sampler_spark.operators.dedup import ngram_dup_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_dup_spans(
+        d, "doc_id", "text", n=_DUP_SPAN_N, min_df=_DUP_SPAN_MIN_DF
+    )
+
+
+def _sql_ngram_dup_spans() -> str:
+    from parquet_sampler_spark.functions.hashing import mixed_string_hash_sql
+
+    n, min_df = _DUP_SPAN_N, _DUP_SPAN_MIN_DF
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+wg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, {parts} AS gram
+  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+),
+w AS (
+  SELECT doc_id, pos, {mixed_string_hash_sql('gram')} AS gh FROM wg
+),
+dg AS (
+  SELECT gh FROM w GROUP BY gh HAVING count(DISTINCT doc_id) >= {min_df}
+),
+dw AS (SELECT doc_id, pos FROM w WHERE gh IN (SELECT gh FROM dg)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {n} THEN 1 ELSE 0 END AS brk
+  FROM dw
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {n} - 1 AS span_end,
+       max(pos) + {n} - min(pos) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter decontamination (r09)
+# ---------------------------------------------------------------------------
+
+# injection offset far above any generated doc_id at any slice
+# (make_sf10 DOC_STRIDE is 10^6 — see the split_leakage aliasing fix)
+_BLOOM_INJECT_EVERY = 7
+_BLOOM_ID_OFFSET = 1_000_000_000
+
+
+def _q_bloom_decontaminate(spark, sf_dir):
+    """Exact-duplicate decontamination through a Bloom prefilter (r09):
+    bit-identical output to the plain fingerprint anti-join (which IS
+    the oracle — the salted_agg precedent: same contract, scale plan),
+    but the corpus-side work is a scan + 4 integer bit-probes against
+    kilobytes of broadcast state; only the candidate sliver is
+    exact-verified, and the corpus itself never shuffles. The gate
+    corpus has no cross-cut exact duplicates, so a deterministic
+    re-crawl batch is injected (every 7th benchmark doc re-ingested
+    under a shifted id — the dq_quarantine pattern), replicated in the
+    oracle: green proves real removal, not a no-op."""
+    from parquet_sampler_spark.operators.dedup import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < _BENCH_CUT)
+    injected = bench.filter(
+        F.col("doc_id") % _BLOOM_INJECT_EVERY == 0
+    ).select(
+        (F.col("doc_id") + _BLOOM_ID_OFFSET).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    training = d.filter(F.col("doc_id") >= _BENCH_CUT).unionByName(injected)
+    return bloom_decontaminate(training, bench, "doc_id", "text")
+
+
+def _sql_bloom_decontaminate() -> str:
+    from parquet_sampler_spark.functions.text import fingerprint_sql
+
+    return f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id < {_BENCH_CUT}),
+training AS (
+  SELECT * FROM documents WHERE doc_id >= {_BENCH_CUT}
+  UNION ALL
+  SELECT doc_id + {_BLOOM_ID_OFFSET} AS doc_id, text, lang, source, n_chars
+  FROM bench WHERE doc_id % {_BLOOM_INJECT_EVERY} = 0
+),
+bfp AS (SELECT DISTINCT {fingerprint_sql('text')} AS fp FROM bench)
+SELECT t.* FROM training t
+WHERE {fingerprint_sql('t.text')} NOT IN (SELECT fp FROM bfp)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join (r09)
+# ---------------------------------------------------------------------------
+
+
+def _q_streaming_enrich(spark, sf_dir):
+    """STREAM-STATIC enrichment join (r09), the one streaming join
+    shape the family didn't cover (streaming_attribution is
+    stream-STREAM): the events parquet replayed as a file-source
+    stream, inner-joined per micro-batch against the STATIC customer
+    dimension, rolled up per market segment in complete mode — the
+    enrich-then-aggregate pattern of every 100 TB event pipeline
+    (facts stream in, dims are tables). Spark re-plans the static side
+    each micro-batch, so a dim swap is picked up without restarting
+    the query; no watermark is needed because the static side never
+    grows stale state. Oracle = the identical BATCH join + rollup —
+    the same stream/batch parity contract as streaming_hourly.
+    Exact-cents e4 quantization keeps the sum order-independent."""
+    from parquet_sampler_spark.streaming.sampling import read_event_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    with _stream_shuffle(spark):
+        src = read_event_stream(spark, f"{sf_dir}/events.parquet")
+        joined = src.join(
+            dim, src["user_id"] == dim["c_custkey"], "inner"
+        )
+        agg = (
+            joined.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _value_e4_sum().alias("sum_value"),
+            )
+        )
+        name = f"psx_stream_enrich_{next(_STREAM_SEQ)}"
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+_SQL_STREAMING_ENRICH = f"""
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_VALUE_E4_SUM_SQL} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
 """

@@ -456,3 +456,212 @@ def test_registered_dup_clusters_reliable_checkpoint_e2e(
 
     blocks = [p for p in ckpt.rglob("*") if p.is_file()]
     assert blocks, "no checkpoint blocks written under PSX_CHECKPOINT_DIR"
+
+
+# ---------------------------------------------------------------------------
+# ngram_dup_spans (r09): cross-document repeated-n-gram spans
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, rows, n=4, min_df=2):
+    from parquet_sampler_spark.operators.dedup import ngram_dup_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_dup_spans(df, "doc_id", "text", n=n, min_df=min_df)
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_dup_windows)
+        for r in out.collect()
+    )
+
+
+def test_ngram_dup_spans_shared_run_bounds(spark):
+    # docs 1 and 2 share the exact 6-token run "a b c d e f" at
+    # different offsets; doc 3 is unrelated. With n=4 the duplicated
+    # windows in doc 1 start at positions 3..5 (1-based), merging into
+    # one span covering tokens 3..8 — exactly the shared run.
+    rows = [
+        (1, "x y a b c d e f q r"),
+        (2, "a b c d e f z w v u"),
+        (3, "totally unrelated words that never repeat anywhere else okay"),
+    ]
+    got = _spans(spark, rows, n=4)
+    assert got == [
+        (1, 3, 8, 6, 3),  # windows at 3,4,5 -> span tokens 3..8
+        (2, 1, 6, 6, 3),
+    ]
+
+
+def test_ngram_dup_spans_two_separated_runs_make_two_spans(spark):
+    # doc 1 shares run A with doc 2 and run B with doc 3; the runs sit
+    # far enough apart (> n tokens gap) that they must NOT merge.
+    run_a = "alpha beta gamma delta"
+    run_b = "omega psi chi phi"
+    rows = [
+        (1, f"{run_a} f1 f2 f3 f4 f5 f6 {run_b}"),
+        (2, f"{run_a} junk1 junk2 junk3 junk4 junk5 junk6 junk7"),
+        (3, f"pad1 pad2 pad3 pad4 pad5 pad6 pad7 {run_b}"),
+    ]
+    got = _spans(spark, rows, n=4)
+    assert got == [
+        (1, 1, 4, 4, 1),
+        (1, 11, 14, 4, 1),
+        (2, 1, 4, 4, 1),
+        (3, 8, 11, 4, 1),
+    ]
+
+
+def test_ngram_dup_spans_touching_windows_merge(spark):
+    # duplicated windows at positions p and p+n touch (no token gap):
+    # they must merge into ONE span even though they share no window.
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 tokens = two touching 4-windows
+    rows = [
+        (1, f"{shared} tail1 tail2"),
+        (2, f"lead1 lead2 {shared}"),
+    ]
+    got = _spans(spark, rows, n=4)
+    # all 5 sliding windows over the 8-token run are duplicated -> one
+    # span covering the whole run in each doc
+    assert got == [
+        (1, 1, 8, 8, 5),
+        (2, 3, 10, 8, 5),
+    ]
+
+
+def test_ngram_dup_spans_within_doc_repetition_not_flagged(spark):
+    # the 4-gram repeats INSIDE doc 1 only — min_df counts distinct
+    # docs, so nothing is emitted.
+    rows = [
+        (1, "r1 r2 r3 r4 mid1 mid2 r1 r2 r3 r4"),
+        (2, "nothing in common with the other document at all here"),
+    ]
+    assert _spans(spark, rows, n=4) == []
+
+
+def test_ngram_dup_spans_short_docs_and_validation(spark):
+    from parquet_sampler_spark.operators.dedup import ngram_dup_spans
+
+    rows = [(1, "a b c"), (2, "a b c")]  # shorter than n=4 -> no windows
+    assert _spans(spark, rows, n=4) == []
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        ngram_dup_spans(df, "doc_id", "text", n=0)
+    with pytest.raises(ValueError):
+        ngram_dup_spans(df, "doc_id", "text", n=4, min_df=1)
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontaminate (r09)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloom_corpora(spark):
+    bench = spark.createDataFrame(
+        [(i, f"benchmark question number {i} with unique phrasing {i*7}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    clean = [(100 + i, f"ordinary training document body {i} entirely novel")
+             for i in range(50)]
+    # contaminated: exact copies of bench docs 2, 5, 9 under new ids
+    dirty = [(1000 + i, f"benchmark question number {i} with unique "
+              f"phrasing {i*7}") for i in (2, 5, 9)]
+    corpus = spark.createDataFrame(
+        clean + dirty, "doc_id long, text string"
+    )
+    return corpus, bench
+
+
+def test_bloom_decontaminate_removes_exact_matches(spark, bloom_corpora):
+    from parquet_sampler_spark.operators.dedup import bloom_decontaminate
+
+    corpus, bench = bloom_corpora
+    out = bloom_decontaminate(corpus, bench, "doc_id", "text")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [100 + i for i in range(50)]
+
+
+def test_bloom_decontaminate_probe_paths_agree(spark, bloom_corpora):
+    from parquet_sampler_spark.operators.dedup import bloom_decontaminate
+
+    corpus, bench = bloom_corpora
+    a = bloom_decontaminate(corpus, bench, "doc_id", "text", probe="expr")
+    b = bloom_decontaminate(corpus, bench, "doc_id", "text", probe="pandas")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 50
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark, bloom_corpora):
+    # every true contaminant must pass the bloom expression (the k
+    # probes of an identical fingerprint are identical), and the
+    # filter must actually prune: with 10 bench docs x 4 probes in
+    # 2^16 bits, clean docs are overwhelmingly rejected.
+    from parquet_sampler_spark.functions.text import fingerprint
+    from parquet_sampler_spark.operators.dedup import (
+        _BLOOM_PROBES, _bloom_positions,
+    )
+    from parquet_sampler_spark.functions.hashing import MODULUS
+
+    corpus, bench = bloom_corpora
+    nbits = 1 << 16
+    bench_pos = set()
+    for r in bench.select(fingerprint("text").alias("fp")).collect():
+        for a, c in _BLOOM_PROBES:
+            bench_pos.add((int(r.fp) * a + c) % MODULUS % nbits)
+    hits = 0
+    for r in corpus.select(
+        "doc_id", fingerprint("text").alias("fp")
+    ).collect():
+        probe = {(int(r.fp) * a + c) % MODULUS % nbits
+                 for a, c in _BLOOM_PROBES}
+        if probe <= bench_pos:
+            hits += 1
+        if r.doc_id >= 1000:  # true contaminant: must hit
+            assert probe <= bench_pos
+    assert hits <= 5  # 3 true + at most a couple false positives
+
+
+def test_bloom_decontaminate_validation(spark, bloom_corpora):
+    from parquet_sampler_spark.operators.dedup import bloom_decontaminate
+
+    corpus, bench = bloom_corpora
+    with pytest.raises(ValueError):
+        bloom_decontaminate(corpus, bench, "doc_id", "text", nbits=100)
+    with pytest.raises(ValueError):
+        bloom_decontaminate(corpus, bench, "doc_id", "text", probe="nope")
+
+
+def test_np_poly_fps_matches_jvm_fingerprint(spark):
+    # the mapInPandas candidates path hashes with numpy; the bench
+    # side and the oracle hash with the JVM/DuckDB expression — they
+    # must agree on every string class or a true contaminant could
+    # silently survive (false negative).
+    import pandas as pd
+
+    from parquet_sampler_spark.functions.hashing import MODULUS
+    from parquet_sampler_spark.functions.text import fingerprint
+    from parquet_sampler_spark.operators.dedup import _np_poly_fps
+
+    cases = [
+        "",              # empty -> 0
+        "   ",           # spaces-only trims to empty -> 0
+        "a",
+        "  padded  ",    # trim parity
+        "hello world",
+        "x" * 5000,      # multi-chunk (chunk=1024) path
+        ("abc " * 700).strip(),
+        "café naïve 中文",  # non-ascii ord path
+        "tab\tand\nnewline kept",             # only spaces trim
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, text string"
+    )
+    jvm = {
+        r.i: r.fp
+        for r in df.select("i", fingerprint("text").alias("fp")).collect()
+    }
+    nps = _np_poly_fps(pd.Series(cases), MODULUS)
+    for i, c in enumerate(cases):
+        assert nps[i] == jvm[i], f"fp mismatch on case {i}: {c!r}"
+    assert _np_poly_fps(pd.Series([None, "a"]), MODULUS)[0] == -1
