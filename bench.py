@@ -39,8 +39,8 @@ sys.path.insert(0, str(REPO))
 SETUP_ROWS = frozenset({
     "setup_pairs_graph", "setup_dup_graph", "setup_bucketed_tables",
     "setup_merge_batch", "setup_ivf_model", "setup_streaming",
-    "setup_pq_model", "setup_ivfpq_model", "setup_zorder",
-    "setup_compaction", "setup_dpp",
+    "setup_pq_model", "setup_ivfpq_model", "setup_sem_model",
+    "setup_zorder", "setup_compaction", "setup_dpp",
 })
 
 
@@ -112,6 +112,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_ann_ivfpq(spark, sf_dir).count()
     times["setup_ivfpq_model"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    queries_ext._q_semantic_dedup(spark, sf_dir).count()
+    times["setup_sem_model"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
     queries_ext._q_zorder_scan(spark, sf_dir).count()

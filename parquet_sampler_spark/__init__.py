@@ -15,6 +15,7 @@ sampler designed for 100 TB inputs rather than driver RAM.
 
 from parquet_sampler_spark.session import get_spark
 from parquet_sampler_spark.operators.sample import (
+    mixture_resample,
     sample_exact,
     sample_fraction,
     sample_stratified,
@@ -22,6 +23,7 @@ from parquet_sampler_spark.operators.sample import (
 from parquet_sampler_spark.operators.semijoin import semi_join_reduce
 from parquet_sampler_spark.operators.asof import asof_join
 from parquet_sampler_spark.operators.merge import merge_upsert
+from parquet_sampler_spark.operators.packing import pack_sequences
 from parquet_sampler_spark.operators.dedup import (
     bloom_decontaminate,
     cluster_dedup,
@@ -39,6 +41,7 @@ from parquet_sampler_spark.operators.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    semantic_dedup,
 )
 from parquet_sampler_spark.plans.skew import salted_join
 from parquet_sampler_spark.sources.io import (
@@ -49,12 +52,14 @@ from parquet_sampler_spark.sources.io import (
 
 __all__ = [
     "get_spark",
+    "mixture_resample",
     "sample_exact",
     "sample_fraction",
     "sample_stratified",
     "semi_join_reduce",
     "asof_join",
     "merge_upsert",
+    "pack_sequences",
     "bloom_decontaminate",
     "cluster_dedup",
     "duplicate_clusters",
@@ -69,6 +74,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "ivf_topk",
     "lsh_topk",
+    "semantic_dedup",
     "salted_join",
     "read_parquet",
     "metadata_row_count",

@@ -419,3 +419,76 @@ def weighted_sample_rank_sql(
     u = f"CAST(({h}) + 1 AS DOUBLE) / {float(MODULUS + 1)!r}"
     rank = f"ln({u}) / CAST({weight_col} AS DOUBLE)"
     return rank, f"CAST({weight_col} AS DOUBLE) > 0"
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    target_weights: dict[str, int],
+    seed: int = 29,
+) -> DataFrame:
+    """Domain-mixture resampling (DoReMi-style data mixing, downsample
+    only): keep a deterministic hash-sample of each source so the KEPT
+    corpus's expected token mixture matches ``target_weights`` (integer
+    relative weights), scaled as large as possible without upsampling —
+    the source whose tokens are scarcest relative to its weight is kept
+    in full and every other source is thinned proportionally.
+
+    Exact integer contract (reproducible across engines, runs, and
+    cluster sizes): with ``tok_s`` the total tokens of source ``s`` and
+    ``w_s`` its weight, the binding source ``j`` minimizes
+    ``tok_s / w_s`` (ties broken by smallest source name); source ``s``
+    keeps rows whose ``lehmer_hash(id) < floor(M * tok_j * w_s /
+    (w_j * tok_s))`` — thresholds computed in exact big-int arithmetic
+    (Python here, HUGEINT in the DuckDB oracle), never floats. Sources
+    absent from ``target_weights`` (or with zero tokens) are dropped.
+
+    Plan shape (the 100 TB contract): ONE map-side-partial aggregation
+    produces per-source token totals (rows collected = number of
+    sources — a bounded, schema-level quantity, not data-scale); the
+    thresholds broadcast-join back and the corpus is FILTERED in place
+    — it never shuffles, and any row's keep/drop is recomputable from
+    its id alone (the split-assignment leak-free property).
+
+    Output: ``(id_col, source_col, n_tokens)`` of kept rows.
+    """
+    from fractions import Fraction
+
+    from parquet_sampler_spark.functions.text import token_count
+
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if any(w <= 0 for w in target_weights.values()):
+        raise ValueError("target weights must be positive integers")
+
+    toks = (
+        df.filter(F.col(source_col).isin(list(target_weights)))
+        .groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("__tok"))
+        .collect()  # bounded: one row per weighted source
+    )
+    tok = {r[source_col]: int(r["__tok"]) for r in toks if r["__tok"]}
+    live = sorted(s for s in target_weights if tok.get(s, 0) > 0)
+    if not live:
+        raise ValueError("no weighted source has any tokens")
+    j = min(live, key=lambda s: (Fraction(tok[s], target_weights[s]), s))
+    thr = {
+        s: (MODULUS * tok[j] * target_weights[s])
+        // (target_weights[j] * tok[s])
+        for s in live
+    }
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        [(s, thr[s]) for s in live], f"{source_col} string, __thr bigint"
+    )
+    return (
+        df.join(F.broadcast(thr_df), source_col, "inner")
+        .filter(lehmer_hash([id_col], seed) < F.col("__thr"))
+        .select(
+            id_col,
+            source_col,
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+    )

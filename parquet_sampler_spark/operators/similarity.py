@@ -136,6 +136,55 @@ def _lloyd_kmeans(
     return centroids
 
 
+_TWO_LEVEL_NLIST = 64
+
+
+def _fit_coarse_centroids(
+    X: np.ndarray, k: int, seed: int, max_iter: int
+) -> np.ndarray:
+    """Coarse-quantizer fit that stays tractable as ``nlist`` grows
+    with the corpus (semantic_dedup's nlist = rows // 256 rule): flat
+    Lloyd up to ``_TWO_LEVEL_NLIST`` cells, else a FAISS-IVF-HNSW-style
+    TWO-LEVEL fit — cluster the sketch into ~sqrt(k) super-cells, then
+    sub-cluster each super-cell's points into its population-
+    proportional share of k. Flat Lloyd is Θ(sketch·k·dim) per
+    iteration with an n×k×dim distance tensor (quadratic in the corpus
+    when both sketch and k grow ∝ n — the named cause of
+    setup_sem_model's α 1.08 in SCALING.md); two-level drops both to
+    ~Θ(sketch·√k·dim). Deterministic for a fixed seed (sub-fits are
+    seeded per super-cell); the returned cell count is ~k (population
+    caps can yield slightly fewer — nlist is a knob, the actual
+    centroid array defines the cells, identically in both engines).
+    """
+    k = min(k, len(X))
+    if k <= _TWO_LEVEL_NLIST:
+        return _lloyd_kmeans(X, k, seed, max_iter)
+    k1 = int(np.ceil(np.sqrt(k)))
+    # the super-cells need only a density sketch of the sketch: the
+    # hash-ordered prefix is a uniform sample, and capping it keeps
+    # _lloyd_kmeans's n×k×dim distance tensor bounded
+    supers = _lloyd_kmeans(X[: 256 * k1], k1, seed, max_iter)
+    # GEMM-form |x-s|^2 = |x|^2 - 2 x.s + |s|^2: an n×k1 matrix, never
+    # the n×k1×dim tensor (2.8 GB at a 200k-row sketch)
+    d = (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ supers.T)
+        + (supers * supers).sum(axis=1)[None, :]
+    )
+    lab = d.argmin(axis=1)
+    counts = np.bincount(lab, minlength=k1)
+    out = []
+    for j in np.flatnonzero(counts):
+        pts = X[lab == j]
+        kj = min(len(pts),
+                 max(1, int(np.floor(len(pts) * k / len(X) + 0.5))))
+        out.append(
+            _lloyd_kmeans(pts, kj, seed + 1_000_003 * (int(j) + 1),
+                          max_iter)
+        )
+    return np.vstack(out)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -455,7 +504,7 @@ def ivf_train_centroids_numpy(
     h = (ids * COLUMN_MULTIPLIERS[0] % MODULUS * sm + sa) % MODULUS
     order = np.lexsort((ids, h))[: train_per_cell * nlist]
     X = np.asarray(vecs, dtype=np.float64)[order]
-    return _lloyd_kmeans(X, min(nlist, len(X)), seed, train_max_iter)
+    return _fit_coarse_centroids(X, nlist, seed, train_max_iter)
 
 
 def ivf_topk(
@@ -541,8 +590,8 @@ def ivf_topk(
             .collect()
         )
         X = np.array([r["__v"] for r in sketch], dtype=np.float64)
-        centroids = _lloyd_kmeans(X, min(nlist, len(X)), seed,
-                                  train_max_iter)
+        centroids = _fit_coarse_centroids(X, nlist, seed,
+                                          train_max_iter)
         if model_cache is not None:
             model_cache[cache_key] = centroids
 
@@ -1015,4 +1064,154 @@ def ivfpq_topk(
         .filter(F.col(_RN) <= k)
         .select("query_id", "neighbor_id", "score",
                 F.col(_RN).alias("rank"))
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int = 16,
+    tau: float = 0.92,
+    seed: int = 42,
+    model_cache: dict | None = None,
+    cache_key=None,
+    train_per_cell: int = 256,
+    train_max_iter: int = 20,
+    pairs: str = "pandas",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): a KMeans coarse quantizer partitions the embedding
+    corpus into ``nlist`` cells; ONLY within each cell are pairwise
+    cosines computed, and of any pair with cosine >= ``tau`` the
+    higher-id row is dropped — so each near-duplicate group survives
+    through its minimum id (the dedup family's keeper convention).
+
+    Returns the KEPT rows as ``(id_col, cell)``.
+
+    This is the tractable form of loose-threshold semantic dedup: the
+    exact all-pairs sweep is O(n²·dim) (see embedding_neardup_block —
+    the documented exact surface), while clustering first bounds the
+    quadratic term to O(sum cell²·dim) with ``nlist`` scaling with the
+    corpus (cells stay ~constant size at any scale). The price is the
+    SemDeDup miss class: a cross-cell near-dup pair is not compared —
+    exactly the paper's trade.
+
+    Cross-engine determinism (the value-hash oracle contract): quantizer
+    training reuses ann_ivf's machinery — bounded portable-Lehmer sketch
+    + seeded numpy Lloyd (:func:`ivf_train_centroids_numpy` rebuilds the
+    identical centroids from raw parquet); cell assignment compares
+    INTEGER-quantized squared distances (``_IVF_QSCALE``, ties to the
+    lowest cell id); cosines use the engine-exact normalized
+    left-to-right dot. Zero-norm vectors have no defined cosine, are
+    never dropped, and keep their assigned cell.
+
+    ``pairs`` selects the within-cell scorer — both paths are
+    value-identical (pytest-pinned):
+
+    * ``"pandas"`` (default): one ``applyInPandas`` over cell groups;
+      pair cosines accumulate DIMENSION-BY-DIMENSION over vectorized
+      numpy elementwise ops, which reproduces the left-to-right
+      IEEE fold of :func:`_unit_dot` BIT-FOR-BIT (each step is
+      ``fl(acc + fl(x*y))`` per pair) while running ~10× faster than
+      the interpreted JVM higher-order aggregate. Row blocks bound
+      peak memory at ``1024 × cell_size`` doubles.
+    * ``"expr"``: the no-Python capability surface — a cell equi-join
+      plus the JVM ``aggregate``/``zip_with`` fold.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    if pairs not in ("pandas", "expr"):
+        raise ValueError(f"pairs must be 'pandas' or 'expr', got {pairs!r}")
+    if model_cache is not None and cache_key in model_cache:
+        centroids = model_cache[cache_key]
+    else:
+        from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+        sketch = (
+            spread(corpus)
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"),
+                    lehmer_hash([id_col], seed).alias("__h"))
+            .orderBy("__h", "__id")
+            .limit(train_per_cell * nlist)
+            .collect()
+        )
+        X = np.array([r["__v"] for r in sketch], dtype=np.float64)
+        centroids = _fit_coarse_centroids(X, nlist, seed,
+                                          train_max_iter)
+        if model_cache is not None:
+            model_cache[cache_key] = centroids
+
+    cq = _ivf_quantize(centroids)  # (nlist, dim) int64
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        # integer GEMM form |m-c|^2 = |m|^2 - 2 m.c + |c|^2: EXACT in
+        # int64 (quantized values ~2^20, sums < 2^47 — no rounding, so
+        # the value equals the oracle's per-dim fold bit-for-bit) and
+        # an n×nlist matrix, never the n×nlist×dim tensor (which is
+        # gigabytes per Arrow batch once nlist grows with the corpus)
+        d = (
+            (m * m).sum(axis=1)[:, None]
+            - 2 * (m @ cq.T)
+            + (cq * cq).sum(axis=1)[None, :]
+        )
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    assigned = spread(corpus).select(
+        F.col(id_col).alias("__sid"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    normed = _normalized(corpus, id_col, vec_col, "__nid", "__nv")
+    members = assigned.join(
+        normed, assigned["__sid"] == normed["__nid"], "inner"
+    ).select("__sid", "cell", "__nv")
+    if pairs == "pandas":
+        tau_f = float(tau)
+
+        def drop_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__sid")
+            ids = pdf["__sid"].to_numpy()
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame({"__sid": np.empty(0, dtype=np.int64)})
+            M = np.array(pdf["__nv"].tolist(), dtype=np.float64)
+            dropped = np.zeros(n, dtype=bool)
+            # blockwise row sweep bounds memory at 1024 x n doubles;
+            # the dimension loop makes each pair's accumulation the
+            # exact fl(acc + fl(x*y)) left-to-right fold of _unit_dot
+            for s in range(0, n, 1024):
+                B = M[s:s + 1024]
+                acc = np.zeros((len(B), n))
+                for k in range(M.shape[1]):
+                    acc += B[:, k][:, None] * M[None, :, k]
+                hit = acc >= tau_f
+                # only pairs with smaller-id row i (global s+r) < col j
+                ri = np.arange(s, s + len(B))[:, None]
+                dropped |= (hit & (ri < np.arange(n)[None, :])).any(axis=0)
+            return pd.DataFrame({"__sid": ids[dropped]})
+
+        dropped_df = members.groupBy("cell").applyInPandas(
+            drop_in_cell, "__sid long"
+        )
+    else:
+        a = members.select(F.col("__sid").alias("__ida"),
+                           F.col("cell").alias("__ca"),
+                           F.col("__nv").alias("__va"))
+        b = members.select(F.col("__sid").alias("__idb"),
+                           F.col("cell").alias("__cb"),
+                           F.col("__nv").alias("__vb"))
+        dropped_df = (
+            a.join(b, (F.col("__ca") == F.col("__cb"))
+                   & (F.col("__ida") < F.col("__idb")), "inner")
+            .filter(_unit_dot("__va", "__vb") >= F.lit(float(tau)))
+            .select(F.col("__idb").alias("__sid"))
+            .distinct()
+        )
+    return (
+        assigned.join(dropped_df, "__sid", "left_anti")
+        .select(F.col("__sid").alias(id_col), "cell")
     )

@@ -113,6 +113,7 @@ def clear_caches() -> None:
         cache.clear()
     _sample_mod.clear_candidate_cache()
     queries_ext._IVF_MODEL_CACHE.clear()
+    queries_ext._SEM_MODEL_CACHE.clear()
     # path caches (written trees under the tmp roots wiped below)
     queries_ext._DPP_CACHE.clear()
     from parquet_sampler_spark.plans import cache as _plan_cache

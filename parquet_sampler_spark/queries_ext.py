@@ -1967,6 +1967,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dup_spans": _q_ngram_dup_spans,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_resample": _q_mixture_resample,
+        "semantic_dedup": _q_semantic_dedup,
     }
 
 
@@ -2063,6 +2066,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dup_spans": _sql_ngram_dup_spans(),
         "bloom_decontaminate": _sql_bloom_decontaminate(),
         "streaming_enrich": _SQL_STREAMING_ENRICH,
+        "pack_sequences": _sql_pack_sequences(),
+        "mixture_resample": _sql_mixture_resample(),
+        "semantic_dedup": _sql_semantic_dedup(),
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -5357,3 +5363,257 @@ SELECT c.c_mktsegment AS segment,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (concat-then-chunk, r09)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 2048
+_PACK_SHARDS = 8
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """GPT-style training-sequence packing (r09): every document's
+    place under concat-then-chunk — the corpus hash-sharded, each
+    shard's documents concatenated in doc_id order into one token
+    stream, the stream sliced into back-to-back 2048-token training
+    sequences, documents straddling a boundary split across
+    consecutive sequences. Output = per-doc (seq_first, seq_last,
+    n_seqs, seq_offset). ONE cumulative-sum window per hash-balanced
+    shard, all-JVM integer arithmetic — packing is sequential within a
+    stream by definition; sharding is how pipelines bound that, and
+    n_shards scales with the corpus."""
+    from parquet_sampler_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", "text", cap=_PACK_CAP, n_shards=_PACK_SHARDS
+    )
+
+
+def _sql_pack_sequences() -> str:
+    from parquet_sampler_spark.functions.text import token_count_sql
+
+    cap, ns = _PACK_CAP, _PACK_SHARDS
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % {ns} AS shard,
+         {token_count_sql('text')} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_end
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens,
+       (cum_end - n_tokens) // {cap} AS seq_first,
+       (cum_end - 1) // {cap} AS seq_last,
+       (cum_end - n_tokens) % {cap} AS seq_offset,
+       (cum_end - 1) // {cap} - (cum_end - n_tokens) // {cap} + 1 AS n_seqs
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling (r09)
+# ---------------------------------------------------------------------------
+
+# skewed literal target mixture over the 20 gate sources (w = k%5 + 1)
+_MIX_WEIGHTS = {f"src{k}": k % 5 + 1 for k in range(20)}
+_MIX_SEED = 29
+
+
+def _q_mixture_resample(spark, sf_dir):
+    """Domain-mixture resampling (r09): deterministic hash-downsample
+    per source so the kept corpus's expected token mixture matches a
+    literal target (DoReMi-style data mixing, no upsampling — the
+    scarcest-relative-to-weight source is kept whole). Thresholds are
+    exact big-int arithmetic from ONE bounded per-source token agg;
+    the corpus is filtered in place via a broadcast threshold join and
+    never shuffles; any row's keep/drop is recomputable from its id
+    alone."""
+    from parquet_sampler_spark.operators.sample import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_resample(
+        d, "doc_id", "text", "source", _MIX_WEIGHTS, seed=_MIX_SEED
+    )
+
+
+def _sql_mixture_resample() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        lehmer_hash_sql,
+    )
+    from parquet_sampler_spark.functions.text import token_count_sql
+
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    h = lehmer_hash_sql(["doc_id"], _MIX_SEED)
+    return f"""
+WITH w(source, wt) AS (VALUES {values}),
+tok AS (
+  SELECT d.source, CAST(sum({token_count_sql('d.text')}) AS BIGINT) AS tok
+  FROM documents d JOIN w USING (source)
+  GROUP BY d.source
+),
+tw AS (
+  SELECT t.source, t.tok, w.wt FROM tok t JOIN w USING (source)
+  WHERE t.tok > 0
+),
+m AS (
+  SELECT a.source, a.tok, a.wt FROM tw a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tw b
+    WHERE CAST(b.tok AS HUGEINT) * a.wt < CAST(a.tok AS HUGEINT) * b.wt
+       OR (CAST(b.tok AS HUGEINT) * a.wt = CAST(a.tok AS HUGEINT) * b.wt
+           AND b.source < a.source)
+  )
+),
+thr AS (
+  SELECT tw.source,
+         CAST((CAST({MODULUS} AS HUGEINT) * m.tok * tw.wt)
+              // (CAST(m.wt AS HUGEINT) * tw.tok) AS BIGINT) AS thr
+  FROM tw, m
+)
+SELECT d.doc_id, d.source, {token_count_sql('d.text')} AS n_tokens
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE {h} < thr.thr
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic deduplication (r09)
+# ---------------------------------------------------------------------------
+
+_SEM_NLIST_DIV = 256     # nlist = max(16, corpus_rows // 256): cells stay
+_SEM_TAU = 0.92          # ~constant size as the corpus grows
+_SEM_SEED = 42
+_SEM_INJECT_EVERY = 5
+_SEM_ID_OFFSET = 1_000_000_000
+_SEM_MODEL_CACHE: dict = {}
+_SEM_SQL_CACHE: dict[str, str] = {}
+
+
+def _sem_nlist(sf_dir: str) -> int:
+    from parquet_sampler_spark.sources.io import metadata_row_count
+
+    n = metadata_row_count(f"{sf_dir}/embeddings.parquet")
+    return max(16, n // _SEM_NLIST_DIV)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023, r09): KMeans
+    cells bound the pairwise-cosine sweep (only within-cell pairs are
+    compared; of any pair with cosine >= 0.92 the higher id drops —
+    min-id keeper). nlist grows with the corpus (metadata row count //
+    256) so cells stay ~constant size — the quadratic term is O(n) at
+    any scale; the price is the paper's cross-cell miss class. The gate
+    corpus has no semantic dups, so a deterministic re-crawl batch is
+    injected (every 5th vector re-ingested bit-identical under a
+    shifted id — same cell and cosine exactly 1.0 by construction);
+    the oracle replicates injection, training (shared numpy
+    sketch+Lloyd via integer centroid literals), integer-quantized cell
+    assignment, and the engine-exact left-to-right unit dot."""
+    from parquet_sampler_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    injected = e.filter(F.col("vec_id") % _SEM_INJECT_EVERY == 0).select(
+        (F.col("vec_id") + _SEM_ID_OFFSET).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(injected)
+    return semantic_dedup(
+        corpus, "vec_id", "embedding",
+        nlist=_sem_nlist(sf_dir), tau=_SEM_TAU, seed=_SEM_SEED,
+        model_cache=_SEM_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir,
+                   _SEM_NLIST_DIV, _SEM_SEED),
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    """DuckDB twin of _q_semantic_dedup, built like _sql_ann_ivf: the
+    injected corpus is reassembled from the raw parquet, the identical
+    centroids are re-trained in shared numpy and inlined as integer
+    literals, and assignment/pairing/dropping replay in exact integer
+    (cells) and IEEE-exact (cosines) arithmetic."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.similarity import (
+        _IVF_QSCALE,
+        ivf_train_centroids_numpy,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _SEM_SQL_CACHE:
+        return _SEM_SQL_CACHE[sf_dir]
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mask = ids % _SEM_INJECT_EVERY == 0
+    all_ids = np.concatenate([ids, ids[mask] + _SEM_ID_OFFSET])
+    all_vecs = np.concatenate([vecs, vecs[mask]])
+    nlist = max(16, len(ids) // _SEM_NLIST_DIV)
+    cents = ivf_train_centroids_numpy(
+        all_ids, all_vecs, nlist=nlist, seed=_SEM_SEED
+    )
+    ci = np.floor(cents * _IVF_QSCALE).astype(np.int64)
+    rows = ",\n".join(
+        f"({j}, [{', '.join(str(int(x)) for x in c)}]::BIGINT[])"
+        for j, c in enumerate(ci)
+    )
+    sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+              "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
+    cos = unit_dot_sql("a.v", "b.v")
+    sql = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEM_ID_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {_SEM_INJECT_EVERY} = 0
+),
+cents(cell, cv) AS (VALUES
+{rows}
+),
+vi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QSCALE})
+                       AS BIGINT)) AS v
+  FROM corpus
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vi.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY vi.vec_id
+                              ORDER BY {sqdist}, cell) AS rn
+    FROM vi CROSS JOIN cents) WHERE rn = 1
+),
+{normalized_cte_sql('corpus')},
+members AS (
+  SELECT a.vec_id, a.cell, n.v
+  FROM assign a JOIN normed n USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM members a JOIN members b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos} >= {_SEM_TAU}
+)
+SELECT a.vec_id, a.cell FROM assign a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+    _SEM_SQL_CACHE[sf_dir] = sql
+    return sql

