@@ -35,16 +35,20 @@ def _tokens(col: Column) -> Column:
 
 def token_count(col: str | Column) -> Column:
     """Whitespace token count (single-space tokenizer — matches
-    DuckDB ``len(string_split(trim(x), ' '))``)."""
+    DuckDB ``len(string_split(trim(x), ' '))``). NULL text counts as
+    0 tokens in BOTH engines: without the explicit guard Spark's
+    ``size(split(NULL))`` yields -1 while SQL ``len`` yields NULL —
+    a silent divergence that corrupts any SUM over the counts (the
+    -1s subtract; the NULLs skip)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
-        F.size(_tokens(c))
-    ).cast("bigint")
+    return F.when(
+        c.isNull() | (F.length(F.trim(c)) == 0), F.lit(0)
+    ).otherwise(F.size(_tokens(c))).cast("bigint")
 
 
 def token_count_sql(col: str) -> str:
     return (
-        f"CAST(CASE WHEN length(trim({col})) = 0 THEN 0 "
+        f"CAST(CASE WHEN {col} IS NULL OR length(trim({col})) = 0 THEN 0 "
         f"ELSE len(string_split(trim({col}), ' ')) END AS BIGINT)"
     )
 

@@ -779,11 +779,14 @@ def ngram_dup_spans(
     Plan shape (the 100 TB contract): windows are generated by a
     per-row map (``posexplode`` of the shared ``word_ngrams`` builder)
     fused into the scan — O(total tokens) rows. Duplicated grams are
-    found by ONE hash aggregation on the 64-bit gram hash (map-side
-    partial, so a boilerplate gram appearing in millions of docs still
-    ships one partial row per partition), flagged back onto the window
-    stream by a shuffle semi-join on the same hash, and spans form with
-    ONE window pass per document. No self-join anywhere — unlike the
+    found by ONE count-distinct hash aggregation on the gram hash:
+    the partial phase dedups on (gram, doc) per partition, so the
+    shuffle carries at most one row per distinct (gram, doc) pair per
+    partition — for a boilerplate gram in millions of docs that is
+    rows ∝ its document frequency (never ∝ its total occurrence
+    count, and never the quadratic df² a pair self-join would pay).
+    Flagging is a shuffle semi-join on the same hash, and spans form
+    with ONE window pass per document. No self-join anywhere — unlike the
     pair-join dedup family there is no quadratic hot-shingle term, so
     no df cap is needed. Grams travel as 31-bit mixed hashes, never as
     strings; a hash collision can only over-flag a window (identically
@@ -951,7 +954,11 @@ def bloom_decontaminate(
     if probe == "auto":
         probe = "pandas"
 
-    bench_fp = bench.select(
+    # NULL text has no fingerprint and contaminates nothing: dropped
+    # here so the bitmap fold below never collects a NULL position
+    # (int(None) crash) — matching the corpus side, where a NULL text
+    # is never a candidate (fps >= 0 guard / NULL probe expression)
+    bench_fp = bench.filter(F.col(text_col).isNotNull()).select(
         fingerprint(text_col).alias("__bfp")
     ).distinct()
     # fold the bench side into the bitmap: explode the k positions,

@@ -164,13 +164,16 @@ def _fit_coarse_centroids(
     # hash-ordered prefix is a uniform sample, and capping it keeps
     # _lloyd_kmeans's n×k×dim distance tensor bounded
     supers = _lloyd_kmeans(X[: 256 * k1], k1, seed, max_iter)
-    # GEMM-form |x-s|^2 = |x|^2 - 2 x.s + |s|^2: an n×k1 matrix, never
-    # the n×k1×dim tensor (2.8 GB at a 200k-row sketch)
-    d = (
-        (X * X).sum(axis=1)[:, None]
-        - 2.0 * (X @ supers.T)
-        + (supers * supers).sum(axis=1)[None, :]
-    )
+    # squared-distance matrix accumulated dimension-by-dimension: an
+    # n×k1 matrix, never the n×k1×dim tensor (2.8 GB at a 200k-row
+    # sketch) — and a FIXED float reduction order (elementwise numpy
+    # ops, no BLAS GEMM whose reduction order varies across
+    # libraries/thread counts), so centroids stay reproducible
+    # across hosts, which the value-hash oracle contract relies on
+    d = np.zeros((len(X), k1))
+    for kk in range(X.shape[1]):
+        diff = X[:, kk][:, None] - supers[None, :, kk]
+        d += diff * diff
     lab = d.argmin(axis=1)
     counts = np.bincount(lab, minlength=k1)
     out = []
@@ -907,16 +910,18 @@ def ivfpq_topk(
     portability are unchanged — the registered row keeps raw codes
     only so its DuckDB oracle stays the ann_ivf + ann_pq literal
     composition. LUT cost grows ×nprobe per query; amortized over
-    probed-cell members it is noise at corpus scale. Callers using
-    ``model_cache`` must put ``residual`` in the cache key (the
-    codebooks differ).
+    probed-cell members it is noise at corpus scale. The model cache
+    is scoped by ``residual`` internally (the codebooks differ), so
+    toggling it against the same ``cache_key`` retrains instead of
+    silently ADC-scanning against the other mode's codebooks.
 
     Exact-oracle parity: identical contracts to the parents — integer
     quantized cell distances and ADC (``_IVF_QSCALE``), ties to the
     lowest cell/code/neighbor id, shared normalized-dot rerank.
     """
-    if model_cache is not None and cache_key in model_cache:
-        centroids, codebooks = model_cache[cache_key]
+    ck = (cache_key, bool(residual))
+    if model_cache is not None and ck in model_cache:
+        centroids, codebooks = model_cache[ck]
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
@@ -931,8 +936,12 @@ def ivfpq_topk(
         )
         ids = np.array([r["__id"] for r in sketch], dtype=np.int64)
         X = np.array([r["__v"] for r in sketch], dtype=np.float64)
-        centroids = _lloyd_kmeans(
-            X[: 256 * nlist], min(nlist, len(X)), seed, train_max_iter
+        # the size-aware fitter keeps the coarse stage identical to
+        # ivf_topk AND to the oracle builder's shared numpy trainer
+        # (two-level above 64 cells) — a flat fit here would diverge
+        # from the oracle at large nlist
+        centroids = _fit_coarse_centroids(
+            X[: 256 * nlist], nlist, seed, train_max_iter
         )
         if residual:
             # train codebooks on the SAME integer-grid residuals the
@@ -953,7 +962,7 @@ def ivfpq_topk(
             train_rows=train_rows, train_max_iter=train_max_iter,
         )
         if model_cache is not None:
-            model_cache[cache_key] = (centroids, codebooks)
+            model_cache[ck] = (centroids, codebooks)
 
     cq = _ivf_quantize(centroids)       # (nlist, dim)
     cbq = _ivf_quantize(codebooks)      # (m_sub, ncodes, dsub)

@@ -5204,12 +5204,13 @@ def _q_ngram_dup_spans(spark, sf_dir):
     distinct documents — the substring-dedup signal of Lee et al. 2022
     (doc- and pair-level dedup miss boilerplate shared across
     otherwise-distinct pages; these spans are what a substring pass
-    cuts). One hash aggregation over 31-bit gram hashes (map-side
-    partial — a boilerplate gram in millions of docs ships one partial
-    row per partition), one semi-join flagging duplicated windows, one
+    cuts). One count-distinct hash aggregation over 31-bit gram hashes
+    (the partial phase dedups on (gram, doc) per partition — a
+    boilerplate gram ships rows ∝ its document frequency, never ∝ its
+    occurrence count), one semi-join flagging duplicated windows, one
     gaps-and-islands window per document. NO self-join: unlike the
-    pair-dedup family there is no quadratic hot-shingle term, so no df
-    cap is needed."""
+    pair-dedup family there is no quadratic hot-shingle df² term, so
+    no df cap is needed."""
     from parquet_sampler_spark.operators.dedup import ngram_dup_spans
 
     d = _t(spark, sf_dir, "documents")
@@ -5305,9 +5306,11 @@ training AS (
   SELECT doc_id + {_BLOOM_ID_OFFSET} AS doc_id, text, lang, source, n_chars
   FROM bench WHERE doc_id % {_BLOOM_INJECT_EVERY} = 0
 ),
-bfp AS (SELECT DISTINCT {fingerprint_sql('text')} AS fp FROM bench)
+bfp AS (SELECT DISTINCT {fingerprint_sql('text')} AS fp FROM bench
+        WHERE text IS NOT NULL)
 SELECT t.* FROM training t
-WHERE {fingerprint_sql('t.text')} NOT IN (SELECT fp FROM bfp)
+WHERE t.text IS NULL
+   OR {fingerprint_sql('t.text')} NOT IN (SELECT fp FROM bfp)
 """
 
 

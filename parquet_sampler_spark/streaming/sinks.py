@@ -217,7 +217,13 @@ def _publish(
     """Atomically point ``_CURRENT`` at ``version_name``. When
     ``run_id`` is given it rides the same atomic swap as a second
     pointer-file line, so snapshot version and publishing-query
-    identity can never disagree."""
+    identity can never disagree. When it is None (a maintainer run
+    without an explicit checkpoint_dir), a PREVIOUSLY recorded
+    identity is carried forward rather than erased — dropping it
+    would silently disarm :func:`guard_epoch`'s fresh-checkpoint
+    protection for every later run against this state."""
+    if run_id is None:
+        run_id = published_run_id(base_path)
     ptr = _pointer_path(base_path)
     tmp = ptr + ".__tmp"
     with open(tmp, "w", encoding="ascii") as f:

@@ -39,15 +39,22 @@ EVERY = 5
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else str(REPO / ".scratch" / "sf1")
     tau = 0.92
     jitter = 0.18
-    for i, a in enumerate(sys.argv):
-        if a == "--tau":
-            tau = float(sys.argv[i + 1])
-        if a == "--jitter":
-            jitter = float(sys.argv[i + 1])
+    pos: list[str] = []
+    toks = sys.argv[1:]
+    i = 0
+    while i < len(toks):
+        if toks[i] == "--tau":
+            tau = float(toks[i + 1])
+            i += 2
+        elif toks[i] == "--jitter":
+            jitter = float(toks[i + 1])
+            i += 2
+        else:
+            pos.append(toks[i])
+            i += 1
+    sf_dir = pos[0] if pos else str(REPO / ".scratch" / "sf1")
 
     import pyarrow.parquet as pq
 
