@@ -1970,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "mixture_resample": _q_mixture_resample,
         "semantic_dedup": _q_semantic_dedup,
+        "asof_nearest": _q_asof_nearest,
     }
 
 
@@ -2006,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "sample_stratified": _sql_sample_stratified(),
         "asof_attribution": _SQL_ASOF,
+        "asof_nearest": _SQL_ASOF_NEAREST,
         "anti_join_orders": _sql_anti_join_orders(),
         "rollup_pricing": _SQL_ROLLUP,
         "revenue_per_nation": _SQL_REVENUE,
@@ -5620,3 +5622,66 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
 """
     _SEM_SQL_CACHE[sf_dir] = sql
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of attribution with tolerance (r09)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_TOL_US = 1_800_000_000  # 30 minutes in epoch micros
+
+
+def _q_asof_nearest(spark, sf_dir):
+    """Attribution by the NEAREST click within +/-30 minutes (r09):
+    asof_join's full merge_asof surface — direction='nearest' picks
+    whichever of the latest-preceding / earliest-following click is
+    closer (equal distances break to the backward row), and the
+    tolerance voids matches farther than 30 minutes. Same union-merge
+    plan as the backward row (ONE shuffle per key; the forward carry
+    is a second sort over the same exchange, never a pair join);
+    the oracle replays the pick with an all-candidates window over
+    the identical distance/side/struct tie chain."""
+    from parquet_sampler_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("click_event_id")
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], "ts_us", "ts_us",
+        ["click_event_id"], how="inner", direction="nearest",
+        tolerance=_ASOF_NEAREST_TOL_US,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("asof_ts_us").alias("click_ts_us"),
+        F.col("asof_click_event_id").alias("click_event_id"),
+    )
+
+
+_SQL_ASOF_NEAREST = f"""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_event_id
+           FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT p.event_id, p.user_id, p.ts_us, c.ts_us AS cts, c.click_event_id,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY
+             CASE WHEN c.ts_us <= p.ts_us THEN p.ts_us - c.ts_us
+                  ELSE c.ts_us - p.ts_us END,
+             CASE WHEN c.ts_us <= p.ts_us THEN 0 ELSE 1 END,
+             CASE WHEN c.ts_us <= p.ts_us THEN -c.click_event_id
+                  ELSE c.click_event_id END
+         ) AS rn
+  FROM p JOIN c USING (user_id)
+  WHERE (CASE WHEN c.ts_us <= p.ts_us THEN p.ts_us - c.ts_us
+              ELSE c.ts_us - p.ts_us END) <= {_ASOF_NEAREST_TOL_US}
+)
+SELECT event_id, user_id, ts_us, cts AS click_ts_us, click_event_id
+FROM cand WHERE rn = 1
+"""

@@ -12,8 +12,6 @@ NULLs to keep them pinned.
 
 from __future__ import annotations
 
-import os
-
 import duckdb
 import pytest
 
@@ -80,8 +78,11 @@ def test_token_count_null_is_zero_both_engines(spark, null_doc_dir):
     assert by_id[3] == 0 and by_id[7] == 0  # NULL and whitespace-only
 
 
-def test_bloom_decontaminate_null_text_parity(spark, null_doc_dir):
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = null_doc_dir
+def test_bloom_decontaminate_null_text_parity(spark, null_doc_dir, monkeypatch):
+    # monkeypatch restores the env var — a bare os.environ write leaked
+    # into later tests, pointing the ANN oracle builders at a docs-only
+    # tmp dir (FileNotFoundError on embeddings.parquet)
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", null_doc_dir)
     from parquet_sampler_spark.queries_ext import (
         _q_bloom_decontaminate,
         _sql_bloom_decontaminate,
@@ -95,8 +96,8 @@ def test_bloom_decontaminate_null_text_parity(spark, null_doc_dir):
     assert 41 in kept_ids
 
 
-def test_mixture_resample_null_text_parity(spark, null_doc_dir):
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = null_doc_dir
+def test_mixture_resample_null_text_parity(spark, null_doc_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", null_doc_dir)
     from parquet_sampler_spark.operators.sample import mixture_resample
 
     d = spark.read.parquet(f"{null_doc_dir}/documents.parquet")
