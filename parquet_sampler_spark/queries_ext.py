@@ -1971,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": _q_mixture_resample,
         "semantic_dedup": _q_semantic_dedup,
         "asof_nearest": _q_asof_nearest,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -2008,6 +2009,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sql_sample_stratified(),
         "asof_attribution": _SQL_ASOF,
         "asof_nearest": _SQL_ASOF_NEAREST,
+        "bpe_merges": _sql_bpe_merges(),
         "anti_join_orders": _sql_anti_join_orders(),
         "rollup_pricing": _SQL_ROLLUP,
         "revenue_per_nation": _SQL_REVENUE,
@@ -5685,3 +5687,61 @@ cand AS (
 SELECT event_id, user_id, ts_us, cts AS click_ts_us, click_event_id
 FROM cand WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge rounds — tokenizer vocabulary induction (r09)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 4
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Tokenizer vocabulary induction (r09): the first 4 rounds of the
+    BPE trainer loop (Sennrich et al. 2016) over the documents corpus —
+    each round ONE corpus scan counting every adjacent token pair
+    (map-side partial + TakeOrderedAndProject(1); the single winning
+    row is the only driver collect), then a pure string-expression
+    rewrite merging the winner greedily leftmost-first (canonical BPE;
+    ties break to the lexicographically smallest pair). Output = the
+    merge table, the first K lines of a merges.txt. Oracle = the same
+    K rounds as chained CTE stages with identical count/tie/rewrite
+    primitives."""
+    from parquet_sampler_spark.operators.vocab import bpe_merge_rounds
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_rounds(d, "doc_id", "text", rounds=_BPE_ROUNDS)
+
+
+def _sql_bpe_merges() -> str:
+    ctes = ["s0 AS (SELECT trim(text) AS t FROM documents "
+            "WHERE length(trim(text)) > 0)"]
+    selects = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"s{r - 1}"
+        ctes.append(f"""p{r} AS (
+  SELECT t1 || ' ' || t2 AS p, count(*) AS c
+  FROM (
+    SELECT tk[i] AS t1, tk[i + 1] AS t2
+    FROM (SELECT string_split(t, ' ') AS tk FROM {prev}) q,
+         unnest(range(1, len(tk))) AS u(i)
+  ) GROUP BY p
+)""")
+        ctes.append(f"""w{r} AS (
+  SELECT p, c, replace(p, ' ', '_') AS m,
+         ' ' || replace(p, ' ', '  ') || ' ' AS findp,
+         ' ' || replace(p, ' ', '_') || ' ' AS replp
+  FROM p{r} ORDER BY c DESC, p LIMIT 1
+)""")
+        ctes.append(f"""s{r} AS (
+  SELECT trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+           (SELECT findp FROM w{r}), (SELECT replp FROM w{r})),
+         '  ', ' ')) AS t
+  FROM {prev}
+)""")
+        selects.append(
+            f"SELECT {r} AS round, p AS pair, m AS merged, "
+            f"CAST(c AS BIGINT) AS cnt FROM w{r}"
+        )
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(selects))
