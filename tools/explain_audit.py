@@ -356,6 +356,32 @@ def main() -> int:
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # 31. BPE pair counting (r09): the per-round scan must stay
+    # all-JVM (generate + partial count + TakeOrdered), with no
+    # Python evaluation and no global sort — bpe_merge_rounds returns
+    # a tiny local merge table, so audit the round-1 counting plan
+    # directly
+    from pyspark.sql import functions as _F
+
+    _docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        _F.trim("text").alias("__t")
+    ).filter(_F.length("__t") > 0).select(
+        _F.split(_F.col("__t"), " ").alias("__tk")
+    )
+    _pairs = _F.expr(
+        "transform(sequence(1, size(__tk) - 1), "
+        "i -> concat(__tk[i-1], ' ', __tk[i]))"
+    )
+    check(
+        "bpe_pair_count_round",
+        _docs.filter(_F.size(_F.col("__tk")) >= 2)
+        .select(_F.explode(_pairs).alias("__p"))
+        .groupBy("__p").agg(_F.count(_F.lit(1)).alias("__c"))
+        .orderBy(_F.col("__c").desc(), _F.col("__p")).limit(1),
+        must_contain=["TakeOrderedAndProject", "partial_count"],
+        must_not=["BatchEvalPython", "ArrowEvalPython", "Sort "],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
