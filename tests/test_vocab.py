@@ -62,3 +62,8 @@ def test_bad_rounds_raises(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         bpe_merge_rounds(df, "doc_id", "text", rounds=0)
+
+
+def test_no_pairs_returns_empty_merge_table(spark):
+    got = _merges(spark, ["solo", "another"], 3)
+    assert got == []
