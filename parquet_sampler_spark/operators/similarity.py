@@ -156,9 +156,22 @@ def _fit_coarse_centroids(
     caps can yield slightly fewer — nlist is a knob, the actual
     centroid array defines the cells, identically in both engines).
     """
+    _, cents, _ = _fit_coarse_hierarchy(X, k, seed, max_iter)
+    return cents
+
+
+def _fit_coarse_hierarchy(
+    X: np.ndarray, k: int, seed: int, max_iter: int
+) -> tuple[np.ndarray | None, np.ndarray, np.ndarray | None]:
+    """The full two-level fit: returns ``(supers, centroids, owner)``
+    where ``owner[c]`` is the super-cell index owning sub-centroid
+    ``c`` — what hierarchical ASSIGNMENT needs (route a vector to its
+    nearest super, then compare only that super's sub-centroids).
+    Below the two-level threshold the fit is flat and ``supers`` /
+    ``owner`` are None."""
     k = min(k, len(X))
     if k <= _TWO_LEVEL_NLIST:
-        return _lloyd_kmeans(X, k, seed, max_iter)
+        return None, _lloyd_kmeans(X, k, seed, max_iter), None
     k1 = int(np.ceil(np.sqrt(k)))
     # the super-cells need only a density sketch of the sketch: the
     # hash-ordered prefix is a uniform sample, and capping it keeps
@@ -176,16 +189,16 @@ def _fit_coarse_centroids(
         d += diff * diff
     lab = d.argmin(axis=1)
     counts = np.bincount(lab, minlength=k1)
-    out = []
+    out, owners = [], []
     for j in np.flatnonzero(counts):
         pts = X[lab == j]
         kj = min(len(pts),
                  max(1, int(np.floor(len(pts) * k / len(X) + 0.5))))
-        out.append(
-            _lloyd_kmeans(pts, kj, seed + 1_000_003 * (int(j) + 1),
-                          max_iter)
-        )
-    return np.vstack(out)
+        sub = _lloyd_kmeans(pts, kj, seed + 1_000_003 * (int(j) + 1),
+                            max_iter)
+        out.append(sub)
+        owners.extend([int(j)] * len(sub))
+    return supers, np.vstack(out), np.array(owners, dtype=np.int64)
 
 
 def lsh_topk(
@@ -483,19 +496,17 @@ def _ivf_quantize(m: np.ndarray) -> np.ndarray:
     return np.floor(m * _IVF_QSCALE).astype(np.int64)
 
 
-def ivf_train_centroids_numpy(
+def ivf_train_sketch_numpy(
     ids: np.ndarray,
     vecs: np.ndarray,
     nlist: int,
     seed: int,
     train_per_cell: int = 256,
-    train_max_iter: int = 20,
 ) -> np.ndarray:
-    """Exactly :func:`ivf_topk`'s quantizer fit, from in-memory arrays:
-    portable Lehmer sketch selection (smallest hash, ties by id), then
-    the same seeded Lloyd fit. The DuckDB oracle builder calls this on
-    the raw parquet to reproduce the operator's centroids bit-for-bit
-    without a Spark session."""
+    """The operator's portable training-sketch selection (smallest
+    Lehmer hash, ties by id) from in-memory arrays — shared by the
+    DuckDB oracle builders so trainers on both sides see the
+    byte-identical sketch."""
     from parquet_sampler_spark.functions.hashing import (
         COLUMN_MULTIPLIERS,
         MODULUS,
@@ -506,7 +517,23 @@ def ivf_train_centroids_numpy(
     ids = np.asarray(ids, dtype=np.int64)
     h = (ids * COLUMN_MULTIPLIERS[0] % MODULUS * sm + sa) % MODULUS
     order = np.lexsort((ids, h))[: train_per_cell * nlist]
-    X = np.asarray(vecs, dtype=np.float64)[order]
+    return np.asarray(vecs, dtype=np.float64)[order]
+
+
+def ivf_train_centroids_numpy(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    nlist: int,
+    seed: int,
+    train_per_cell: int = 256,
+    train_max_iter: int = 20,
+) -> np.ndarray:
+    """Exactly :func:`ivf_topk`'s quantizer fit, from in-memory arrays:
+    portable Lehmer sketch selection (smallest hash, ties by id), then
+    the same seeded fit. The DuckDB oracle builder calls this on the
+    raw parquet to reproduce the operator's centroids bit-for-bit
+    without a Spark session."""
+    X = ivf_train_sketch_numpy(ids, vecs, nlist, seed, train_per_cell)
     return _fit_coarse_centroids(X, nlist, seed, train_max_iter)
 
 
@@ -1109,12 +1136,18 @@ def semantic_dedup(
 
     Cross-engine determinism (the value-hash oracle contract): quantizer
     training reuses ann_ivf's machinery — bounded portable-Lehmer sketch
-    + seeded numpy Lloyd (:func:`ivf_train_centroids_numpy` rebuilds the
-    identical centroids from raw parquet); cell assignment compares
+    + seeded numpy Lloyd (the oracle rebuilds the identical centroids
+    from raw parquet via the shared trainer); cell assignment compares
     INTEGER-quantized squared distances (``_IVF_QSCALE``, ties to the
-    lowest cell id); cosines use the engine-exact normalized
-    left-to-right dot. Zero-norm vectors have no defined cosine, are
-    never dropped, and keep their assigned cell.
+    lowest cell id), and above ``_TWO_LEVEL_NLIST`` cells it routes
+    HIERARCHICALLY — nearest super-cell first, then only that super's
+    sub-centroids (n·(√nlist + nlist/√nlist) integer distances instead
+    of n·nlist; a boundary vector may land one cell off flat argmin —
+    the SemDeDup trade, replayed identically by the oracle's chained
+    argmin CTEs and hash-verified at sf1/78 cells); cosines use the
+    engine-exact normalized left-to-right dot. Zero-norm vectors have
+    no defined cosine, are never dropped, and keep their assigned
+    cell.
 
     ``pairs`` selects the within-cell scorer — both paths are
     value-identical (pytest-pinned):
@@ -1134,7 +1167,7 @@ def semantic_dedup(
     if pairs not in ("pandas", "expr"):
         raise ValueError(f"pairs must be 'pandas' or 'expr', got {pairs!r}")
     if model_cache is not None and cache_key in model_cache:
-        centroids = model_cache[cache_key]
+        supers, centroids, owner = model_cache[cache_key]
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
@@ -1148,27 +1181,48 @@ def semantic_dedup(
             .collect()
         )
         X = np.array([r["__v"] for r in sketch], dtype=np.float64)
-        centroids = _fit_coarse_centroids(X, nlist, seed,
-                                          train_max_iter)
+        supers, centroids, owner = _fit_coarse_hierarchy(
+            X, nlist, seed, train_max_iter
+        )
         if model_cache is not None:
-            model_cache[cache_key] = centroids
+            model_cache[cache_key] = (supers, centroids, owner)
 
-    cq = _ivf_quantize(centroids)  # (nlist, dim) int64
+    cq = _ivf_quantize(centroids)  # (ncells, dim) int64
+    sq = None if supers is None else _ivf_quantize(supers)
+
+    def _int_sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # integer GEMM form |m-c|^2 = |m|^2 - 2 m.c + |c|^2: EXACT in
+        # int64 (quantized values ~2^20, sums < 2^47 — no rounding, so
+        # the value equals the oracle's per-dim fold bit-for-bit) and
+        # an n×k matrix, never the n×k×dim tensor (which is gigabytes
+        # per Arrow batch once the cell count grows with the corpus)
+        return (
+            (m * m).sum(axis=1)[:, None]
+            - 2 * (m @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
 
     @F.pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        # integer GEMM form |m-c|^2 = |m|^2 - 2 m.c + |c|^2: EXACT in
-        # int64 (quantized values ~2^20, sums < 2^47 — no rounding, so
-        # the value equals the oracle's per-dim fold bit-for-bit) and
-        # an n×nlist matrix, never the n×nlist×dim tensor (which is
-        # gigabytes per Arrow batch once nlist grows with the corpus)
-        d = (
-            (m * m).sum(axis=1)[:, None]
-            - 2 * (m @ cq.T)
-            + (cq * cq).sum(axis=1)[None, :]
-        )
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        if sq is None:
+            return pd.Series(
+                _int_sqdist(m, cq).argmin(axis=1).astype("int32")
+            )
+        # HIERARCHICAL assignment above the two-level threshold:
+        # route to the nearest super-cell first, then argmin over only
+        # that super's sub-centroids — n*(k1 + k/k1) integer distances
+        # instead of n*k, removing assignment's n x nlist term (the
+        # SemDeDup trade: a boundary vector may land one cell off
+        # flat argmin; identically in both engines, oracle-replicated)
+        sup = _int_sqdist(m, sq).argmin(axis=1)
+        out = np.empty(len(m), dtype=np.int32)
+        for s in np.unique(sup):
+            rows = np.flatnonzero(sup == s)
+            cells = np.flatnonzero(owner == s)
+            local = _int_sqdist(m[rows], cq[cells]).argmin(axis=1)
+            out[rows] = cells[local].astype(np.int32)
+        return pd.Series(out)
 
     assigned = spread(corpus).select(
         F.col(id_col).alias("__sid"),

@@ -5554,10 +5554,7 @@ def _sql_semantic_dedup() -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from parquet_sampler_spark.operators.similarity import (
-        _IVF_QSCALE,
-        ivf_train_centroids_numpy,
-    )
+    from parquet_sampler_spark.operators.similarity import _IVF_QSCALE
 
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
@@ -5573,16 +5570,70 @@ def _sql_semantic_dedup() -> str:
     all_ids = np.concatenate([ids, ids[mask] + _SEM_ID_OFFSET])
     all_vecs = np.concatenate([vecs, vecs[mask]])
     nlist = max(16, len(ids) // _SEM_NLIST_DIV)
-    cents = ivf_train_centroids_numpy(
-        all_ids, all_vecs, nlist=nlist, seed=_SEM_SEED
+    from parquet_sampler_spark.operators.similarity import (
+        _fit_coarse_hierarchy,
+        ivf_train_sketch_numpy,
     )
+
+    X = ivf_train_sketch_numpy(all_ids, all_vecs, nlist, _SEM_SEED)
+    supers, cents, owner = _fit_coarse_hierarchy(X, nlist, _SEM_SEED, 20)
     ci = np.floor(cents * _IVF_QSCALE).astype(np.int64)
-    rows = ",\n".join(
-        f"({j}, [{', '.join(str(int(x)) for x in c)}]::BIGINT[])"
-        for j, c in enumerate(ci)
-    )
+
+    def _vec_lit(c) -> str:
+        return "[" + ", ".join(str(int(x)) for x in c) + "]::BIGINT[]"
+
     sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
               "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
+    if supers is None:
+        rows = ",\n".join(
+            f"({j}, {_vec_lit(c)})" for j, c in enumerate(ci)
+        )
+        assign_ctes = f"""cents(cell, cv) AS (VALUES
+{rows}
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vi.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY vi.vec_id
+                              ORDER BY {sqdist}, cell) AS rn
+    FROM vi CROSS JOIN cents) WHERE rn = 1
+)"""
+    else:
+        # hierarchical assignment above the two-level threshold:
+        # nearest super-cell first (sv literals), then argmin over
+        # ONLY that super's sub-centroids — the exact pick order the
+        # operator's cell_of replays (ties: lowest s, lowest cell)
+        si = np.floor(supers * _IVF_QSCALE).astype(np.int64)
+        srows = ",\n".join(
+            f"({j}, {_vec_lit(s)})" for j, s in enumerate(si)
+        )
+        crows = ",\n".join(
+            f"({j}, {int(owner[j])}, {_vec_lit(c)})"
+            for j, c in enumerate(ci)
+        )
+        sdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+                 "j -> (v[j] - sv[j]) * (v[j] - sv[j])))")
+        assign_ctes = f"""supers(s, sv) AS (VALUES
+{srows}
+),
+cents(cell, own, cv) AS (VALUES
+{crows}
+),
+sassign AS (
+  SELECT vec_id, s FROM (
+    SELECT vi.vec_id, supers.s,
+           row_number() OVER (PARTITION BY vi.vec_id
+                              ORDER BY {sdist}, s) AS rn
+    FROM vi CROSS JOIN supers) WHERE rn = 1
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vi.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY vi.vec_id
+                              ORDER BY {sqdist}, cell) AS rn
+    FROM vi JOIN sassign USING (vec_id)
+            JOIN cents ON cents.own = sassign.s) WHERE rn = 1
+)"""
     cos = unit_dot_sql("a.v", "b.v")
     sql = f"""
 WITH corpus AS (
@@ -5591,9 +5642,6 @@ WITH corpus AS (
   SELECT vec_id + {_SEM_ID_OFFSET} AS vec_id, embedding
   FROM embeddings WHERE vec_id % {_SEM_INJECT_EVERY} = 0
 ),
-cents(cell, cv) AS (VALUES
-{rows}
-),
 vi AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -5601,13 +5649,7 @@ vi AS (
                        AS BIGINT)) AS v
   FROM corpus
 ),
-assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT vi.vec_id, cents.cell,
-           row_number() OVER (PARTITION BY vi.vec_id
-                              ORDER BY {sqdist}, cell) AS rn
-    FROM vi CROSS JOIN cents) WHERE rn = 1
-),
+{assign_ctes},
 {normalized_cte_sql('corpus')},
 members AS (
   SELECT a.vec_id, a.cell, n.v
