@@ -788,12 +788,24 @@ def ngram_dup_spans(
     Flagging is a shuffle semi-join on the same hash, and spans form
     with ONE window pass per document. No self-join anywhere — unlike the
     pair-join dedup family there is no quadratic hot-shingle term, so
-    no df cap is needed. Grams travel as 31-bit mixed hashes, never as
-    strings; a hash collision can only over-flag a window (identically
-    in the DuckDB oracle, which replicates the same hash).
+    no df cap is needed. Grams travel as 31-bit integer hashes, never
+    as strings: each token's characters are hashed ONCE per document
+    (:func:`~parquet_sampler_spark.functions.hashing.
+    mixed_string_hash`), and a window's hash is the base-31 polynomial
+    fold of its n token hashes mod the Mersenne prime — the window
+    STRING is never materialized, so per-window work is n integer ops
+    instead of building and re-folding an ~n·token_len-character
+    string. End-to-end at sf0.1 this is a wash (measured: the
+    count-distinct shuffle and semi-join dominate, not the hashing) —
+    the win is allocation volume at scale, where every window
+    otherwise carries a ~50-char string through the explode. A hash
+    collision can only over-flag a window (identically in the DuckDB
+    oracle, which replicates the same two-stage hash).
     """
-    from parquet_sampler_spark.functions.hashing import mixed_string_hash
-    from parquet_sampler_spark.functions.text import word_ngrams
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash,
+    )
     from parquet_sampler_spark.plans.layout import spread
 
     if n < 1:
@@ -801,14 +813,26 @@ def ngram_dup_spans(
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
 
-    grams = word_ngrams(text_col, n, distinct=False)
-    windows = spread(df).select(
-        F.col(id_col),
-        F.posexplode(grams).alias("__pos0", "__gram"),
-    ).select(
-        F.col(id_col),
-        (F.col("__pos0") + 1).cast("bigint").alias("pos"),
-        mixed_string_hash(F.col("__gram")).alias("gh"),
+    tk = F.split(F.trim(F.col(text_col)), " ")
+    th = F.transform(tk, lambda t: mixed_string_hash(t))
+    gh_windows = (
+        f"transform(sequence(1, size(__th) - {n - 1}), "
+        f"i -> aggregate(slice(__th, i, {n}), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {MODULUS}L))"
+    )
+    windows = (
+        spread(df).select(F.col(id_col), th.alias("__th"))
+        # guard: sequence(1, k) with k <= 0 is a DESCENDING sequence
+        .filter(F.size("__th") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.expr(gh_windows)).alias("__pos0", "gh"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__pos0") + 1).cast("bigint").alias("pos"),
+            "gh",
+        )
     )
     dup_grams = (
         windows.groupBy("gh")

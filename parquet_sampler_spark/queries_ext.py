@@ -5224,20 +5224,26 @@ def _q_ngram_dup_spans(spark, sf_dir):
 
 
 def _sql_ngram_dup_spans() -> str:
-    from parquet_sampler_spark.functions.hashing import mixed_string_hash_sql
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash_sql,
+    )
 
     n, min_df = _DUP_SPAN_N, _DUP_SPAN_MIN_DF
-    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
 ),
-wg AS (
-  SELECT doc_id, CAST(i AS BIGINT) AS pos, {parts} AS gram
-  FROM toks, unnest(range(1, len(t) - {n} + 2)) AS u(i)
+th AS (
+  SELECT doc_id,
+         list_transform(t, x -> {mixed_string_hash_sql('x')}) AS h
+  FROM toks
 ),
 w AS (
-  SELECT doc_id, pos, {mixed_string_hash_sql('gram')} AS gh FROM wg
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{n - 1}]),
+                     (acc, x) -> (acc * 31 + x) % {MODULUS}) AS gh
+  FROM th, unnest(range(1, len(h) - {n} + 2)) AS u(i)
 ),
 dg AS (
   SELECT gh FROM w GROUP BY gh HAVING count(DISTINCT doc_id) >= {min_df}
