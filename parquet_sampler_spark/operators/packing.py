@@ -29,7 +29,9 @@ def pack_sequences(
     sequences under concat-then-chunk packing, sharded for parallelism.
 
     The corpus is split into ``n_shards`` deterministic hash shards
-    (``id % n_shards``); within each shard, documents are concatenated
+    (``pmod(id, n_shards)`` — the NON-NEGATIVE remainder, so negative
+    ids shard consistently with the SQL oracle's ``((id % n) + n) %
+    n``); within each shard, documents are concatenated
     in ``id_col`` order into one notional token stream, and that stream
     is sliced into back-to-back sequences of exactly ``cap`` tokens
     (the last slice of a shard may be short). A document whose tokens

@@ -223,7 +223,15 @@ def mg_weighted_updates(
         n_part = 0
         for b in batches:
             n_part += len(b)
-            for key, c in b["__k"].value_counts().items():
+            # fold in a DEFINED order — value_counts ties keep pandas'
+            # internal (version-dependent) ordering, and the MG
+            # decrement rule makes counter VALUES fold-order-sensitive;
+            # sorting by (-count, key) keeps the emitted summary bytes
+            # reproducible across pandas versions and repartitionings
+            vc = b["__k"].value_counts()
+            for key, c in sorted(
+                vc.items(), key=lambda kv: (-kv[1], kv[0])
+            ):
                 _mg_update(counters, key, int(c), k - 1)
         keys = list(counters.keys())
         yield pd.DataFrame(

@@ -114,6 +114,13 @@ def clear_caches() -> None:
     _sample_mod.clear_candidate_cache()
     queries_ext._IVF_MODEL_CACHE.clear()
     queries_ext._SEM_MODEL_CACHE.clear()
+    # the data-fitted oracle SQL caches (keyed by sf_dir) hold INLINED
+    # centroid/codebook literals — stale if an sf_dir's
+    # embeddings.parquet is regenerated within one process
+    queries_ext._IVF_SQL_CACHE.clear()
+    queries_ext._PQ_SQL_CACHE.clear()
+    queries_ext._IVFPQ_SQL_CACHE.clear()
+    queries_ext._SEM_SQL_CACHE.clear()
     # path caches (written trees under the tmp roots wiped below)
     queries_ext._DPP_CACHE.clear()
     from parquet_sampler_spark.plans import cache as _plan_cache

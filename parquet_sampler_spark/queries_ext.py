@@ -635,7 +635,14 @@ def _q_streaming_late_watermark(spark, sf_dir):
 # applied to batch b = ms-floored running max over batches <= b-2,
 # minus 2h (stats fold in one batch late — see the query docstring);
 # accept iff window end > that watermark; emit iff window end <= the
-# final watermark
+# final watermark.
+# NOTE: the one-batch lag and ms flooring are Spark-internal scheduling
+# details MEASURED ON pyspark 4.1.2 — a Spark upgrade that changes
+# watermark-propagation timing will break this hash gate even though
+# both engines are individually correct. The canary is
+# tests/test_streaming.py::test_watermark_filter_lags_one_batch: if it
+# fails after an upgrade, re-measure the lag and update the
+# "2 PRECEDING" frame below to match.
 _SQL_STREAMING_LATE_WATERMARK = """
 WITH e AS (
   SELECT epoch_us(ts) AS ts_us, event_id % 3 AS b FROM events
@@ -5409,9 +5416,13 @@ def _sql_pack_sequences() -> str:
     from parquet_sampler_spark.functions.text import token_count_sql
 
     cap, ns = _PACK_CAP, _PACK_SHARDS
+    # shard uses NON-NEGATIVE remainder on both sides: the operator's
+    # F.pmod and this ((x % n) + n) % n agree for negative ids too
+    # (DuckDB's bare % keeps the sign), so oracle parity doesn't depend
+    # on the gate corpus's non-negative doc_ids
     return f"""
 WITH base AS (
-  SELECT doc_id, doc_id % {ns} AS shard,
+  SELECT doc_id, ((doc_id % {ns}) + {ns}) % {ns} AS shard,
          {token_count_sql('text')} AS n_tokens
   FROM documents
 ),

@@ -76,8 +76,17 @@ def main() -> int:
     norm_ratio = ratio / cal_ratio
 
     def spread(raw: list[dict[str, float]]) -> float:
-        tots = [sum(p.get(q, 0.0) for q in common) for p in raw]
-        return max(tots) / min(tots) if min(tots) > 0 else float("nan")
+        # only passes covering the FULL common subset are comparable —
+        # substituting 0.0 for a missing query deflated that pass's
+        # total and overstated the spread on heterogeneous pass sets
+        tots = [
+            sum(p[q] for q in common)
+            for p in raw
+            if all(q in p for q in common)
+        ]
+        if not tots or min(tots) <= 0:
+            return float("nan")
+        return max(tots) / min(tots)
 
     print(f"common entries: {len(common)}")
     print(f"old ({old_path}): {tot_old:.1f}s over common subset, "
