@@ -47,6 +47,12 @@ _ORD = "__psx_ord"
 _MARGIN = 1.6
 _PREFILTER_MIN_ROWS = 200_000
 
+# Per-process prefilter outcome counters — observability for the
+# verify-and-fallback branch, so a test can PROVE the fallback path ran
+# (tests/test_sample.py pins a seed whose candidate set provably
+# underfills) rather than trusting the Chernoff argument alone.
+PREFILTER_STATS = {"hit": 0, "fallback": 0}
+
 # Persisted prefilter candidate sets, kept alive because the returned
 # (lazy) top-k plan reads them after this function returns. Registered
 # here so ``queries.clear_caches()`` can evict them — nothing else does.
@@ -214,6 +220,7 @@ def sample_exact(
         threshold = int(MODULUS * ratio * _MARGIN) + 1
         pre = tagged.filter(F.col(_PR) < threshold).persist()
         if pre.count() >= k:
+            PREFILTER_STATS["hit"] += 1
             candidates = pre
             _CANDIDATE_CACHE.append(pre)
             while len(_CANDIDATE_CACHE) > _CANDIDATE_CACHE_MAX:
@@ -222,8 +229,10 @@ def sample_exact(
                 except Exception:
                     pass
         else:
-            # astronomically unlikely (Chernoff); scan everything — and
-            # drop the abandoned candidate set's cached blocks now
+            # astronomically unlikely at production k (Chernoff); scan
+            # everything — and drop the abandoned candidate set's
+            # cached blocks now
+            PREFILTER_STATS["fallback"] += 1
             pre.unpersist()
 
     # Exact top-k as ORDER BY + LIMIT — compiles to

