@@ -468,3 +468,66 @@ def test_route_probe_and_assign_hierarchical_match_bruteforce():
     for i in range(len(m)):
         d = ((m[i][None, :] - cq) ** 2).sum(axis=1)
         assert flat[i] == np.argsort(d, kind="stable")[:nprobe].tolist()
+
+
+def test_clustered_recall_standing_gate(spark):
+    """(r10, VERDICT r9 #8) The clustered-corpus recall protocol as a
+    STANDING gate: on the seeded 20k-vector Zipf mixture-of-Gaussians
+    (tools/ann_recall_sf1.clustered_corpus — imported, not copied), the
+    production shapes must hold recall@10 >= 0.9 (lsh 4x16, ivf np8,
+    ivfpq residual + 8-bit codebooks) while raw 4-bit IVFPQ stays in
+    its measured collapse (0.154 at r9/r10) — so a trainer regression
+    cannot silently reopen the PQ cliff, and a 'fix' that merely lifts
+    raw codes would trip the cliff guard and force re-measurement."""
+    import importlib.util
+    from pathlib import Path
+
+    from parquet_sampler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_recall_sf1",
+        Path(__file__).resolve().parent.parent / "tools"
+        / "ann_recall_sf1.py",
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    e, _sizes = tool.clustered_corpus(spark)
+    e = e.cache()
+    try:
+        q = e.filter(F.col("vec_id") < 30)
+        exact = {(r.query_id, r.neighbor_id)
+                 for r in cosine_topk(e, q, "vec_id", "embedding",
+                                      k=10).collect()}
+
+        def rec(df) -> float:
+            got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+            return len(got & exact) / len(exact)
+
+        lsh = rec(lsh_topk(e, q, "vec_id", "embedding", k=10, bits=4,
+                           tables=16, dim=64, seed=42))
+        ivf = rec(ivf_topk(e, q, "vec_id", "embedding", k=10, nlist=16,
+                           nprobe=8, seed=42))
+        raw = rec(ivfpq_topk(e, q, "vec_id", "embedding", k=10,
+                             nlist=16, nprobe=8, m_sub=16, ncodes=16,
+                             rerank=100, seed=42))
+        res8 = rec(ivfpq_topk(e, q, "vec_id", "embedding", k=10,
+                              nlist=16, nprobe=8, m_sub=16, ncodes=256,
+                              rerank=100, seed=42, residual=True))
+    finally:
+        e.unpersist()
+
+    assert lsh >= 0.9, f"lsh clustered recall regressed: {lsh}"
+    assert ivf >= 0.9, f"ivf np8 clustered recall regressed: {ivf}"
+    assert res8 >= 0.9, f"residual+8bit clustered recall regressed: {res8}"
+    # the cliff guard: raw 4-bit codes are EXPECTED to collapse here
+    assert raw < 0.5, (
+        f"raw-code IVFPQ no longer collapses on clustered data ({raw}) "
+        "— re-measure tools/ann_recall_sf1.py --clustered and update "
+        "the documented cliff"
+    )

@@ -76,6 +76,8 @@ FIXTURES: dict[str, str] = {
     "manifest_prune": "setup_manifest",
     "compaction_scan": "setup_compaction",
     "semantic_dedup": "setup_sem_model",
+    "ann_ivfpq_residual": "setup_ivfpqr_model",
+    "ann_ivf_hier": "setup_ivf_hier_model",
 }
 
 
@@ -89,6 +91,15 @@ def _fixture_builder(name: str):
         # one full run trains it; the timed query then reuses it, so
         # its exponent measures assign+pair+anti-join, not training
         return lambda spark, sf_dir: queries_ext._q_semantic_dedup(
+            spark, sf_dir
+        ).count()
+    if name == "ann_ivfpq_residual":
+        # same contract: one run trains centroids + residual codebooks
+        return lambda spark, sf_dir: queries_ext._q_ann_ivfpq_residual(
+            spark, sf_dir
+        ).count()
+    if name == "ann_ivf_hier":
+        return lambda spark, sf_dir: queries_ext._q_ann_ivf_hier(
             spark, sf_dir
         ).count()
     raise KeyError(name)

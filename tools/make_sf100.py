@@ -1,0 +1,86 @@
+"""Generate a LOCAL sf100 slice — the THIRD scale decade for the flat
+core (r10, VERDICT r9 #5).
+
+Only the tables the targeted queries read are amplified (disk budget
+~24 GB): ``lineitem`` + ``orders`` for the reference workflow
+(sample → semi-join chain), ``events`` for manifest_prune, and
+``documents`` for ngram_dup_spans / bloom_decontaminate /
+pack_sequences. Same key-shifted-copies shape as make_sf10.py with
+strides one further decade wider: key cardinality grows 10×, per-key
+distributions (lineitems per order, events per user, docs per source)
+are preserved exactly — a 100× corpus means more keys, not hotter
+keys, and these queries aggregate/join/fold PER KEY.
+
+Requires .scratch/sf10 (run tools/make_sf1.py then tools/make_sf10.py
+first). Deterministic (pure key arithmetic).
+Usage: python tools/make_sf100.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+SRC = REPO / ".scratch" / "sf10"
+OUT = REPO / ".scratch" / "sf100"
+COPIES = 10
+# one decade past the sf10 strides; customer stride stays a multiple
+# of 100 so the CDC mod-100 update classes would survive yet another
+# decade (orders carries o_custkey through)
+CUST_STRIDE = 10_000_000
+ORDER_STRIDE = 1_000_000_000
+EVENT_STRIDE = 100_000_000
+USER_STRIDE = 10_000_000
+DOC_STRIDE = 10_000_000
+
+
+def main() -> int:
+    needed = ["orders", "lineitem", "events", "documents"]
+    missing = [t for t in needed if not (SRC / f"{t}.parquet").is_file()]
+    if missing:
+        raise SystemExit(
+            f"run tools/make_sf10.py first (missing in sf10: {missing})"
+        )
+    OUT.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    # bound duckdb's materialization memory; the unions stream to disk
+    con.execute("SET memory_limit='24GB'")
+    plans = {
+        "documents": f"doc_id + {{k}} * {DOC_STRIDE} AS doc_id",
+        "events": (
+            f"event_id + {{k}} * {EVENT_STRIDE} AS event_id, "
+            f"user_id + {{k}} * {USER_STRIDE} AS user_id"
+        ),
+        "orders": (
+            f"o_orderkey + {{k}} * {ORDER_STRIDE} AS o_orderkey, "
+            f"o_custkey + {{k}} * {CUST_STRIDE} AS o_custkey"
+        ),
+        "lineitem": f"l_orderkey + {{k}} * {ORDER_STRIDE} AS l_orderkey",
+    }
+    for t, repl in plans.items():
+        dst = OUT / f"{t}.parquet"
+        if dst.is_file():
+            print(f"{t}: exists, skipping")
+            continue
+        src = SRC / f"{t}.parquet"
+        union = " UNION ALL ".join(
+            f"SELECT * REPLACE ({repl.format(k=k)}) FROM '{src}'"
+            for k in range(COPIES)
+        )
+        tmp = str(dst) + ".tmp"
+        con.execute(
+            f"COPY ({union}) TO '{tmp}' (FORMAT PARQUET)"
+        )
+        Path(tmp).replace(dst)
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst}'"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
