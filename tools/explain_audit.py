@@ -382,6 +382,47 @@ def main() -> int:
         must_not=["BatchEvalPython", "ArrowEvalPython", "Sort "],
     )
 
+    # 32. residual IVFPQ (r10): probe + ADC + rerank must stay
+    # broadcast-joined (queries ≪ corpus) with the ADC fold JVM-side —
+    # Python appears only in the Arrow-batched model UDFs, never as
+    # row-at-a-time eval; no cartesian (the LUT×corpus pairing is an
+    # equi-join on the probed cell, unlike flat PQ's deliberate
+    # broadcast nested loop)
+    check(
+        "ann_ivfpq_residual",
+        R.queries()["ann_ivfpq_residual"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "SortMergeJoin"],
+    )
+
+    # 33. hierarchical IVF (r10): same contract at nlist=128 — the
+    # routed probe is inside the Arrow UDF; the candidate join stays a
+    # broadcast equi-join on the cell id
+    check(
+        "ann_ivf_hier",
+        R.queries()["ann_ivf_hier"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "SortMergeJoin"],
+    )
+
+    # 34. BPE encode (r10): the K-merge apply is a pure stacked string
+    # expression fused into the scan — no shuffle at all (the trainer
+    # rounds that PRECEDE it in the registered row are audited as
+    # check 31; here the apply plan itself is built directly)
+    from parquet_sampler_spark.operators.vocab import bpe_encode as _enc
+
+    check(
+        "bpe_encode_apply",
+        _enc(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            "text", ["a b", "a_b c"],
+        ),
+        must_not=["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                  "Sort "],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)

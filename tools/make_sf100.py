@@ -48,26 +48,53 @@ def main() -> int:
     con = duckdb.connect()
     # bound duckdb's materialization memory; the unions stream to disk
     con.execute("SET memory_limit='24GB'")
+    # offsets are PRE-COMPUTED literals: a `{k} * stride` expression
+    # overflows DuckDB's INT32 literal arithmetic at the sf100 strides
     plans = {
-        "documents": f"doc_id + {{k}} * {DOC_STRIDE} AS doc_id",
-        "events": (
-            f"event_id + {{k}} * {EVENT_STRIDE} AS event_id, "
-            f"user_id + {{k}} * {USER_STRIDE} AS user_id"
+        "documents": lambda k: f"doc_id + {k * DOC_STRIDE} AS doc_id",
+        "events": lambda k: (
+            f"event_id + {k * EVENT_STRIDE} AS event_id, "
+            f"user_id + {k * USER_STRIDE} AS user_id"
         ),
-        "orders": (
-            f"o_orderkey + {{k}} * {ORDER_STRIDE} AS o_orderkey, "
-            f"o_custkey + {{k}} * {CUST_STRIDE} AS o_custkey"
+        "orders": lambda k: (
+            f"o_orderkey + {k * ORDER_STRIDE} AS o_orderkey, "
+            f"o_custkey + {k * CUST_STRIDE} AS o_custkey"
         ),
-        "lineitem": f"l_orderkey + {{k}} * {ORDER_STRIDE} AS l_orderkey",
+        "lineitem": lambda k: (
+            f"l_orderkey + {k * ORDER_STRIDE} AS l_orderkey"
+        ),
     }
     for t, repl in plans.items():
         dst = OUT / f"{t}.parquet"
+        src = SRC / f"{t}.parquet"
+        if t == "lineitem":
+            # ~18 GB: a single 10-way UNION COPY materializes past the
+            # memory limit and thrashes — write a parquet DIRECTORY of
+            # one part per copy instead (bounded memory, resumable;
+            # Spark and metadata_row_count both read directories)
+            dst.mkdir(parents=True, exist_ok=True)
+            for k in range(COPIES):
+                part = dst / f"part-{k:02d}.parquet"
+                if part.is_file():
+                    print(f"{t} part {k}: exists, skipping")
+                    continue
+                tmp = str(part) + ".tmp"
+                con.execute(
+                    f"COPY (SELECT * REPLACE ({repl(k)}) FROM '{src}')"
+                    f" TO '{tmp}' (FORMAT PARQUET)"
+                )
+                Path(tmp).replace(part)
+                print(f"{t} part {k}: done")
+            n = con.execute(
+                f"SELECT count(*) FROM '{dst}/*.parquet'"
+            ).fetchone()[0]
+            print(f"{t}: {n} rows")
+            continue
         if dst.is_file():
             print(f"{t}: exists, skipping")
             continue
-        src = SRC / f"{t}.parquet"
         union = " UNION ALL ".join(
-            f"SELECT * REPLACE ({repl.format(k=k)}) FROM '{src}'"
+            f"SELECT * REPLACE ({repl(k)}) FROM '{src}'"
             for k in range(COPIES)
         )
         tmp = str(dst) + ".tmp"
