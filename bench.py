@@ -41,7 +41,8 @@ SETUP_ROWS = frozenset({
     "setup_merge_batch", "setup_ivf_model", "setup_streaming",
     "setup_pq_model", "setup_ivfpq_model", "setup_sem_model",
     "setup_zorder", "setup_compaction", "setup_dpp",
-    "setup_ivfpqr_model", "setup_ivf_hier_model", "setup_ngram_warm",
+    "setup_ivfpqr_model", "setup_ivfpqr8_model",
+    "setup_ivf_hier_model", "setup_ngram_warm",
 })
 
 
@@ -117,6 +118,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_ann_ivfpq_residual(spark, sf_dir).count()
     times["setup_ivfpqr_model"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    queries_ext._q_ann_ivfpq_residual8(spark, sf_dir).count()
+    times["setup_ivfpqr8_model"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
     queries_ext._q_ann_ivf_hier(spark, sf_dir).count()

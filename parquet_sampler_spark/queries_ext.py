@@ -1710,14 +1710,15 @@ def _q_ann_ivfpq_residual(spark, sf_dir):
     )
 
 
-def _sql_ann_ivfpq_residual() -> str:
+def _sql_ann_ivfpq_residual(ncodes: int = _PQ_NCODES) -> str:
     """DuckDB twin of _q_ann_ivfpq_residual: the ann_ivfpq CTEs with
     the coding target switched to residuals — corpus rows code
     ``v − cv[assigned cell]`` against residual-trained codebook
     literals, and the per-query LUT becomes CELL-SPECIFIC (``qsub``:
     distances from ``q − cv[probed cell]``), joined on (query, cell,
     m, code). All integer arithmetic (quantized grid), so the ADC sums
-    are exact in both engines."""
+    are exact in both engines. ``ncodes`` parameterizes the builder
+    for the 8-bit production-width row (ann_ivfpq_residual8)."""
     import os
 
     import numpy as np
@@ -1731,15 +1732,16 @@ def _sql_ann_ivfpq_residual() -> str:
     sf_dir = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    if sf_dir in _IVFPQR_SQL_CACHE:
-        return _IVFPQR_SQL_CACHE[sf_dir]
+    ck = (sf_dir, ncodes)
+    if ck in _IVFPQR_SQL_CACHE:
+        return _IVFPQR_SQL_CACHE[ck]
     tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     ids = tbl.column("vec_id").to_numpy()
     vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     supers, cents, owner, cbs = ivfpq_train_numpy(
-        ids, vecs, nlist=_IVF_NLIST, m_sub=_PQ_M, ncodes=_PQ_NCODES,
+        ids, vecs, nlist=_IVF_NLIST, m_sub=_PQ_M, ncodes=ncodes,
         seed=_PQ_SEED, residual=True,
     )
     assert supers is None, "demonstration nlist is below the two-level cut"
@@ -1849,8 +1851,30 @@ SELECT query_id, neighbor_id, score, rank FROM (
             JOIN normed c ON c.vec_id = cand.neighbor_id
 ) WHERE rank <= {_ANN_K}
 """
-    _IVFPQR_SQL_CACHE[sf_dir] = sql
+    _IVFPQR_SQL_CACHE[ck] = sql
     return sql
+
+
+def _q_ann_ivfpq_residual8(spark, sf_dir):
+    """The FULL production ANN shape (r10): residual (IVFADC) coding
+    at BYTE-wide codebooks (ncodes=256, the FAISS-standard
+    byte-per-subspace width) — the exact configuration the clustered
+    study named as the production rule (recall@10 0.986 where raw
+    4-bit collapses to 0.154; pinned by the standing pytest gate).
+    Identical pipeline to ann_ivfpq_residual, one knob wider; the
+    parameterized oracle builder inlines the 16×256 integer codebook
+    literals."""
+    from parquet_sampler_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        k=_ANN_K, nlist=_IVF_NLIST, nprobe=8, m_sub=_PQ_M,
+        ncodes=256, rerank=_PQ_RERANK, seed=_PQ_SEED,
+        residual=True,
+        model_cache=_IVFPQ_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir, 256),
+    )
 
 
 # hierarchical-probe IVF: nlist ABOVE the two-level threshold, so both
@@ -2231,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_ivfpq_residual": _q_ann_ivfpq_residual,
+        "ann_ivfpq_residual8": _q_ann_ivfpq_residual8,
         "ann_ivf_hier": _q_ann_ivf_hier,
         "pricing_summary": _q_pricing_summary,
         "topk_orders": _q_topk_orders,
@@ -2414,6 +2439,8 @@ def oracle_sql() -> dict[str, str]:
     for name, builder in (
         ("ann_pq", _sql_ann_pq), ("ann_ivfpq", _sql_ann_ivfpq),
         ("ann_ivfpq_residual", _sql_ann_ivfpq_residual),
+        ("ann_ivfpq_residual8",
+         lambda: _sql_ann_ivfpq_residual(ncodes=256)),
         ("ann_ivf_hier", _sql_ann_ivf_hier),
     ):
         try:

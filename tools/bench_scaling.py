@@ -77,6 +77,7 @@ FIXTURES: dict[str, str] = {
     "compaction_scan": "setup_compaction",
     "semantic_dedup": "setup_sem_model",
     "ann_ivfpq_residual": "setup_ivfpqr_model",
+    "ann_ivfpq_residual8": "setup_ivfpqr8_model",
     "ann_ivf_hier": "setup_ivf_hier_model",
 }
 
@@ -96,6 +97,10 @@ def _fixture_builder(name: str):
     if name == "ann_ivfpq_residual":
         # same contract: one run trains centroids + residual codebooks
         return lambda spark, sf_dir: queries_ext._q_ann_ivfpq_residual(
+            spark, sf_dir
+        ).count()
+    if name == "ann_ivfpq_residual8":
+        return lambda spark, sf_dir: queries_ext._q_ann_ivfpq_residual8(
             spark, sf_dir
         ).count()
     if name == "ann_ivf_hier":
