@@ -23,11 +23,14 @@ Two samplers:
 * :func:`sample_fraction` — Bernoulli ``df.sample`` passthrough
   (approximate count) for when exactness isn't required; zero shuffle.
 
-Scale notes: no shuffle at all — the top-k executes as
+Scale notes: no shuffle of the input, ever. Small k executes as
 TakeOrderedAndProject (per-task k-element heaps over the ~k*margin
-candidates, merged at the driver). k is the *output* size — if k itself
-exceeds driver-merge comfort (billions), exactness is the wrong tool;
-use ``sample_fraction``.
+candidates, merged at the driver). Large k (≥ 2^18, where the Θ(k)
+single-threaded driver merge was measured super-linear at the
+sf10→sf100 decade) switches to exact DISTRIBUTED k-th-rank selection:
+histogram refinement finds the k-th rank value in 2-3 kilobyte-sized
+aggregations and the sample becomes a plain pushed-down filter — the
+identical row set, with nothing k-sized at the driver, at any k.
 """
 
 from __future__ import annotations
@@ -52,6 +55,71 @@ _PREFILTER_MIN_ROWS = 200_000
 # (tests/test_sample.py pins a seed whose candidate set provably
 # underfills) rather than trusting the Chernoff argument alone.
 PREFILTER_STATS = {"hit": 0, "fallback": 0}
+
+# Above this k, the exact top-k switches from TakeOrderedAndProject
+# (driver merges ~k·margin rows single-threaded — measured α(10→100)
+# 1.14 on sample_lineitem at k = 6M, where a 1-column scan baseline is
+# 0.8 s but the sample took 45 s) to DISTRIBUTED k-th-rank selection:
+# histogram refinement finds the exact k-th rank value with 2-3
+# map-side-combine aggregations, the result is a filter, and no row
+# set proportional to k ever visits the driver.
+_DISTRIBUTED_SELECT_MIN_K = 262_144
+_SELECT_NBUCKETS = 8192
+_SELECT_COLLECT_MAX = 65_536
+# observability twin of PREFILTER_STATS for the selection strategy
+SELECT_STATS = {"topk": 0, "threshold": 0}
+
+
+def _kth_rank_value(
+    cand: DataFrame, k: int, domain_hi: int
+) -> tuple[int, int]:
+    """Exact k-th smallest ``_PR`` value over ``cand`` (1-indexed) by
+    distributed histogram refinement. Returns ``(t_star, c_lt)`` where
+    ``c_lt`` is the number of rows with ``_PR < t_star``.
+
+    Each level is ONE aggregation over ``_SELECT_NBUCKETS``
+    equal-width buckets of the remaining range (map-side partial
+    combine, a few-KB shuffle); the range shrinks ×8192 per level, so
+    two levels cover the 2^31 hash domain and the final exact walk
+    collects at most ``width`` distinct values. Requires ``_PR`` to be
+    DETERMINISTIC across passes (hash rank, or materialized/persisted
+    candidates) — the caller guards this.
+    """
+    lo, hi, base = 0, domain_hi, 0
+    while True:
+        width = max(1, -(-(hi - lo) // _SELECT_NBUCKETS))  # ceil div
+        hist = dict(
+            cand.filter(
+                (F.col(_PR) >= lo) & (F.col(_PR) < hi)
+            )
+            .groupBy(
+                F.expr(f"({_PR} - {lo}) DIV {width}").alias("__b")
+            )
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        acc = base
+        for b in sorted(hist):
+            if acc + hist[b] >= k:
+                lo, hi = lo + b * width, lo + (b + 1) * width
+                base = acc
+                break
+            acc += hist[b]
+        else:  # pragma: no cover — k ≤ count(cand) by construction
+            raise ValueError("k exceeds candidate count")
+        if hist[b] <= _SELECT_COLLECT_MAX or width == 1:
+            break
+    vals = (
+        cand.filter((F.col(_PR) >= lo) & (F.col(_PR) < hi))
+        .groupBy(_PR).agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    acc = base
+    for r in sorted(vals, key=lambda r: r[_PR]):
+        if acc + r["__c"] >= k:
+            return int(r[_PR]), acc
+        acc += r["__c"]
+    raise ValueError("k exceeds candidate count")  # pragma: no cover
 
 # Persisted prefilter candidate sets, kept alive because the returned
 # (lazy) top-k plan reads them after this function returns. Registered
@@ -202,8 +270,13 @@ def sample_exact(
             raise ValueError("method='hash' requires key_cols")
         pr: Column = lehmer_hash(key_cols, seed)
         ties = [F.col(c) for c in (tie_cols or key_cols)]
+        pr_deterministic = True
     elif method == "rand":
         df, pr, ties = _rand_rank(df, seed, tagged_ord=order_preserving)
+        # file-position rank (has tie columns) is deterministic across
+        # passes; the non-file F.rand fallback is NOT — multi-pass
+        # selection would see different ranks per scan
+        pr_deterministic = bool(ties)
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -235,7 +308,7 @@ def sample_exact(
             PREFILTER_STATS["fallback"] += 1
             pre.unpersist()
 
-    # Exact top-k as ORDER BY + LIMIT — compiles to
+    # Exact top-k. Small k: ORDER BY + LIMIT — compiles to
     # TakeOrderedAndProject: every task keeps a k-element heap over its
     # partition, the driver merges the heaps. The previous
     # row_number()-window formulation relied on Catalyst's
@@ -243,11 +316,34 @@ def sample_exact(
     # InMemoryRelation (the persisted prefilter candidates), executing
     # instead as Exchange SinglePartition -> full Sort -> Window: all
     # ~k*margin candidate rows moved to ONE task and were fully sorted
-    # there (~10^8 rows at 100 TB with ratio 0.001). The k-sized merge
-    # at the driver is inherent to exact-count sampling; the 1.6x
-    # larger single-task sort was not. Plan pinned by
+    # there (~10^8 rows at 100 TB with ratio 0.001). Plan pinned by
     # tests/test_sample.py::test_topk_plan_no_single_partition_sort.
-    out = candidates.orderBy(F.col(_PR), *ties).limit(k)
+    #
+    # LARGE k (≥ _DISTRIBUTED_SELECT_MIN_K): the driver heap-merge is
+    # itself Θ(k) single-threaded — at fixed ratio, k ∝ n, and the
+    # sf10→sf100 decade measured it as α 1.14 (45 s at k = 6M where
+    # the scan baseline is < 1 s). Switch to exact DISTRIBUTED
+    # selection: find the k-th rank value by histogram refinement
+    # (2-3 tiny aggregations), emit `pr < t*` as a plain filter, and
+    # top up the boundary group `pr == t*` by tie order (expected ~1
+    # row for unique keys) — the SAME row set as the ORDER BY + LIMIT
+    # formulation, with nothing k-sized ever leaving the executors.
+    # Requires a pass-stable rank, so the F.rand fallback keeps the
+    # top-k path regardless of k.
+    if k >= _DISTRIBUTED_SELECT_MIN_K and pr_deterministic:
+        SELECT_STATS["threshold"] += 1
+        t_star, c_lt = _kth_rank_value(candidates, k, MODULUS)
+        boundary = (
+            candidates.filter(F.col(_PR) == t_star)
+            .orderBy(*ties)
+            .limit(k - c_lt)
+        )
+        out = candidates.filter(F.col(_PR) < t_star).unionByName(
+            boundary
+        )
+    else:
+        SELECT_STATS["topk"] += 1
+        out = candidates.orderBy(F.col(_PR), *ties).limit(k)
     if order_preserving:
         if emit_pos_col:
             wpos = Window.orderBy(_ORD + "_f", _ORD + "_i")

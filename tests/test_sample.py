@@ -340,3 +340,92 @@ def test_prefilter_fallback_branch_value_checked(spark):
         ).fetchall()
     ]
     assert got == sorted(oracle)
+
+
+def test_distributed_selection_matches_topk(spark):
+    """(r10) Large-k exact sampling switches from TakeOrderedAndProject
+    (Θ(k) single-threaded driver merge — measured α(10→100) 1.14 at
+    k = 6M) to distributed k-th-rank selection. The two formulations
+    must produce the IDENTICAL row set — pinned by forcing each path
+    on the same input via the cutoff knob."""
+    from parquet_sampler_spark.operators import sample as mod
+
+    df = spark.range(300_000).withColumnRenamed("id", "k")
+    old = mod._DISTRIBUTED_SELECT_MIN_K
+    before = dict(mod.SELECT_STATS)
+    try:
+        mod._DISTRIBUTED_SELECT_MIN_K = 10_000  # force threshold path
+        got = sorted(r.k for r in
+                     sample_exact(df, 0.2, seed=3,
+                                  key_cols=["k"]).collect())
+        assert mod.SELECT_STATS["threshold"] == before["threshold"] + 1
+        mod._DISTRIBUTED_SELECT_MIN_K = 10**12  # force top-k path
+        ref = sorted(r.k for r in
+                     sample_exact(df, 0.2, seed=3,
+                                  key_cols=["k"]).collect())
+    finally:
+        mod._DISTRIBUTED_SELECT_MIN_K = old
+    assert len(got) == 60_000
+    assert got == ref
+
+
+def test_distributed_selection_boundary_ties(spark):
+    """The k-th rank boundary with DUPLICATE rank values: many rows
+    share each key (same Lehmer rank), the cut lands inside a tie
+    group, and the threshold path must pick exactly the rows the
+    ORDER BY (pr, ties) LIMIT k formulation picks — the boundary
+    group topped up in tie order."""
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.operators import sample as mod
+
+    # 3000 distinct keys x 100 rows each; ratio 0.105 -> k = 31_500 =
+    # 315 whole key-groups; rank ties inside the k-th group are broken
+    # by the (key, uniq) tie columns
+    df = (
+        spark.range(300_000)
+        .select(
+            (F.col("id") % 3000).alias("k"),
+            F.col("id").alias("uniq"),
+        )
+    )
+    old = mod._DISTRIBUTED_SELECT_MIN_K
+    try:
+        mod._DISTRIBUTED_SELECT_MIN_K = 10_000
+        got = sorted(
+            (r.k, r.uniq) for r in sample_exact(
+                df, 0.105, seed=9, key_cols=["k"],
+                tie_cols=["k", "uniq"],
+            ).collect()
+        )
+        mod._DISTRIBUTED_SELECT_MIN_K = 10**12
+        ref = sorted(
+            (r.k, r.uniq) for r in sample_exact(
+                df, 0.105, seed=9, key_cols=["k"],
+                tie_cols=["k", "uniq"],
+            ).collect()
+        )
+    finally:
+        mod._DISTRIBUTED_SELECT_MIN_K = old
+    assert len(got) == 31_500
+    assert got == ref
+
+
+def test_rand_fallback_keeps_topk_at_large_k(spark):
+    """The non-file F.rand rank is not stable across passes, so the
+    multi-pass threshold selection must NOT engage for it even at
+    large k (the result would mix thresholds from different rank
+    assignments)."""
+    from parquet_sampler_spark.operators import sample as mod
+
+    df = spark.range(300_000).withColumnRenamed("id", "v")
+    old = mod._DISTRIBUTED_SELECT_MIN_K
+    before = dict(mod.SELECT_STATS)
+    try:
+        mod._DISTRIBUTED_SELECT_MIN_K = 10_000
+        got = sample_exact(df, 0.2, seed=4, method="rand").collect()
+    finally:
+        mod._DISTRIBUTED_SELECT_MIN_K = old
+    assert len(got) == 60_000
+    assert mod.SELECT_STATS["threshold"] == before["threshold"]
+    assert mod.SELECT_STATS["topk"] == before["topk"] + 1
