@@ -1,0 +1,185 @@
+"""Corpus-statistics quality scoring: unigram-LM rarity filtering and
+fixed-point TF-IDF term extraction.
+
+Reference parity note: the reference engine (andreaskipf/parquet-sampler,
+lib.rs:13-134) has no corpus-statistics operator — this module is part
+of the mandated beyond-reference LLM-pipeline scope. Semantics follow
+the CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data"): score every document by a
+language-model statistic computed against corpus-wide token
+frequencies, then keep/drop at a threshold. A true KenLM perplexity is
+a transcendental (sum of logs); both engines' ``ln`` differ in the last
+ulp, so the value-hash contract instead uses the EXACT-ARITHMETIC
+analog: per-token rarity ``total_tokens DIV cnt(token)`` (the integer
+part of inverse relative frequency — monotone in -log p), summed per
+document in bigint. Every number either engine produces is an integer,
+so the oracle comparison is exact at any row order.
+
+All plans are DataFrame-native (explode fused into the scan, map-side
+partial aggregation, broadcast of the vocabulary-sized statistics
+table) — no Python UDFs, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per token occurrence ``(id_col, tok)``; NULL / empty /
+    whitespace-only documents contribute nothing (matching
+    ``token_count``'s zero for them)."""
+    t = F.trim(F.col(text_col))
+    return (
+        df.filter(t.isNotNull() & (F.length(t) > 0))
+        .select(F.col(id_col), F.explode(F.split(t, " ")).alias("tok"))
+    )
+
+
+def unigram_rarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scale: int = 1000,
+    keep_below: int | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """CCNet-style unigram-LM quality scores, exact-arithmetic variant.
+
+    Corpus pass 1 builds the unigram table ``(tok, cnt)`` and the
+    total token count; each token's rarity is ``total DIV cnt``
+    (bigint — inverse relative frequency, the exact-integer analog of
+    surprisal). Corpus pass 2 scores each document:
+
+    * ``n_tokens`` — token occurrences in the document,
+    * ``sum_rarity`` — Σ rarity over its token occurrences,
+    * ``mean_rarity_scaled`` — ``(scale * sum_rarity) DIV n_tokens``
+      (fixed-point mean; high = rare/unusual tokens = the documents a
+      perplexity filter drops),
+    * ``kept`` — ``mean_rarity_scaled <= keep_below`` when a threshold
+      is given (CCNet keeps the low-perplexity head/middle).
+
+    Documents with zero tokens are excluded (they have no defined
+    score), exactly as in the SQL oracle.
+
+    Plan shape (the 100 TB contract): ONE token hash-aggregation
+    (map-side partial — cost ∝ corpus tokens, output ∝ vocabulary),
+    its 1-row total broadcast-crossed and the vocabulary table
+    broadcast back onto the token stream (a web-scale unigram vocab is
+    ~10^7 rows / ~100 MB — broadcastable; pass
+    ``broadcast_vocab=False`` for the AQE shuffle-join escape when it
+    is not), then ONE per-document aggregation. The corpus text itself
+    is never shuffled — only (id, tok) pairs.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    toks = _doc_tokens(df, id_col, text_col)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(
+        F.sum("cnt").cast("bigint").alias("__total")
+    )
+    rarity = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.expr("__total DIV cnt").cast("bigint").alias("__rarity"),
+        )
+    )
+    if broadcast_vocab:
+        rarity = F.broadcast(rarity)
+    scored = (
+        toks.join(rarity, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__rarity").cast("bigint").alias("sum_rarity"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_rarity",
+            F.expr(f"({scale} * sum_rarity) DIV n_tokens")
+            .cast("bigint")
+            .alias("mean_rarity_scaled"),
+        )
+    )
+    if keep_below is not None:
+        scored = scored.withColumn(
+            "kept", F.col("mean_rarity_scaled") <= F.lit(keep_below)
+        )
+    return scored
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    scale: int = 1_000_000,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Top-``k`` terms per document by fixed-point TF-IDF.
+
+    ``tf(d, t)`` is the term's occurrence count in the document;
+    ``idf`` uses the exact-integer fixed-point form
+    ``(scale * n_docs) DIV df(t)`` (inverse document-frequency ratio —
+    monotone in the classic ``ln(N/df)``, but transcendental-free so
+    both engines agree bit-for-bit); ``score_scaled = tf * idf``.
+    Per document the top ``k`` terms by ``(score_scaled DESC, term
+    ASC)`` are kept with their 1-based ``rank`` — the deterministic
+    tie-break makes the output value-hash stable.
+
+    Output: ``(id_col, term, tf, score_scaled, rank)``. Documents with
+    zero tokens contribute nothing.
+
+    Plan shape (the 100 TB contract): ONE (doc, term) hash-aggregation
+    over the exploded token stream (map-side partial), the term-level
+    document-frequency table derived from it (output ∝ vocabulary) and
+    broadcast back (``broadcast_vocab=False`` = AQE shuffle-join
+    escape), the 1-row corpus document count broadcast-crossed, and
+    ONE per-document window for the top-k — every shuffle carries
+    (id, term) pairs, never document text.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    toks = _doc_tokens(df, id_col, text_col)
+    tf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    docfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__df")
+    )
+    ndocs = tf.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    idf = (
+        docfreq.crossJoin(F.broadcast(ndocs))
+        .select(
+            "tok",
+            F.expr(f"({scale} * __n) DIV __df")
+            .cast("bigint")
+            .alias("__idf"),
+        )
+    )
+    if broadcast_vocab:
+        idf = F.broadcast(idf)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_scaled").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(idf, "tok")
+        .select(
+            id_col,
+            F.col("tok").alias("term"),
+            "tf",
+            (F.col("tf") * F.col("__idf"))
+            .cast("bigint")
+            .alias("score_scaled"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

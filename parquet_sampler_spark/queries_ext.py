@@ -2326,6 +2326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": _q_asof_nearest,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "quality_rarity": _q_quality_rarity,
+        "tfidf_topk": _q_tfidf_topk,
+        "pack_sequences_bpe": _q_pack_sequences_bpe,
     }
 
 
@@ -2428,6 +2431,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _sql_pack_sequences(),
         "mixture_resample": _sql_mixture_resample(),
         "semantic_dedup": _sql_semantic_dedup(),
+        "quality_rarity": _sql_quality_rarity(),
+        "tfidf_topk": _sql_tfidf_topk(),
+        "pack_sequences_bpe": _sql_pack_sequences_bpe(),
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -6208,4 +6214,159 @@ SELECT doc_id,
        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
        t AS bpe_text
 FROM {last}
+""")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality scoring (r10): unigram-LM rarity filter and
+# fixed-point TF-IDF top terms — the CCNet-style quality gate the
+# registry still lacked (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+_RARITY_SCALE = 1000
+_RARITY_KEEP_BELOW = 31_000
+_TFIDF_K = 3
+_TFIDF_SCALE = 1_000_000
+
+
+def _q_quality_rarity(spark, sf_dir):
+    """CCNet-style unigram-LM quality filter (r10), exact-arithmetic
+    variant: corpus unigram counts -> per-token integer rarity
+    (total DIV cnt, monotone in surprisal) -> per-doc (n_tokens,
+    sum_rarity, fixed-point mean, kept-at-literal-threshold). ONE
+    token hash agg (map-side partial, output = vocabulary), the
+    vocabulary broadcast back onto the token stream, ONE per-doc agg —
+    document text never shuffles. All-integer output so the value
+    hash is order-independent (a true KenLM perplexity sums
+    transcendentals; see operators/quality.py docstring)."""
+    from parquet_sampler_spark.operators.quality import unigram_rarity
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_rarity(
+        d,
+        "doc_id",
+        "text",
+        scale=_RARITY_SCALE,
+        keep_below=_RARITY_KEEP_BELOW,
+    )
+
+
+def _sql_quality_rarity() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+rar AS (
+  SELECT tok, CAST((SELECT total FROM tot) // cnt AS BIGINT) AS rarity
+  FROM vocab
+),
+doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(rarity) AS BIGINT) AS sum_rarity
+  FROM toks JOIN rar USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_rarity,
+       CAST(({_RARITY_SCALE} * sum_rarity) // n_tokens AS BIGINT)
+         AS mean_rarity_scaled,
+       ({_RARITY_SCALE} * sum_rarity) // n_tokens
+         <= {_RARITY_KEEP_BELOW} AS kept
+FROM doc
+"""
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 terms by fixed-point TF-IDF (r10): tf =
+    in-doc occurrence count, idf = (scale * n_docs) DIV df(term) —
+    the transcendental-free integer idf, monotone in ln(N/df); ties
+    break (score DESC, term ASC) so the hash is stable. ONE
+    (doc, term) hash agg, vocabulary-sized df table broadcast back,
+    ONE per-doc top-k window."""
+    from parquet_sampler_spark.operators.quality import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(
+        d, "doc_id", "text", k=_TFIDF_K, scale=_TFIDF_SCALE
+    )
+
+
+def _sql_tfidf_topk() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS ndf FROM tf GROUP BY tok),
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.tok AS term, tf.tf,
+         CAST(tf.tf * (({_TFIDF_SCALE} * (SELECT n FROM nd)) // df.ndf)
+              AS BIGINT) AS score_scaled
+  FROM tf JOIN df ON tf.tok = df.tok
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_scaled DESC, term ASC
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score_scaled, rank
+FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+def _q_pack_sequences_bpe(spark, sf_dir):
+    """Vocabulary-true sequence packing (r10, VERDICT r9 #3 follow-
+    through): induce the 4-round BPE merge table, ENCODE the corpus
+    with it, then run concat-then-chunk packing on the encoded
+    symbol streams — so sequence boundaries fall at vocabulary-true
+    token counts, not whitespace counts (the exact layout a tokenized
+    GPT loader materializes). Plan: the K trainer scans + one fused
+    encode pass + one cum-sum window per hash shard; the only driver
+    rows are the K 1-row merge winners."""
+    from parquet_sampler_spark.operators.packing import pack_sequences
+    from parquet_sampler_spark.operators.vocab import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_merge_rounds(d, "doc_id", "text", rounds=_BPE_ROUNDS)
+    enc = bpe_encode(
+        d.filter(F.length(F.trim(F.col("text"))) > 0), "text", merges
+    )
+    return pack_sequences(
+        enc, "doc_id", "bpe_text", cap=_PACK_CAP, n_shards=_PACK_SHARDS
+    )
+
+
+def _sql_pack_sequences_bpe() -> str:
+    cap, ns = _PACK_CAP, _PACK_SHARDS
+    last = f"s{_BPE_ROUNDS}"
+    ctes = _bpe_round_ctes(_BPE_ROUNDS, carry="doc_id, ")
+    return ("WITH " + ",\n".join(ctes) + f""",
+base AS (
+  SELECT doc_id, ((doc_id % {ns}) + {ns}) % {ns} AS shard,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+  FROM {last}
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_end
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens,
+       (cum_end - n_tokens) // {cap} AS seq_first,
+       (cum_end - 1) // {cap} AS seq_last,
+       (cum_end - n_tokens) % {cap} AS seq_offset,
+       (cum_end - 1) // {cap} - (cum_end - n_tokens) // {cap} + 1 AS n_seqs
+FROM c
 """)

@@ -1,0 +1,108 @@
+"""Pins for operators/quality.py — unigram-LM rarity scoring and
+fixed-point TF-IDF top terms (the CCNet-style corpus-statistics
+quality gate).
+
+Pinned contract: rarity(tok) = total_tokens DIV cnt(tok) (exact
+integer inverse relative frequency); mean_rarity_scaled =
+(scale * sum_rarity) DIV n_tokens; TF-IDF score_scaled =
+tf * ((scale * n_docs) DIV df) with ties broken (score DESC, term
+ASC); NULL / empty / whitespace-only documents contribute nothing
+to either output.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_sampler_spark.operators.quality import (
+    tfidf_top_terms,
+    unigram_rarity,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_rarity_hand_trace(spark):
+    # corpus: 6 tokens total — cnt(a)=3, cnt(b)=2, cnt(c)=1
+    # rarity: a -> 6 DIV 3 = 2, b -> 6 DIV 2 = 3, c -> 6 DIV 1 = 6
+    df = _docs(spark, ["a a b", "a b c"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_rarity"], r["mean_rarity_scaled"])
+        for r in unigram_rarity(df, "doc_id", "text", scale=10).collect()
+    }
+    # doc0: 2+2+3 = 7, mean = 70 DIV 3 = 23; doc1: 2+3+6 = 11,
+    # mean = 110 DIV 3 = 36
+    assert got == {0: (3, 7, 23), 1: (3, 11, 36)}
+
+
+def test_rarity_keep_threshold_and_empty_docs(spark):
+    df = _docs(spark, ["a a b", "a b c", "", "   ", None])
+    out = unigram_rarity(
+        df, "doc_id", "text", scale=10, keep_below=30
+    ).collect()
+    # empty/whitespace/NULL docs are excluded entirely
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+    kept = {r["doc_id"]: r["kept"] for r in out}
+    assert kept == {0: True, 1: False}
+
+
+def test_rarity_rejects_bad_scale(spark):
+    df = _docs(spark, ["a"])
+    with pytest.raises(ValueError):
+        unigram_rarity(df, "doc_id", "text", scale=0)
+
+
+def test_rarity_shuffle_vocab_path_matches_broadcast(spark):
+    df = _docs(spark, ["a a b x", "a b c", "c c y z"])
+    b = sorted(
+        tuple(r)
+        for r in unigram_rarity(
+            df, "doc_id", "text", broadcast_vocab=True
+        ).collect()
+    )
+    s = sorted(
+        tuple(r)
+        for r in unigram_rarity(
+            df, "doc_id", "text", broadcast_vocab=False
+        ).collect()
+    )
+    assert b == s
+
+
+def test_tfidf_hand_trace(spark):
+    # docs: d0 = "a a b", d1 = "a c"; n_docs = 2
+    # df: a -> 2, b -> 1, c -> 1
+    # idf (scale 10): a -> 20 DIV 2 = 10, b -> 20 DIV 1 = 20, c -> 20
+    # scores: d0: a = 2*10 = 20, b = 1*20 = 20 (tie -> 'a' first)
+    #         d1: a = 1*10 = 10, c = 1*20 = 20
+    df = _docs(spark, ["a a b", "a c"])
+    got = sorted(
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["score_scaled"])
+        for r in tfidf_top_terms(
+            df, "doc_id", "text", k=2, scale=10
+        ).collect()
+    )
+    assert got == [
+        (0, 1, "a", 2, 20),
+        (0, 2, "b", 1, 20),
+        (1, 1, "c", 1, 20),
+        (1, 2, "a", 1, 10),
+    ]
+
+
+def test_tfidf_k_bounds_output(spark):
+    df = _docs(spark, ["a b c d e", "a b"])
+    out = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    assert sorted(r["doc_id"] for r in out) == [0, 1]
+    assert all(r["rank"] == 1 for r in out)
+
+
+def test_tfidf_rejects_bad_k(spark):
+    df = _docs(spark, ["a"])
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, "doc_id", "text", k=0)

@@ -423,6 +423,31 @@ def main() -> int:
                   "Sort "],
     )
 
+    # 35. unigram rarity (r10): the vocabulary statistics table joins
+    # back onto the token stream by BROADCAST (never a corpus
+    # shuffle-join), everything JVM-side
+    check(
+        "quality_rarity",
+        R.queries()["quality_rarity"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "SortMergeJoin"],
+    )
+
+    # 36. TF-IDF top-k (r10): document-frequency table broadcast back;
+    # the per-doc top-k window is partitioned by doc_id AND carries the
+    # WindowGroupLimit rank pushdown (k rows per doc survive the
+    # partial pass — not a full materialized rank). The plan's one
+    # SinglePartition exchange is the bounded 1-row corpus doc-count
+    # aggregate, so it is not forbidden here.
+    check(
+        "tfidf_topk",
+        R.queries()["tfidf_topk"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "WindowGroupLimit"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "SortMergeJoin"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
