@@ -533,6 +533,7 @@ def mixture_resample(
     source_col: str,
     target_weights: dict[str, int],
     seed: int = 29,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Domain-mixture resampling (DoReMi-style data mixing, downsample
     only): keep a deterministic hash-sample of each source so the KEPT
@@ -557,7 +558,10 @@ def mixture_resample(
     — it never shuffles, and any row's keep/drop is recomputable from
     its id alone (the split-assignment leak-free property).
 
-    Output: ``(id_col, source_col, n_tokens)`` of kept rows.
+    Output: ``(id_col, source_col, n_tokens)`` of kept rows, plus any
+    ``keep_cols`` carried through verbatim (e.g. ``["text"]`` when a
+    downstream stage — packing, encoding — still needs the document
+    body; the default stays the summary shape).
     """
     from fractions import Fraction
 
@@ -595,5 +599,6 @@ def mixture_resample(
             id_col,
             source_col,
             token_count(F.col(text_col)).alias("n_tokens"),
+            *(keep_cols or []),
         )
     )

@@ -2329,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity": _q_quality_rarity,
         "tfidf_topk": _q_tfidf_topk,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
+        "curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -2434,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity": _sql_quality_rarity(),
         "tfidf_topk": _sql_tfidf_topk(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
+        "curation_pipeline": _sql_curation_pipeline(),
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -5826,26 +5828,26 @@ def _q_mixture_resample(spark, sf_dir):
     )
 
 
-def _sql_mixture_resample() -> str:
-    from parquet_sampler_spark.functions.hashing import (
-        MODULUS,
-        lehmer_hash_sql,
-    )
+def _mix_ctes(from_rel: str) -> str:
+    """The mixture-resample threshold CTE chain over ``from_rel``
+    (exact big-int thresholds; binding source = min tok/wt, ties to
+    the smallest name) — shared by the standalone mixture_resample
+    oracle and the curation_pipeline composite. Ends at ``thr``; the
+    caller writes the kept-rows select."""
+    from parquet_sampler_spark.functions.hashing import MODULUS
     from parquet_sampler_spark.functions.text import token_count_sql
 
     values = ", ".join(
         f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
     )
-    h = lehmer_hash_sql(["doc_id"], _MIX_SEED)
-    return f"""
-WITH w(source, wt) AS (VALUES {values}),
-tok AS (
+    return f"""w(source, wt) AS (VALUES {values}),
+mtok AS (
   SELECT d.source, CAST(sum({token_count_sql('d.text')}) AS BIGINT) AS tok
-  FROM documents d JOIN w USING (source)
+  FROM {from_rel} d JOIN w USING (source)
   GROUP BY d.source
 ),
 tw AS (
-  SELECT t.source, t.tok, w.wt FROM tok t JOIN w USING (source)
+  SELECT t.source, t.tok, w.wt FROM mtok t JOIN w USING (source)
   WHERE t.tok > 0
 ),
 m AS (
@@ -5862,11 +5864,19 @@ thr AS (
          CAST((CAST({MODULUS} AS HUGEINT) * m.tok * tw.wt)
               // (CAST(m.wt AS HUGEINT) * tw.tok) AS BIGINT) AS thr
   FROM tw, m
-)
+)"""
+
+
+def _sql_mixture_resample() -> str:
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+    from parquet_sampler_spark.functions.text import token_count_sql
+
+    h = lehmer_hash_sql(["doc_id"], _MIX_SEED)
+    return ("WITH " + _mix_ctes("documents") + f"""
 SELECT d.doc_id, d.source, {token_count_sql('d.text')} AS n_tokens
 FROM documents d JOIN thr ON d.source = thr.source
 WHERE {h} < thr.thr
-"""
+""")
 
 
 # ---------------------------------------------------------------------------
@@ -6251,30 +6261,37 @@ def _q_quality_rarity(spark, sf_dir):
     )
 
 
-def _sql_quality_rarity() -> str:
-    return f"""
-WITH toks AS (
+def _rarity_ctes(from_rel: str) -> str:
+    """The unigram-rarity CTE chain over ``from_rel`` — shared by the
+    standalone quality_rarity oracle and the curation_pipeline
+    composite (CTE names are r-prefixed so the chain embeds cleanly
+    next to the mixture/packing fragments)."""
+    return f"""rtoks AS (
   SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
-  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+  FROM {from_rel} WHERE text IS NOT NULL AND length(trim(text)) > 0
 ),
-vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
-rar AS (
-  SELECT tok, CAST((SELECT total FROM tot) // cnt AS BIGINT) AS rarity
-  FROM vocab
+rvocab AS (SELECT tok, count(*) AS cnt FROM rtoks GROUP BY tok),
+rtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM rvocab),
+rrar AS (
+  SELECT tok, CAST((SELECT total FROM rtot) // cnt AS BIGINT) AS rarity
+  FROM rvocab
 ),
-doc AS (
+rscore AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(sum(rarity) AS BIGINT) AS sum_rarity
-  FROM toks JOIN rar USING (tok) GROUP BY doc_id
-)
+  FROM rtoks JOIN rrar USING (tok) GROUP BY doc_id
+)"""
+
+
+def _sql_quality_rarity() -> str:
+    return ("WITH " + _rarity_ctes("documents") + f"""
 SELECT doc_id, n_tokens, sum_rarity,
        CAST(({_RARITY_SCALE} * sum_rarity) // n_tokens AS BIGINT)
          AS mean_rarity_scaled,
        ({_RARITY_SCALE} * sum_rarity) // n_tokens
          <= {_RARITY_KEEP_BELOW} AS kept
-FROM doc
-"""
+FROM rscore
+""")
 
 
 def _q_tfidf_topk(spark, sf_dir):
@@ -6362,6 +6379,86 @@ c AS (
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS cum_end
   FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens,
+       (cum_end - n_tokens) // {cap} AS seq_first,
+       (cum_end - 1) // {cap} AS seq_last,
+       (cum_end - n_tokens) % {cap} AS seq_offset,
+       (cum_end - 1) // {cap} - (cum_end - n_tokens) // {cap} + 1 AS n_seqs
+FROM c
+""")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation composite (r10): quality filter -> exact dedup ->
+# mixture resample -> sequence packing, as ONE composed plan
+# ---------------------------------------------------------------------------
+
+
+def _q_curation_pipeline(spark, sf_dir):
+    """The full training-data curation journey as ONE composed plan
+    (r10): unigram-rarity quality filter (keep the low-perplexity
+    head, CCNet-style) -> exact dedup on text (min-id keeper) ->
+    DoReMi-style mixture resample (thresholds recomputed on the
+    SURVIVING corpus — order matters and the oracle proves it) ->
+    concat-then-chunk sequence packing. Every stage is the library
+    operator, chained; output = the packed layout of the curated
+    corpus. Plan shape: the rarity stats join back by key-only
+    semi-join (doc_id, never text), one dedup window, the mixture
+    thresholds broadcast, one cum-sum window per pack shard."""
+    from parquet_sampler_spark.operators.dedup import exact_dedup
+    from parquet_sampler_spark.operators.packing import pack_sequences
+    from parquet_sampler_spark.operators.quality import unigram_rarity
+    from parquet_sampler_spark.operators.sample import mixture_resample
+
+    d = _t(spark, sf_dir, "documents")
+    scored = unigram_rarity(
+        d, "doc_id", "text",
+        scale=_RARITY_SCALE, keep_below=_RARITY_KEEP_BELOW,
+    )
+    kept = d.join(
+        scored.filter(F.col("kept")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    deduped = exact_dedup(kept, ["text"], "doc_id")
+    mixed = mixture_resample(
+        deduped, "doc_id", "text", "source", _MIX_WEIGHTS,
+        seed=_MIX_SEED, keep_cols=["text"],
+    )
+    return pack_sequences(
+        mixed, "doc_id", "text", cap=_PACK_CAP, n_shards=_PACK_SHARDS
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+    from parquet_sampler_spark.functions.text import token_count_sql
+
+    cap, ns = _PACK_CAP, _PACK_SHARDS
+    h = lehmer_hash_sql(["doc_id"], _MIX_SEED)
+    return ("WITH " + _rarity_ctes("documents") + f""",
+kept AS (
+  SELECT d.* FROM documents d JOIN rscore s ON d.doc_id = s.doc_id
+  WHERE ({_RARITY_SCALE} * s.sum_rarity) // s.n_tokens
+        <= {_RARITY_KEEP_BELOW}
+),
+dd AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)
+),
+""" + _mix_ctes("dd") + f""",
+mixed AS (
+  SELECT d.doc_id, ((d.doc_id % {ns}) + {ns}) % {ns} AS shard,
+         {token_count_sql('d.text')} AS n_tokens
+  FROM dd d JOIN thr ON d.source = thr.source
+  WHERE {h} < thr.thr
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_end
+  FROM mixed WHERE n_tokens > 0
 )
 SELECT doc_id, shard, n_tokens,
        (cum_end - n_tokens) // {cap} AS seq_first,

@@ -106,3 +106,26 @@ def test_tfidf_rejects_bad_k(spark):
     df = _docs(spark, ["a"])
     with pytest.raises(ValueError):
         tfidf_top_terms(df, "doc_id", "text", k=0)
+
+
+def test_mixture_keep_cols_carries_columns(spark):
+    # keep_cols must carry extra columns verbatim while leaving the
+    # kept-row set and summary columns identical to the default shape
+    from parquet_sampler_spark.operators.sample import mixture_resample
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x y z", "a" if i % 2 else "b") for i in range(40)],
+        "doc_id bigint, text string, source string",
+    )
+    weights = {"a": 2, "b": 1}
+    base = mixture_resample(df, "doc_id", "text", "source", weights)
+    ext = mixture_resample(
+        df, "doc_id", "text", "source", weights, keep_cols=["text"]
+    )
+    assert ext.columns == ["doc_id", "source", "n_tokens", "text"]
+    assert sorted(tuple(r) for r in base.collect()) == sorted(
+        (r["doc_id"], r["source"], r["n_tokens"]) for r in ext.collect()
+    )
+    texts = {r["doc_id"]: r["text"] for r in ext.collect()}
+    orig = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert all(orig[i] == t for i, t in texts.items())

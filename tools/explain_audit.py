@@ -448,6 +448,18 @@ def main() -> int:
                   "ArrowEvalPython", "SortMergeJoin"],
     )
 
+    # 37. curation composite (r10): quality filter -> dedup ->
+    # mixture -> pack as one plan — mixture thresholds and the rarity
+    # vocabulary must both resolve to broadcast joins; no cartesian,
+    # no Python anywhere in the chain
+    check(
+        "curation_pipeline",
+        R.queries()["curation_pipeline"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
