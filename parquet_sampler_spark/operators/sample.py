@@ -571,6 +571,13 @@ def mixture_resample(
         raise ValueError("target_weights must be non-empty")
     if any(w <= 0 for w in target_weights.values()):
         raise ValueError("target weights must be positive integers")
+    clash = [c for c in (keep_cols or [])
+             if c in (id_col, source_col, "n_tokens")]
+    if clash:
+        raise ValueError(
+            f"keep_cols {clash} collide with output columns "
+            f"({id_col!r}, {source_col!r}, 'n_tokens')"
+        )
 
     toks = (
         df.filter(F.col(source_col).isin(list(target_weights)))

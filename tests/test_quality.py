@@ -129,3 +129,41 @@ def test_mixture_keep_cols_carries_columns(spark):
     texts = {r["doc_id"]: r["text"] for r in ext.collect()}
     orig = {r["doc_id"]: r["text"] for r in df.collect()}
     assert all(orig[i] == t for i, t in texts.items())
+
+
+def test_mixture_keep_cols_rejects_collision(spark):
+    from parquet_sampler_spark.operators.sample import mixture_resample
+
+    df = spark.createDataFrame(
+        [(1, "a b", "a")], "doc_id bigint, text string, source string"
+    )
+    with pytest.raises(ValueError):
+        mixture_resample(
+            df, "doc_id", "text", "source", {"a": 1},
+            keep_cols=["n_tokens"],
+        )
+
+
+def test_rarity_invariant_under_row_order_and_partitioning(spark):
+    # corpus statistics must not depend on row order or physical
+    # partitioning — the distributed-correctness property that makes
+    # the value-hash oracle meaningful at any cluster size
+    texts = [f"w{i % 7} common x{i % 3}" for i in range(60)]
+    a = _docs(spark, texts)
+    b = _docs(spark, texts).orderBy(F_desc_doc()).repartition(7)
+    ra = sorted(tuple(r) for r in
+                unigram_rarity(a, "doc_id", "text").collect())
+    rb = sorted(tuple(r) for r in
+                unigram_rarity(b, "doc_id", "text").collect())
+    assert ra == rb
+    ta = sorted(tuple(r) for r in
+                tfidf_top_terms(a, "doc_id", "text").collect())
+    tb = sorted(tuple(r) for r in
+                tfidf_top_terms(b, "doc_id", "text").collect())
+    assert ta == tb
+
+
+def F_desc_doc():
+    from pyspark.sql import functions as F
+
+    return F.col("doc_id").desc()
