@@ -167,3 +167,58 @@ def F_desc_doc():
     from pyspark.sql import functions as F
 
     return F.col("doc_id").desc()
+
+
+def test_quality_family_matches_independent_reference(spark):
+    # independent pure-Python reimplementation from the written
+    # contract (not from the operator code) on a seeded corpus —
+    # guards the agg/join plumbing beyond the tiny hand-traces
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for _ in range(300)
+    ]
+    df = _docs(spark, texts)
+
+    # --- reference rarity ---
+    from collections import Counter
+
+    tok_lists = [t.split(" ") for t in texts]
+    cnt = Counter(t for toks in tok_lists for t in toks)
+    total = sum(cnt.values())
+    rar = {t: total // c for t, c in cnt.items()}
+    exp_r = {}
+    for i, toks in enumerate(tok_lists):
+        n = len(toks)
+        s = sum(rar[t] for t in toks)
+        exp_r[i] = (n, s, (1000 * s) // n)
+    got_r = {
+        r["doc_id"]: (r["n_tokens"], r["sum_rarity"],
+                      r["mean_rarity_scaled"])
+        for r in unigram_rarity(df, "doc_id", "text").collect()
+    }
+    assert got_r == exp_r
+
+    # --- reference tf-idf top-3 ---
+    n_docs = len(texts)
+    dfreq = Counter()
+    for toks in tok_lists:
+        dfreq.update(set(toks))
+    exp_t = set()
+    for i, toks in enumerate(tok_lists):
+        tf = Counter(toks)
+        scored = sorted(
+            ((t, c, c * ((1_000_000 * n_docs) // dfreq[t]))
+             for t, c in tf.items()),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for rank, (t, c, sc) in enumerate(scored[:3], start=1):
+            exp_t.add((i, t, c, sc, rank))
+    got_t = {
+        (r["doc_id"], r["term"], r["tf"], r["score_scaled"], r["rank"])
+        for r in tfidf_top_terms(df, "doc_id", "text").collect()
+    }
+    assert got_t == exp_t
