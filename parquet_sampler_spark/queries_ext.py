@@ -2330,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
         "curation_pipeline": _q_curation_pipeline,
+        "bpe_encode_holdout": _q_bpe_encode_holdout,
     }
 
 
@@ -2436,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "bpe_encode_holdout": _sql_bpe_encode_holdout(),
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -6140,7 +6142,9 @@ def _q_bpe_merges(spark, sf_dir):
     return bpe_merge_rounds(d, "doc_id", "text", rounds=_BPE_ROUNDS)
 
 
-def _bpe_round_ctes(rounds: int, carry: str = "") -> list[str]:
+def _bpe_round_ctes(
+    rounds: int, carry: str = "", where: str = ""
+) -> list[str]:
     """The shared K-round BPE CTE chain: per round, adjacent-pair
     counts ``p{r}`` from stream ``s{r-1}``, the winner ``w{r}``
     (max count, ties to the smallest pair string), and the rewritten
@@ -6148,9 +6152,11 @@ def _bpe_round_ctes(rounds: int, carry: str = "") -> list[str]:
     boundary expansion — the trainer's exact rewrite). ``carry``
     names extra columns (e.g. ``"doc_id, "``) threaded through the
     rewrite stages so the encode oracle keeps per-doc identity; the
-    pair counting always ignores them (corpus-wide counts)."""
+    pair counting always ignores them (corpus-wide counts).
+    ``where`` is an extra conjunct on the training stream (e.g. a
+    source predicate for the held-out-corpus encode row)."""
     ctes = [f"s0 AS (SELECT {carry}trim(text) AS t FROM documents "
-            "WHERE length(trim(text)) > 0)"]
+            f"WHERE length(trim(text)) > 0{where})"]
     for r in range(1, rounds + 1):
         prev = f"s{r - 1}"
         ctes.append(f"""p{r} AS (
@@ -6466,4 +6472,69 @@ SELECT doc_id, shard, n_tokens,
        (cum_end - n_tokens) % {cap} AS seq_offset,
        (cum_end - 1) // {cap} - (cum_end - n_tokens) // {cap} + 1 AS n_seqs
 FROM c
+""")
+
+
+# ---------------------------------------------------------------------------
+# BPE holdout encode (r10): train-once / apply-everywhere
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_SRC = [f"src{k}" for k in range(10)]
+
+
+def _q_bpe_encode_holdout(spark, sf_dir):
+    """Tokenizer train/apply split (r10): induce the 4-round merge
+    table on the TRAIN half of the corpus (sources src0–src9), then
+    apply it to the HELD-OUT half (src10–src19) — the real tokenizer
+    lifecycle (merges.txt is trained once and applied to every new
+    corpus), where the registered bpe_encode row trains and applies on
+    the same data. Output = per-heldout-doc encoded stream +
+    vocabulary-true token count. The oracle computes the winners from
+    a train-filtered stream and replays them over a parallel
+    heldout-carry chain, so cross-corpus application is value-hashed
+    byte-for-byte."""
+    from parquet_sampler_spark.operators.vocab import (
+        bpe_encode,
+        bpe_merge_rounds,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin(_BPE_TRAIN_SRC)
+    merges = bpe_merge_rounds(
+        d.filter(is_train), "doc_id", "text", rounds=_BPE_ROUNDS
+    )
+    hold = d.filter(
+        (~is_train) & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    enc = bpe_encode(hold, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.col("bpe_text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        "bpe_text",
+    )
+
+
+def _sql_bpe_encode_holdout() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _BPE_TRAIN_SRC)
+    ctes = _bpe_round_ctes(
+        _BPE_ROUNDS, where=f" AND source IN ({srcs})"
+    )
+    ctes.append(
+        "h0 AS (SELECT doc_id, trim(text) AS t FROM documents "
+        f"WHERE length(trim(text)) > 0 AND source NOT IN ({srcs}))"
+    )
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""h{r} AS (
+  SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+           (SELECT findp FROM w{r}), (SELECT replp FROM w{r})),
+         '  ', ' ')) AS t
+  FROM h{r - 1}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+       t AS bpe_text
+FROM h{_BPE_ROUNDS}
 """)

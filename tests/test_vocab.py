@@ -148,3 +148,25 @@ def test_encode_accepts_merge_dataframe(spark):
     pairs = [r["pair"] for r in mdf.orderBy("round").collect()]
     assert got[0] == _encode(spark, ["a b a b"], pairs)[0]
     assert got[1] == _encode(spark, ["a b c"], pairs)[0]
+
+
+def test_encode_holdout_unseen_symbols_pass_through(spark):
+    # merges trained on one corpus applied to another: unseen symbols
+    # pass through untouched, and only the exact ordered pair merges
+    # (the train-once / apply-everywhere contract of the
+    # bpe_encode_holdout registry row)
+    from parquet_sampler_spark.operators.vocab import bpe_encode
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id bigint, text string"
+    )
+    merges = bpe_merge_rounds(train, "doc_id", "text", rounds=1)
+    hold = spark.createDataFrame(
+        [(10, "a b z"), (11, "z q"), (12, "b a")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["bpe_text"]
+        for r in bpe_encode(hold, "text", merges).collect()
+    }
+    assert got == {10: "a_b z", 11: "z q", 12: "b a"}
