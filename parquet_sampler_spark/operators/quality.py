@@ -44,6 +44,7 @@ def unigram_rarity(
     scale: int = 1000,
     keep_below: int | None = None,
     broadcast_vocab: bool = True,
+    inline: bool = False,
 ) -> DataFrame:
     """CCNet-style unigram-LM quality scores, exact-arithmetic variant.
 
@@ -71,6 +72,18 @@ def unigram_rarity(
     ``broadcast_vocab=False`` for the AQE shuffle-join escape when it
     is not), then ONE per-document aggregation. The corpus text itself
     is never shuffled — only (id, tok) pairs.
+
+    ``inline=True`` switches scoring to the CCNet-at-scale shape: the
+    vocabulary rarity table is collected (bounded by VOCABULARY size —
+    the model, not the corpus) and shipped into an Arrow-batched
+    pandas UDF that scores each document in place — NO join, NO
+    shuffle of anything, the exact way CCNet distributes its KenLM
+    model to every worker. Same output, pinned equal to the default
+    path by test. Use it when a downstream stage would otherwise join
+    the per-doc verdict back to the corpus (the verdict list is
+    corpus-sized and stops broadcasting around ~10^8 docs; inline
+    scoring removes that join entirely, as curation-style pipelines
+    need at the 100 TB mark).
     """
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
@@ -86,29 +99,82 @@ def unigram_rarity(
             F.expr("__total DIV cnt").cast("bigint").alias("__rarity"),
         )
     )
-    if broadcast_vocab:
-        rarity = F.broadcast(rarity)
-    scored = (
-        toks.join(rarity, "tok")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("__rarity").cast("bigint").alias("sum_rarity"),
+    if inline:
+        scored = _score_inline(df, id_col, text_col, rarity, scale)
+    else:
+        if broadcast_vocab:
+            rarity = F.broadcast(rarity)
+        scored = (
+            toks.join(rarity, "tok")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.sum("__rarity").cast("bigint").alias("sum_rarity"),
+            )
+            .select(
+                id_col,
+                "n_tokens",
+                "sum_rarity",
+                F.expr(f"({scale} * sum_rarity) DIV n_tokens")
+                .cast("bigint")
+                .alias("mean_rarity_scaled"),
+            )
         )
-        .select(
-            id_col,
-            "n_tokens",
-            "sum_rarity",
-            F.expr(f"({scale} * sum_rarity) DIV n_tokens")
-            .cast("bigint")
-            .alias("mean_rarity_scaled"),
-        )
-    )
     if keep_below is not None:
         scored = scored.withColumn(
             "kept", F.col("mean_rarity_scaled") <= F.lit(keep_below)
         )
     return scored
+
+
+def _score_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rarity: DataFrame,
+    scale: int,
+) -> DataFrame:
+    """Inline (model-shipped) scoring: collect the vocabulary rarity
+    table (bounded by vocabulary size) and score every document in an
+    Arrow-batched ``mapInPandas`` pass — no join, no shuffle. Integer
+    arithmetic only, so the result is bit-identical to the join+agg
+    path at any batch split (pinned by test)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    rar = {r["tok"]: r["__rarity"] for r in rarity.collect()}
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_tokens", T.LongType(), False),
+            T.StructField("sum_rarity", T.LongType(), False),
+            T.StructField("mean_rarity_scaled", T.LongType(), False),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None:
+                    continue
+                t = txt.strip()
+                if not t:
+                    continue
+                toks = t.split(" ")
+                s = sum(rar[w] for w in toks)
+                n = len(toks)
+                out.append((i, n, s, (scale * s) // n))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "n_tokens", "sum_rarity",
+                    "mean_rarity_scaled",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(score, schema)
 
 
 def tfidf_top_terms(

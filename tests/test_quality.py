@@ -222,3 +222,22 @@ def test_quality_family_matches_independent_reference(spark):
         for r in tfidf_top_terms(df, "doc_id", "text").collect()
     }
     assert got_t == exp_t
+
+
+def test_rarity_inline_matches_join_path(spark):
+    # the model-shipped inline scorer (no join, no shuffle) must be
+    # bit-identical to the default join+agg path, including NULL /
+    # empty / whitespace-only docs and the kept threshold
+    texts = [f"w{i % 9} x{i % 4} common tail{i % 2}" for i in range(80)]
+    texts += ["", "   ", None, "solo"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    ).repartition(5)
+    a = sorted(tuple(r) for r in unigram_rarity(
+        df, "doc_id", "text", scale=777, keep_below=5000
+    ).collect())
+    b = sorted(tuple(r) for r in unigram_rarity(
+        df, "doc_id", "text", scale=777, keep_below=5000, inline=True
+    ).collect())
+    assert a == b and len(a) == 81
