@@ -752,6 +752,40 @@ def cluster_dedup(
     return df.join(keep, id_col, "left_semi")
 
 
+def cluster_dedup_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    **clusters_kwargs,
+) -> DataFrame:
+    """Keep the BEST-scoring row per duplicate cluster (ties → min
+    ``id_col``) — the keeper policy production dedup actually wants:
+    of N near-identical copies, keep the highest-quality one, not the
+    accidental min-id (:func:`cluster_dedup`'s policy, kept as the
+    cheaper sibling when no score exists). ``score_col`` is any
+    per-row quality signal already on ``df``.
+
+    Plan shape: the label relation joins back by ``id_col`` (key +
+    score + cluster — never text) and one per-cluster
+    ``row_number`` window picks the argmax; both exchanges carry
+    id-sized rows, and the window compiles to WindowGroupLimit
+    (1 row per cluster survives the partial pass). Extra keyword args
+    pass through to :func:`duplicate_clusters`."""
+    labels = duplicate_clusters(df, pairs, id_col, **clusters_kwargs)
+    slim = df.select(id_col, score_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    keep = (
+        slim.join(labels, id_col)
+        .withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
 
 def ngram_dup_spans(
     df: DataFrame,

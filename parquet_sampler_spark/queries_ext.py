@@ -2267,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "dup_clusters": _q_dup_clusters,
         "cluster_dedup": _q_cluster_dedup,
+        "cluster_dedup_best": _q_cluster_dedup_best,
         "events_multi_rollup": _q_events_multi_rollup,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sessionize": _q_streaming_sessionize,
@@ -2375,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_per_nation": _SQL_REVENUE,
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "cluster_dedup": _SQL_CLUSTER_DEDUP,
+        "cluster_dedup_best": _SQL_CLUSTER_DEDUP_BEST,
         "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
@@ -3011,6 +3013,44 @@ _SQL_CLUSTER_DEDUP = (
     + "SELECT d.* FROM documents d JOIN l4 "
       "ON l4.doc_id = d.doc_id AND l4.cluster = d.doc_id"
 )
+
+
+_SQL_CLUSTER_DEDUP_BEST = (
+    "WITH " + _SQL_CC_CTES
+    + f""",
+q AS (SELECT doc_id, {TX.quality_score_sql('text')} AS quality
+      FROM documents),
+r AS (
+  SELECT l4.doc_id, row_number() OVER (
+           PARTITION BY l4.cluster
+           ORDER BY q.quality DESC, l4.doc_id
+         ) AS rn
+  FROM l4 JOIN q ON q.doc_id = l4.doc_id
+)
+SELECT d.doc_id, q2.quality
+FROM documents d
+JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+JOIN q q2 ON q2.doc_id = d.doc_id
+"""
+)
+
+
+def _q_cluster_dedup_best(spark, sf_dir):
+    """Best-copy dedup (r10): of every duplicate cluster keep the
+    HIGHEST-quality document (composite quality score; ties -> min
+    doc_id) instead of cluster_dedup's accidental min-id — the keeper
+    policy a production pipeline wants. Same duplicate graph and
+    label propagation; one extra id-sized join + a per-cluster
+    WindowGroupLimit argmax."""
+    from parquet_sampler_spark.operators.dedup import cluster_dedup_best
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "quality", TX.quality_score("text")
+    )
+    return cluster_dedup_best(
+        d, _dup_graph_cached(spark, sf_dir), "doc_id", "quality",
+        **_env_checkpoint(),
+    ).select("doc_id", "quality")
 
 
 def _q_cluster_dedup(spark, sf_dir):

@@ -70,3 +70,32 @@ def test_pagerank_reliable_checkpoint_dir(triangle_plus_isolated, tmp_path):
     for root, _dirs, files in os.walk(ckpt):
         written.extend(os.path.join(root, f) for f in files)
     assert written, "no checkpoint files written to checkpoint_dir"
+
+
+def test_cluster_dedup_best_keeps_argmax_quality(spark):
+    # chain a-b-c is one cluster; best-quality wins, ties -> min id
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.operators.dedup import (
+        cluster_dedup,
+        cluster_dedup_best,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id bigint, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    best = sorted(
+        r["doc_id"]
+        for r in cluster_dedup_best(df, pairs, "doc_id", "q").collect()
+    )
+    # cluster {1,2,3}: max q 0.9 tie between 2 and 3 -> 2;
+    # singletons 4 and 9 survive untouched
+    assert best == [2, 4, 9]
+    minid = sorted(
+        r["doc_id"] for r in cluster_dedup(df, pairs, "doc_id").collect()
+    )
+    assert minid == [1, 4, 9]
