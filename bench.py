@@ -43,6 +43,7 @@ SETUP_ROWS = frozenset({
     "setup_zorder", "setup_compaction", "setup_dpp",
     "setup_ivfpqr_model", "setup_ivfpqr8_model",
     "setup_ivf_hier_model", "setup_ngram_warm",
+    "setup_bpe_model", "setup_bpe_holdout_model",
 })
 
 
@@ -139,6 +140,20 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_ngram_dup_spans(spark, sf_dir).count()
     times["setup_ngram_warm"] = round(time.perf_counter() - t0, 4)
+
+    # the BPE merge table is session-cached and shared by four rows
+    # (bpe_merges / bpe_encode / pack_sequences_bpe use the full-corpus
+    # fit; bpe_encode_holdout its train-half fit) — charge each fit
+    # here so the registry rows time encode/pack, not re-training
+    t0 = time.perf_counter()
+    queries_ext._bpe_merges_cached(spark, sf_dir)
+    times["setup_bpe_model"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    queries_ext._bpe_merges_cached(
+        spark, sf_dir, queries_ext._BPE_TRAIN_SRC
+    )
+    times["setup_bpe_holdout_model"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
     queries_ext._q_zorder_scan(spark, sf_dir).count()

@@ -123,6 +123,8 @@ def clear_caches() -> None:
     queries_ext._IVFPQR_SQL_CACHE.clear()
     queries_ext._IVF_HIER_SQL_CACHE.clear()
     queries_ext._SEM_SQL_CACHE.clear()
+    # plain-value caches (no DataFrames to unpersist)
+    queries_ext._BPE_MERGES_CACHE.clear()
     # path caches (written trees under the tmp roots wiped below)
     queries_ext._DPP_CACHE.clear()
     from parquet_sampler_spark.plans import cache as _plan_cache

@@ -79,6 +79,10 @@ FIXTURES: dict[str, str] = {
     "ann_ivfpq_residual": "setup_ivfpqr_model",
     "ann_ivfpq_residual8": "setup_ivfpqr8_model",
     "ann_ivf_hier": "setup_ivf_hier_model",
+    "bpe_merges": "setup_bpe_model",
+    "bpe_encode": "setup_bpe_model",
+    "pack_sequences_bpe": "setup_bpe_model",
+    "bpe_encode_holdout": "setup_bpe_holdout_model",
 }
 
 
@@ -107,6 +111,14 @@ def _fixture_builder(name: str):
         return lambda spark, sf_dir: queries_ext._q_ann_ivf_hier(
             spark, sf_dir
         ).count()
+    if name in ("bpe_merges", "bpe_encode", "pack_sequences_bpe"):
+        return lambda spark, sf_dir: queries_ext._bpe_merges_cached(
+            spark, sf_dir
+        )
+    if name == "bpe_encode_holdout":
+        return lambda spark, sf_dir: queries_ext._bpe_merges_cached(
+            spark, sf_dir, queries_ext._BPE_TRAIN_SRC
+        )
     raise KeyError(name)
 
 
