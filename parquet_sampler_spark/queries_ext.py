@@ -2328,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "quality_rarity": _q_quality_rarity,
+        "quality_rarity_inline": _q_quality_rarity_inline,
         "tfidf_topk": _q_tfidf_topk,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
         "curation_pipeline": _q_curation_pipeline,
@@ -2436,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample": _sql_mixture_resample(),
         "semantic_dedup": _sql_semantic_dedup(),
         "quality_rarity": _sql_quality_rarity(),
+        "quality_rarity_inline": _sql_quality_rarity(),
         "tfidf_topk": _sql_tfidf_topk(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
         "curation_pipeline": _sql_curation_pipeline(),
@@ -6604,3 +6606,25 @@ SELECT doc_id,
        t AS bpe_text
 FROM h{_BPE_ROUNDS}
 """)
+
+
+def _q_quality_rarity_inline(spark, sf_dir):
+    """The inline (model-shipped) rarity scorer as its own correctness
+    row (r10): same statistic as quality_rarity, computed the way
+    CCNet runs at 10^9+ docs — the vocabulary rarity table (bounded by
+    MODEL size) collects once and ships into an Arrow-batched
+    mapInPandas scorer; the scoring pass has NO join and NO shuffle
+    (plan-audited: zero Exchange). Shares quality_rarity's oracle
+    verbatim because the integer arithmetic is bit-identical by
+    construction (also pytest-pinned against the join path)."""
+    from parquet_sampler_spark.operators.quality import unigram_rarity
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_rarity(
+        d,
+        "doc_id",
+        "text",
+        scale=_RARITY_SCALE,
+        keep_below=_RARITY_KEEP_BELOW,
+        inline=True,
+    )

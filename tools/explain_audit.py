@@ -448,6 +448,17 @@ def main() -> int:
                   "ArrowEvalPython", "SortMergeJoin"],
     )
 
+    # 37b. inline rarity scorer (r10): the model-shipped path — the
+    # vocabulary collects at plan-build time, so the executed plan is
+    # scan -> Arrow scorer -> project with NO join and NO exchange of
+    # any kind (the whole point of the 10^9-doc shape)
+    check(
+        "quality_rarity_inline",
+        R.queries()["quality_rarity_inline"](spark, sf_dir),
+        must_not=["Exchange", "BroadcastHashJoin", "SortMergeJoin",
+                  "CartesianProduct", "BatchEvalPython"],
+    )
+
     # 37. curation composite (r10): quality filter -> dedup ->
     # mixture -> pack as one plan — mixture thresholds and the rarity
     # vocabulary must both resolve to broadcast joins; no cartesian,
