@@ -2246,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_capped": _q_jaccard_pairs_capped,
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_weighted": _q_minhash_pairs_weighted,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_block": _q_embedding_neardup_block,
@@ -2343,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
     # joined in r5.
     out = {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
+        "minhash_pairs_weighted": _sql_minhash_pairs_weighted(),
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
         "ann_lsh": _sql_ann_lsh(),
         "multimodal_resize": _sql_multimodal_resize(),
@@ -6628,3 +6630,60 @@ def _q_quality_rarity_inline(spark, sf_dir):
         keep_below=_RARITY_KEEP_BELOW,
         inline=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted near-dup (r10): integer-weighted Jaccard via multiset
+# expansion through the UNCHANGED MinHash-LSH pipeline
+# ---------------------------------------------------------------------------
+
+_WMH_T = 0.8
+
+
+def _q_minhash_pairs_weighted(spark, sf_dir):
+    """TF-weighted near-dup pairs (r10): integer-weighted Jaccard
+    Σmin(tf)/Σmax(tf) — repeated terms count with multiplicity, so a
+    doc repeating boilerplate 50× no longer looks identical to one
+    mentioning it once. Each token's k-th occurrence expands to a
+    distinct element tok#k (pure per-row expression, no extra
+    shuffle); the banded-LSH signature/verify pipeline is unchanged,
+    so blocking stays O(docs × bands). Oracle: the exact weighted
+    threshold-pairs SQL — precision is structural (exact verify) and
+    recall at 8×4 bands is deterministically 1 on this corpus's
+    planted near-dups (all qualifying pairs sit at j_w ≥ 0.9, miss
+    probability (1−0.9⁴)⁸ ≈ 2e-4, seeded signatures). Threshold 0.8
+    keeps the 12k-pair j_w ≥ 0.5 background (the word-salad corpus's
+    shared tiny vocabulary) out of the result — the near-dup list,
+    not a similarity matrix (the simhash row's sizing argument)."""
+    from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=1, threshold=_WMH_T, weighted=True,
+    ).select("id_a", "id_b", F.col("jaccard").alias("jaccard_w"))
+
+
+def _sql_minhash_pairs_weighted() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS size_w FROM tf GROUP BY 1),
+mins AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS min_sum
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(min_sum AS DOUBLE) /
+       CAST(ta.size_w + tb.size_w - min_sum AS DOUBLE) AS jaccard_w
+FROM mins JOIN tot ta ON ta.doc_id = mins.id_a
+          JOIN tot tb ON tb.doc_id = mins.id_b
+WHERE CAST(min_sum AS DOUBLE) /
+      CAST(ta.size_w + tb.size_w - min_sum AS DOUBLE) >= {_WMH_T}
+"""

@@ -665,3 +665,35 @@ def test_np_poly_fps_matches_jvm_fingerprint(spark):
     for i, c in enumerate(cases):
         assert nps[i] == jvm[i], f"fp mismatch on case {i}: {c!r}"
     assert _np_poly_fps(pd.Series([None, "a"]), MODULUS)[0] == -1
+
+
+def test_weighted_minhash_multiplicity_semantics(spark):
+    # weighted Jaccard = sum(min tf)/sum(max tf): a doc repeating a
+    # term is NOT identical to one mentioning it once (set Jaccard
+    # would say 1.0); hand trace: A="x x x y", B="x y" ->
+    # min: x:1+? -> sum(min)=1+1=2; max: 3+1=4 -> 0.5
+    from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y")], "doc_id bigint, text string"
+    )
+    got = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.4, weighted=True
+    ).collect()
+    assert len(got) == 1 and abs(got[0]["jaccard"] - 0.5) < 1e-12
+    # the SET form calls them identical — the weighted row exists
+    # precisely to separate these
+    set_form = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.4
+    ).collect()
+    assert len(set_form) == 1 and set_form[0]["jaccard"] == 1.0
+
+
+def test_weighted_minhash_rejects_ngrams(spark):
+    import pytest as _pytest
+
+    from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        minhash_lsh_pairs(df, "doc_id", "text", n=2, weighted=True)
