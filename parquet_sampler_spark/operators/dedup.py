@@ -342,19 +342,33 @@ def minhash_lsh_pairs(
     """Approximate Jaccard similarity join: MinHash signatures → banded
     LSH blocking → exact-Jaccard verification of candidates.
 
-    ``weighted=True`` (n=1 only) computes the INTEGER-WEIGHTED Jaccard
-    ``Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B)`` instead of the set
-    form — repeated terms count with multiplicity, so a document that
-    repeats boilerplate 50× no longer looks identical to one mentioning
-    it once. Mechanism: each token's k-th occurrence expands to a
-    distinct element ``tok#k`` (the exact-integer multiset encoding —
-    the set Jaccard of the expansions IS the weighted Jaccard, the
-    classic reduction that underlies consistent weighted sampling
-    approximations, kept exact here because tf weights are integers).
-    The expansion is a pure per-row array expression (occurrence index
-    = count of equal tokens before position i) — no extra shuffle; the
-    signature/band/verify pipeline is IDENTICAL, so the scale story
-    (O(docs × bands) blocking, never all-pairs) carries over verbatim.
+    ``weighted=True`` computes the INTEGER-WEIGHTED Jaccard
+    ``Σ_g min(tf_A, tf_B) / Σ_g max(tf_A, tf_B)`` over the n-grams
+    instead of the set form — repeated grams count with multiplicity,
+    so a document that repeats boilerplate 50× no longer looks
+    identical to one mentioning it once. Mechanism: each gram's k-th
+    occurrence expands to a distinct element ``gram#k`` (the
+    exact-integer multiset encoding — the set Jaccard of the
+    expansions IS the weighted Jaccard, the classic reduction that
+    underlies consistent weighted sampling approximations, kept exact
+    here because tf weights are integers). The expansion is a pure
+    per-row array expression (occurrence index = count of equal grams
+    before position i) — no extra shuffle; the signature/band/verify
+    pipeline is IDENTICAL, so the scale story (O(docs × bands)
+    blocking, never all-pairs) carries over verbatim. Two measured
+    caveats (SCALING.md): (1) the LSH banding must sit ABOVE the
+    corpus's background weighted similarity — unigram multiplicity
+    over a tiny shared vocabulary put the all-pairs background (~0.55)
+    inside the 32/8 s-curve and candidate generation degenerated
+    quadratic (α 1.81 at sf0.1→1); n=2 collapses the background to
+    <0.1 and restores the LSH shape (α 0.95, linear in docs). Pick n
+    so that UNRELATED documents score near 0 under the weighted
+    statistic. (2) The occurrence-index expression is O(L²) string
+    compares per document (L = grams) — linear and partition-parallel
+    at this corpus's ~200-token docs, but a LONG-document corpus
+    (10⁴+ tokens) should derive occurrence indexes with a windowed
+    ``row_number`` over the exploded gram stream instead (one extra
+    Θ(tokens) shuffle, O(L log L) per doc).
 
     With r = num_hashes/bands rows per band, a pair at similarity s is
     a candidate with probability ``1 - (1 - s^r)^bands`` (s-curve; with
@@ -394,19 +408,17 @@ def minhash_lsh_pairs(
     # persist so split/shingle runs once (measured faster than
     # re-deriving even single-shot: the verify side reads it twice).
     if weighted:
-        if n != 1:
-            raise ValueError(
-                "weighted minhash is defined over word unigrams (n=1)"
-            )
-        tokens = F.split(F.trim(F.col(text_col)), " ")
+        from parquet_sampler_spark.functions.text import word_ngrams
+
+        grams = word_ngrams(text_col, n, distinct=False)
         sh_expr = F.transform(
-            tokens,
+            grams,
             lambda x, i: F.concat(
                 x,
                 F.lit("#"),
                 F.size(
                     F.filter(
-                        F.slice(tokens, F.lit(1), i), lambda y: y == x
+                        F.slice(grams, F.lit(1), i), lambda y: y == x
                     )
                 ).cast("string"),
             ),

@@ -6661,14 +6661,15 @@ def _q_minhash_pairs_weighted(spark, sf_dir):
         F.length(F.trim(F.col("text"))) > 0
     )
     return minhash_lsh_pairs(
-        d, "doc_id", "text", n=1, threshold=_WMH_T, weighted=True,
+        d, "doc_id", "text", n=2, threshold=_WMH_T, weighted=True,
     ).select("id_a", "id_b", F.col("jaccard").alias("jaccard_w"))
 
 
 def _sql_minhash_pairs_weighted() -> str:
+    GRAMS2 = TX.word_ngrams_sql("text", 2, distinct=False)
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  SELECT doc_id, unnest({GRAMS2}) AS tok
   FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
 ),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -689,11 +689,22 @@ def test_weighted_minhash_multiplicity_semantics(spark):
     assert len(set_form) == 1 and set_form[0]["jaccard"] == 1.0
 
 
-def test_weighted_minhash_rejects_ngrams(spark):
-    import pytest as _pytest
-
+def test_weighted_minhash_bigram_multiplicity(spark):
+    # n=2 weighted (the registered shape): bigram multiset Jaccard.
+    # A = "a b a b a" -> bigrams [ab, ba, ab, ba]: ab:2, ba:2
+    # B = "a b a"     -> bigrams [ab, ba]:          ab:1, ba:1
+    # sum(min) = 2, sum(max) = 4 -> j_w = 0.5 (the SET bigram form
+    # would say 1.0 — both docs have exactly {ab, ba})
     from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
 
-    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
-    with _pytest.raises(ValueError):
-        minhash_lsh_pairs(df, "doc_id", "text", n=2, weighted=True)
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b a")], "doc_id bigint, text string"
+    )
+    got = minhash_lsh_pairs(
+        df, "doc_id", "text", n=2, threshold=0.4, weighted=True
+    ).collect()
+    assert len(got) == 1 and abs(got[0]["jaccard"] - 0.5) < 1e-12
+    set_form = minhash_lsh_pairs(
+        df, "doc_id", "text", n=2, threshold=0.4
+    ).collect()
+    assert len(set_form) == 1 and set_form[0]["jaccard"] == 1.0
