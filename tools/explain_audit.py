@@ -448,6 +448,16 @@ def main() -> int:
                   "ArrowEvalPython", "SortMergeJoin"],
     )
 
+    # 37c. weighted minhash (r10): the multiset-expansion path must
+    # keep the unweighted pipeline's contract — banded equi-join
+    # blocking, no cartesian candidate generation, no Python anywhere
+    check(
+        "minhash_pairs_weighted",
+        R.queries()["minhash_pairs_weighted"](spark, sf_dir),
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     # 37b. inline rarity scorer (r10): the model-shipped path — the
     # vocabulary collects at plan-build time, so the executed plan is
     # scan -> Arrow scorer -> project with NO join and NO exchange of
