@@ -170,3 +170,23 @@ def test_encode_holdout_unseen_symbols_pass_through(spark):
         for r in bpe_encode(hold, "text", merges).collect()
     }
     assert got == {10: "a_b z", 11: "z q", 12: "b a"}
+
+
+def test_bpe_merge_cache_keys_on_sfdir_and_filter(spark):
+    # the session cache must key on (sf_dir, train filter): the
+    # holdout fit (train half) and the full-corpus fit are different
+    # tables, and repeat calls return the cached object, not a retrain
+    from parquet_sampler_spark import queries_ext as qe
+
+    qe._BPE_MERGES_CACHE.clear()
+    full = qe._bpe_merges_cached(spark, "/root/testdata/sf0.001")
+    again = qe._bpe_merges_cached(spark, "/root/testdata/sf0.001")
+    assert again is full
+    half = qe._bpe_merges_cached(
+        spark, "/root/testdata/sf0.001", qe._BPE_TRAIN_SRC
+    )
+    assert len(qe._BPE_MERGES_CACHE) == 2
+    assert len(full) == len(half) == qe._BPE_ROUNDS
+    # counts must differ: the train half sees ~half the corpus tokens
+    assert [r[3] for r in full] != [r[3] for r in half]
+    qe._BPE_MERGES_CACHE.clear()
