@@ -45,6 +45,7 @@ def unigram_rarity(
     keep_below: int | None = None,
     broadcast_vocab: bool = True,
     inline: bool = False,
+    fit_df: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style unigram-LM quality scores, exact-arithmetic variant.
 
@@ -84,10 +85,22 @@ def unigram_rarity(
     corpus-sized and stops broadcasting around ~10^8 docs; inline
     scoring removes that join entirely, as curation-style pipelines
     need at the 100 TB mark).
+
+    ``fit_df`` (cross-corpus / holdout mode) fits the unigram model on
+    a DIFFERENT corpus than the one being scored — the tokenizer
+    lifecycle (fit once, apply to every new corpus). Tokens of the
+    scored corpus absent from the fitted model take the CCNet-style
+    out-of-vocabulary rarity ``total DIV 1`` = ``total`` (an unseen
+    token is maximally surprising — rarer than any observed singleton,
+    whose rarity is ``total DIV 1`` too; the integer analog of
+    KenLM's unknown-token penalty). The join path becomes a LEFT join
+    with ``coalesce(rarity, total)``; the inline path uses
+    ``rar.get(tok, total)`` — identical by construction.
     """
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
-    toks = _doc_tokens(df, id_col, text_col)
+    fit = df if fit_df is None else fit_df
+    toks = _doc_tokens(fit, id_col, text_col)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(
         F.sum("cnt").cast("bigint").alias("__total")
@@ -100,16 +113,38 @@ def unigram_rarity(
         )
     )
     if inline:
-        scored = _score_inline(df, id_col, text_col, rarity, scale)
+        scored = _score_inline(df, id_col, text_col, vocab, scale)
     else:
         if broadcast_vocab:
             rarity = F.broadcast(rarity)
+        stoks = toks if fit_df is None else _doc_tokens(
+            df, id_col, text_col
+        )
+        if fit_df is None:
+            # self-corpus fit: every token is in the vocabulary —
+            # inner join, no OOV branch in the plan
+            tok_r = stoks.join(rarity, "tok").select(
+                id_col, F.col("__rarity").alias("__r")
+            )
+        else:
+            # cross-corpus scoring: unseen tokens coalesce to the
+            # max rarity `total` (the 1-row total broadcast-joined)
+            tok_r = (
+                stoks.join(rarity, "tok", "left")
+                .crossJoin(F.broadcast(total))
+                .select(
+                    id_col,
+                    F.coalesce(
+                        F.col("__rarity"),
+                        F.expr("__total DIV 1").cast("bigint"),
+                    ).alias("__r"),
+                )
+            )
         scored = (
-            toks.join(rarity, "tok")
-            .groupBy(id_col)
+            tok_r.groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-                F.sum("__rarity").cast("bigint").alias("sum_rarity"),
+                F.sum("__r").cast("bigint").alias("sum_rarity"),
             )
             .select(
                 id_col,
@@ -131,19 +166,35 @@ def _score_inline(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    rarity: DataFrame,
+    vocab: DataFrame,
     scale: int,
 ) -> DataFrame:
-    """Inline (model-shipped) scoring: collect the vocabulary rarity
-    table (bounded by vocabulary size) and score every document in an
+    """Inline (model-shipped) scoring: collect the vocabulary count
+    table (bounded by vocabulary size), derive the rarity dict and the
+    OOV rarity driver-side, and score every document in an
     Arrow-batched ``mapInPandas`` pass — no join, no shuffle. Integer
     arithmetic only, so the result is bit-identical to the join+agg
-    path at any batch split (pinned by test)."""
+    path at any batch split (pinned by test).
+
+    Tokenization parity with the join path (``_doc_tokens``): Spark's
+    ``F.trim`` strips SPACES only, so the pandas side strips
+    ``' '`` — not all whitespace — before splitting (a doc like
+    ``'\\tc x'`` must tokenize identically on both paths). Tokens
+    outside the shipped model score the OOV rarity ``total`` (see
+    :func:`unigram_rarity`); on a self-corpus fit that branch is
+    unreachable. The scoring pass is columnar pandas (split / explode
+    / dict-map / groupby-sum) — no Python-level per-document loop;
+    every rarity value is < 2^53 so the float64 round-trip through the
+    dict map is exact, and the per-document sums accumulate in int64.
+    """
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    rar = {r["tok"]: r["__rarity"] for r in rarity.collect()}
+    rows = vocab.collect()
+    total = sum(r["cnt"] for r in rows)
+    rar = {r["tok"]: total // r["cnt"] for r in rows}
+    oov = total  # total DIV 1: an unseen token is maximally rare
     schema = T.StructType(
         [
             df.schema[id_col],
@@ -152,27 +203,33 @@ def _score_inline(
             T.StructField("mean_rarity_scaled", T.LongType(), False),
         ]
     )
+    cols = [id_col, "n_tokens", "sum_rarity", "mean_rarity_scaled"]
 
     def score(batches):
         for pdf in batches:
-            out = []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                if txt is None:
-                    continue
-                t = txt.strip()
-                if not t:
-                    continue
-                toks = t.split(" ")
-                s = sum(rar[w] for w in toks)
-                n = len(toks)
-                out.append((i, n, s, (scale * s) // n))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    id_col, "n_tokens", "sum_rarity",
-                    "mean_rarity_scaled",
-                ],
+            t = pdf[text_col].dropna().str.strip(" ")
+            t = t[t != ""]
+            if t.empty:
+                yield pd.DataFrame(columns=cols).astype(
+                    {c: "int64" for c in cols[1:]}
+                )
+                continue
+            toks = t.str.split(" ")
+            n = toks.str.len().astype("int64")
+            ex = toks.explode()
+            # Series.map(dict) is a vectorized take; absent keys yield
+            # NaN -> fillna(oov). Values < 2^53, exact through float64.
+            r = ex.map(rar).fillna(oov).astype("int64")
+            s = r.groupby(level=0).sum()
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].loc[t.index],
+                    "n_tokens": n,
+                    "sum_rarity": s,
+                    "mean_rarity_scaled": (scale * s) // n,
+                }
             )
+            yield out
 
     return df.select(id_col, text_col).mapInPandas(score, schema)
 

@@ -265,16 +265,28 @@ def _fit_coarse_hierarchy(
         d += diff * diff
     lab = d.argmin(axis=1)
     counts = np.bincount(lab, minlength=k1)
+    # Only supers that own >= 1 sketch point get sub-centroids; the
+    # returned supers array keeps EXACTLY those (owner indices remapped
+    # to positions within it). Keeping cell-less supers would let an
+    # ONLINE vector (corpus/query rows outside the fit sketch) route to
+    # a super with no cells — argmin over an empty candidate set in
+    # _route_assign, silently short probe lists in _route_probe
+    # (ADVICE r10). Fit-sketch assignments are unaffected: a fit
+    # point's nearest super has nonzero count by definition, and both
+    # engines consume the same returned arrays (the oracle embeds them
+    # as literals), so dropped supers change no gate hashes.
+    keep = np.flatnonzero(counts)
     out, owners = [], []
-    for j in np.flatnonzero(counts):
+    for pos, j in enumerate(keep):
         pts = X[lab == j]
         kj = min(len(pts),
                  max(1, int(np.floor(len(pts) * k / len(X) + 0.5))))
         sub = _lloyd_kmeans(pts, kj, seed + 1_000_003 * (int(j) + 1),
                             max_iter)
         out.append(sub)
-        owners.extend([int(j)] * len(sub))
-    return supers, np.vstack(out), np.array(owners, dtype=np.int64)
+        owners.extend([pos] * len(sub))
+    return (supers[keep], np.vstack(out),
+            np.array(owners, dtype=np.int64))
 
 
 def lsh_topk(

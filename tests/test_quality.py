@@ -241,3 +241,67 @@ def test_rarity_inline_matches_join_path(spark):
         df, "doc_id", "text", scale=777, keep_below=5000, inline=True
     ).collect())
     assert a == b and len(a) == 81
+
+
+def test_rarity_inline_nonspace_whitespace_parity(spark):
+    # ADVICE r10: Spark F.trim strips SPACES only, so the inline
+    # (pandas) path must strip ' ' — not all whitespace. A doc with
+    # leading tab / embedded newline tokenizes identically on both
+    # paths (tokens keep their tab/newline bytes).
+    texts = ["\tc x", "a\nb a", " y z ", "p\tq", None, "  "]
+    df = _docs(spark, texts)
+    a = sorted(tuple(r) for r in unigram_rarity(
+        df, "doc_id", "text", scale=10
+    ).collect())
+    b = sorted(tuple(r) for r in unigram_rarity(
+        df, "doc_id", "text", scale=10, inline=True
+    ).collect())
+    assert a == b and len(a) == 4
+    # '\tc' is its own token (F.trim left the tab alone)
+    toks = {t for txt in texts[:4] for t in txt.strip(" ").split(" ")}
+    assert "\tc" in toks and "a\nb" in toks
+
+
+def test_rarity_holdout_oov_value_pinned(spark):
+    # cross-corpus mode: fit on one corpus, score another that
+    # provably contains unseen tokens. OOV rarity = total DIV 1 =
+    # total (the max-rarity CCNet-style unknown-token policy).
+    fit = _docs(spark, ["a a b", "a b c"])  # total=6; a->2, b->3, c->6
+    new = spark.createDataFrame(
+        [(100, "a z"), (101, "z z"), (102, "b c a")],
+        "doc_id bigint, text string",
+    )
+    for kw in ({}, {"inline": True}, {"broadcast_vocab": False}):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["sum_rarity"],
+                          r["mean_rarity_scaled"])
+            for r in unigram_rarity(
+                new, "doc_id", "text", scale=10, fit_df=fit, **kw
+            ).collect()
+        }
+        # doc100: 2 + 6(OOV) = 8, mean 40; doc101: 12, mean 60;
+        # doc102: 3 + 6 + 2 = 11, mean 36
+        assert got == {
+            100: (2, 8, 40), 101: (2, 12, 60), 102: (3, 11, 36),
+        }, kw
+
+
+def test_rarity_holdout_join_and_inline_agree_at_scale(spark):
+    # larger randomized holdout: both scoring paths bit-identical,
+    # including docs that are entirely OOV
+    fit_texts = [f"w{i % 7} x{i % 3} base" for i in range(60)]
+    new_texts = [f"w{i % 11} q{i % 5} base novel{i % 2}" for i in range(50)]
+    new_texts += ["totally unseen tokens only", "", None]
+    fit = _docs(spark, fit_texts)
+    new = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(new_texts)],
+        "doc_id bigint, text string",
+    ).repartition(4)
+    a = sorted(tuple(r) for r in unigram_rarity(
+        new, "doc_id", "text", scale=321, keep_below=900, fit_df=fit
+    ).collect())
+    b = sorted(tuple(r) for r in unigram_rarity(
+        new, "doc_id", "text", scale=321, keep_below=900, fit_df=fit,
+        inline=True,
+    ).collect())
+    assert a == b and len(a) == 51

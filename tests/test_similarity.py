@@ -531,3 +531,44 @@ def test_clustered_recall_standing_gate(spark):
         "— re-measure tools/ann_recall_sf1.py --clustered and update "
         "the documented cliff"
     )
+
+
+def test_fit_hierarchy_never_returns_cellless_supers():
+    """ADVICE r10: a super-cell whose sketch population is empty must
+    not appear in the returned supers array — otherwise an ONLINE
+    vector (outside the fit sketch) nearest to it would hit an empty
+    argmin in _route_assign / a silently short probe list in
+    _route_probe. Pinned: every returned super owns >= 1 cell, owner
+    indices are positions into the returned supers, and routing any
+    adversarially-far online vector succeeds."""
+    import numpy as np
+
+    from parquet_sampler_spark.operators.similarity import (
+        _TWO_LEVEL_NLIST,
+        _fit_coarse_hierarchy,
+        _route_assign,
+        _route_probe,
+    )
+
+    rng = np.random.default_rng(11)
+    # only 3 DISTINCT points but k1 ~ 11 supers: Lloyd's degenerate
+    # branch duplicates centroids, the duplicates win no points, and
+    # pre-fix those cell-less supers leaked into the returned array
+    centers = rng.integers(-500, 500, size=(3, 8)).astype(np.float64)
+    X = np.repeat(centers, 120, axis=0)
+    k = _TWO_LEVEL_NLIST + 40  # forces the two-level path (k1 ~ 11)
+    supers, cents, owner = _fit_coarse_hierarchy(X, k, seed=7,
+                                                 max_iter=10)
+    assert supers is not None and owner is not None
+    assert len(supers) < 11  # the degenerate fixture really dropped some
+    # every super owns at least one sub-centroid; owners are positions
+    assert set(owner.tolist()) == set(range(len(supers)))
+    # online vectors far outside the sketch route without error and
+    # with full-length probe lists
+    sq = np.floor(supers * 1024).astype(np.int64)
+    cq = np.floor(cents * 1024).astype(np.int64)
+    m = rng.integers(-10**6, 10**6, size=(64, 8)).astype(np.int64)
+    assigned = _route_assign(m, cq, sq, owner)
+    assert len(assigned) == len(m)
+    probes = _route_probe(m, cq, sq, owner, nprobe=3, nprobe_super=1)
+    assert all(len(p) >= 1 for p in probes)
