@@ -337,7 +337,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
-    weighted: bool = False,
+    weighted: bool | str = False,
 ) -> DataFrame:
     """Approximate Jaccard similarity join: MinHash signatures → banded
     LSH blocking → exact-Jaccard verification of candidates.
@@ -366,9 +366,15 @@ def minhash_lsh_pairs(
     statistic. (2) The occurrence-index expression is O(L²) string
     compares per document (L = grams) — linear and partition-parallel
     at this corpus's ~200-token docs, but a LONG-document corpus
-    (10⁴+ tokens) should derive occurrence indexes with a windowed
-    ``row_number`` over the exploded gram stream instead (one extra
-    Θ(tokens) shuffle, O(L log L) per doc).
+    (10⁴+ tokens) should pass ``weighted="windowed"``: occurrence
+    indexes come from ``row_number`` over the exploded gram stream
+    (two extra Θ(tokens) shuffles — the (doc, gram) window and the
+    per-doc re-assembly — O(L log L) per doc instead of O(L²) string
+    compares). Output is IDENTICAL to the expression path (the same
+    ``gram#occ`` multiset encoding, occurrence index = count of equal
+    grams before the position; pinned equal by test) — only the
+    derivation differs. ``weighted=True`` keeps the per-row
+    expression path.
 
     With r = num_hashes/bands rows per band, a pair at similarity s is
     a candidate with probability ``1 - (1 - s^r)^bands`` (s-curve; with
@@ -407,27 +413,51 @@ def minhash_lsh_pairs(
     # shingled feeds both the signature pipeline and the verify joins —
     # persist so split/shingle runs once (measured faster than
     # re-deriving even single-shot: the verify side reads it twice).
-    if weighted:
+    if weighted == "windowed":
+        # long-document escape: occurrence index via row_number over
+        # the exploded gram stream — O(L log L) per doc, then one
+        # per-doc re-assembly so the downstream signature/band/verify
+        # pipeline sees the identical __sh multiset arrays
         from parquet_sampler_spark.functions.text import word_ngrams
 
         grams = word_ngrams(text_col, n, distinct=False)
-        sh_expr = F.transform(
-            grams,
-            lambda x, i: F.concat(
-                x,
+        ex0 = spread(df).select(
+            F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
+        )
+        w = Window.partitionBy(id_col, "__g").orderBy("__pos")
+        occ = ex0.select(
+            id_col,
+            F.concat(
+                F.col("__g"),
                 F.lit("#"),
-                F.size(
-                    F.filter(
-                        F.slice(grams, F.lit(1), i), lambda y: y == x
-                    )
-                ).cast("string"),
-            ),
+                (F.row_number().over(w) - 1).cast("string"),
+            ).alias("__e"),
+        )
+        shingled = _persist(
+            occ.groupBy(id_col).agg(F.collect_list("__e").alias("__sh"))
         )
     else:
-        sh_expr = _word_ngrams(text_col, n)
-    shingled = _persist(spread(df).select(
-        F.col(id_col), sh_expr.alias("__sh")
-    ))
+        if weighted:
+            from parquet_sampler_spark.functions.text import word_ngrams
+
+            grams = word_ngrams(text_col, n, distinct=False)
+            sh_expr = F.transform(
+                grams,
+                lambda x, i: F.concat(
+                    x,
+                    F.lit("#"),
+                    F.size(
+                        F.filter(
+                            F.slice(grams, F.lit(1), i), lambda y: y == x
+                        )
+                    ).cast("string"),
+                ),
+            )
+        else:
+            sh_expr = _word_ngrams(text_col, n)
+        shingled = _persist(spread(df).select(
+            F.col(id_col), sh_expr.alias("__sh")
+        ))
 
     # h < 2^31 and a < 2^31 keep a·h + b < 2^62: exact in BIGINT under
     # ANSI overflow checking, no wraparound anywhere.

@@ -37,7 +37,7 @@ def semi_join_reduce(
     build_key: str,
     null_safe: bool = False,
     stringly: bool = False,
-    broadcast: bool = True,
+    broadcast: bool | str = True,
     how: str = "left_semi",
 ) -> DataFrame:
     """Reduce ``probe`` to rows whose ``probe_key`` appears in
@@ -49,6 +49,16 @@ def semi_join_reduce(
     before broadcast — semi-join output is invariant to build duplicates
     (join.rs:72 set insert collapses them), and a distinct key list keeps
     the broadcast minimal.
+
+    ``broadcast``: ``True`` (default) hints a broadcast of the key list
+    — zero shuffle of the probe side, right while the build side is a
+    sampled fact. Past the broadcast limit (a 6M-key build side is
+    ~50 MB serialized; see SCALING.md's sf100 semijoin cell), pass
+    ``False`` to let Catalyst/AQE pick, or the explicit strategy
+    ``"shuffle_hash"`` / ``"merge"`` to force the shuffle path (the
+    registered escape row uses ``"shuffle_hash"`` so the non-broadcast
+    plan is exercised even at test scale, where AQE's size estimate
+    would otherwise re-select broadcast).
     """
     if how not in ("left_semi", "left_anti"):
         raise ValueError(f"how must be left_semi or left_anti, got {how!r}")
@@ -56,6 +66,11 @@ def semi_join_reduce(
         raise ValueError(f"probe key {probe_key!r} not in {probe.columns}")
     if build_key not in build.columns:
         raise ValueError(f"build key {build_key!r} not in {build.columns}")
+    if broadcast not in (True, False, "shuffle_hash", "merge"):
+        raise ValueError(
+            "broadcast must be True, False, 'shuffle_hash' or 'merge', "
+            f"got {broadcast!r}"
+        )
 
     bk = F.col(build_key)
     pk = probe[probe_key]
@@ -63,8 +78,10 @@ def semi_join_reduce(
         bk = bk.cast("string")
         pk = pk.cast("string")
     keys = build.select(bk.alias(_BK)).distinct()
-    if broadcast:
+    if broadcast is True:
         keys = F.broadcast(keys)
+    elif broadcast:
+        keys = keys.hint(broadcast)
 
     if null_safe:
         cond = pk.eqNullSafe(keys[_BK])

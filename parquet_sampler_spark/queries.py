@@ -246,6 +246,25 @@ def _q_semijoin_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semijoin_orders_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The past-broadcast-limit escape (r11, VERDICT r10 #5): same
+    reduction as semijoin_orders, forced onto the SHUFFLE-HASH path —
+    the plan SCALING.md's sf100 cell names for build sides that
+    outgrow the ~8 GB broadcast ceiling (a 6M-key side is already
+    ~50 MB; at 100 TB the sampled fact's key list can be GBs). Both
+    sides hash-exchange on the key — probe shuffle cost Θ(probe rows),
+    no driver-side or single-executor materialization of the build
+    set. The explicit hint keeps AQE's size estimate from re-selecting
+    broadcast at test scale, so the registered row actually exercises
+    the escape plan (plan-audited: ShuffledHashJoin, no
+    BroadcastExchange). Same oracle as semijoin_orders verbatim."""
+    s = lineitem_sample(spark, sf_dir)
+    return semi_join_reduce(
+        table(spark, sf_dir, "orders"), "o_orderkey", s, "l_orderkey",
+        broadcast="shuffle_hash",
+    )
+
+
 def _q_semijoin_orders_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-faithful mode: string-rendered keys + NULL matches NULL
     (join.rs:66-70,115-119; SURVEY.md §2.1 join-key semantics note)."""
@@ -424,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin_part": _q_semijoin_part,
         "semijoin_supplier": _q_semijoin_supplier,
         "semijoin_orders_nullsafe": _q_semijoin_orders_nullsafe,
+        "semijoin_orders_shuffle": _q_semijoin_orders_shuffle,
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
         "sample_order_preserving": _q_sample_order_preserving,
@@ -473,6 +493,9 @@ def oracle_sql() -> dict[str, str]:
         "semijoin_supplier": (
             f"WITH {sample} SELECT su.* FROM supplier su WHERE EXISTS "
             "(SELECT 1 FROM lineitem_sample s WHERE s.l_suppkey = su.s_suppkey)"
+        ),
+        "semijoin_orders_shuffle": (
+            f"WITH {sample}, {_ORDERS_RED_CTE} SELECT * FROM orders_red"
         ),
         "semijoin_orders_nullsafe": (
             f"WITH {sample} SELECT o.* FROM orders o WHERE EXISTS "

@@ -729,6 +729,48 @@ GROUP BY doc_id
 """
 
 
+def _q_bigram_novelty_salted(spark, sf_dir):
+    """The hot-gram skew-safe sibling of bigram_novelty (r11, VERDICT
+    r10 #3): same statistic, but the per-gram document frequency comes
+    from a two-phase AGGREGATE instead of a whole-partition window. A
+    hash aggregate partial-combines map-side — each input partition
+    emits at most one (gram, partial_count) row, which IS the salted
+    (gram, salt) → gram two-phase with salt = input partition — so a
+    hot stop-phrase gram costs the final agg ≤ #partitions rows,
+    where the window form materializes its ENTIRE group in one task
+    (AQE skew-splitting covers joins, not window partitions). The df
+    table (bigram-vocabulary-sized) then broadcast-joins back onto the
+    exploded stream — the stream never shuffles on gram at all, so the
+    hot gram also can't skew the probe side. At web scale where the
+    bigram vocabulary outgrows broadcast, drop the hint and AQE's
+    skew-join handles the shuffle-join probe. Plan-audited: no Window
+    operator anywhere; output pinned equal to bigram_novelty (shared
+    oracle + pytest)."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            TX.word_ngrams(F.lower(F.col("text")), 2, distinct=True)
+        ).alias("gram"),
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(F.broadcast(dfreq), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("df").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "sum_df",
+            (F.col("sum_df").cast("double") / F.col("n_grams"))
+            .alias("commonality"),
+        )
+    )
+
+
 # decontamination demo split: docs below the cut play the "benchmark"
 # set, the rest are the training corpus
 _BENCH_CUT = 20
@@ -2247,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_weighted": _q_minhash_pairs_weighted,
+        "minhash_pairs_weighted_win": _q_minhash_pairs_weighted_win,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_block": _q_embedding_neardup_block,
@@ -2278,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_reservoir": _q_streaming_reservoir,
         "source_quota": _q_source_quota,
         "bigram_novelty": _q_bigram_novelty,
+        "bigram_novelty_salted": _q_bigram_novelty_salted,
         "heavy_hitters": _q_heavy_hitters,
         "hll_rollup": _q_hll_rollup,
         "quantile_rollup": _q_quantile_rollup,
@@ -2330,9 +2374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "quality_rarity": _q_quality_rarity,
         "quality_rarity_inline": _q_quality_rarity_inline,
+        "quality_rarity_holdout": _q_quality_rarity_holdout,
         "tfidf_topk": _q_tfidf_topk,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
         "curation_pipeline": _q_curation_pipeline,
+        "curation_pipeline_bpe": _q_curation_pipeline_bpe,
         "bpe_encode_holdout": _q_bpe_encode_holdout,
     }
 
@@ -2345,6 +2391,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
         "minhash_pairs_weighted": _sql_minhash_pairs_weighted(),
+        "minhash_pairs_weighted_win": _sql_minhash_pairs_weighted(),
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
         "ann_lsh": _sql_ann_lsh(),
         "multimodal_resize": _sql_multimodal_resize(),
@@ -2389,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_reservoir": _sql_streaming_reservoir(),
         "source_quota": _sql_source_quota(),
         "bigram_novelty": _sql_bigram_novelty(),
+        "bigram_novelty_salted": _sql_bigram_novelty(),
         "heavy_hitters": _SQL_HEAVY_HITTERS,
         "hll_rollup": _SQL_HLL_ROLLUP,
         "quantile_rollup": _SQL_QUANTILE_ROLLUP,
@@ -2440,9 +2488,11 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "quality_rarity": _sql_quality_rarity(),
         "quality_rarity_inline": _sql_quality_rarity(),
+        "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "tfidf_topk": _sql_tfidf_topk(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "curation_pipeline_bpe": _sql_curation_pipeline_bpe(),
         "bpe_encode_holdout": _sql_bpe_encode_holdout(),
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
@@ -6547,6 +6597,106 @@ FROM c
 """)
 
 
+def _q_curation_pipeline_bpe(spark, sf_dir):
+    """The curation composite made vocabulary-true end-to-end (r11,
+    VERDICT r10 #8): rarity quality filter -> exact dedup -> DoReMi
+    mixture -> BPE ENCODE -> pack, as ONE composed plan. Where
+    curation_pipeline packs on whitespace token counts, this row
+    encodes every surviving document with the corpus-trained 4-round merge
+    table first (the session-cached fit — the tokenizer is trained
+    once, on the raw corpus, and applied to whatever curation ships),
+    so sequence boundaries fall at vocabulary-true token counts — the
+    exact layout a tokenized GPT loader materializes. Plan shape: the
+    curation_pipeline chain (key-only semi-join, one dedup window,
+    broadcast mixture thresholds) + the stacked pure-string encode
+    expressions (no shuffle, no Python) + one cum-sum window per pack
+    shard; the K merge winners are the only driver rows and are
+    charged to setup_bpe_model."""
+    from parquet_sampler_spark.operators.dedup import exact_dedup
+    from parquet_sampler_spark.operators.packing import pack_sequences
+    from parquet_sampler_spark.operators.quality import unigram_rarity
+    from parquet_sampler_spark.operators.sample import mixture_resample
+    from parquet_sampler_spark.operators.vocab import bpe_encode
+
+    d = _t(spark, sf_dir, "documents")
+    scored = unigram_rarity(
+        d, "doc_id", "text",
+        scale=_RARITY_SCALE, keep_below=_RARITY_KEEP_BELOW,
+    )
+    kept = d.join(
+        scored.filter(F.col("kept")).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    deduped = exact_dedup(kept, ["text"], "doc_id")
+    mixed = mixture_resample(
+        deduped, "doc_id", "text", "source", _MIX_WEIGHTS,
+        seed=_MIX_SEED, keep_cols=["text"],
+    )
+    pairs = [p for _, p, _, _ in _bpe_merges_cached(spark, sf_dir)]
+    enc = bpe_encode(
+        mixed.filter(F.length(F.trim(F.col("text"))) > 0), "text", pairs
+    )
+    return pack_sequences(
+        enc, "doc_id", "bpe_text", cap=_PACK_CAP, n_shards=_PACK_SHARDS
+    )
+
+
+def _sql_curation_pipeline_bpe() -> str:
+    from parquet_sampler_spark.functions.hashing import lehmer_hash_sql
+
+    cap, ns = _PACK_CAP, _PACK_SHARDS
+    h = lehmer_hash_sql(["d.doc_id"], _MIX_SEED)
+    bpe = _bpe_round_ctes(_BPE_ROUNDS)
+    ctes = ",\n".join(bpe)
+    out = (f"WITH {ctes},\n" + _rarity_ctes("documents") + f""",
+kept AS (
+  SELECT d.* FROM documents d JOIN rscore s ON d.doc_id = s.doc_id
+  WHERE ({_RARITY_SCALE} * s.sum_rarity) // s.n_tokens
+        <= {_RARITY_KEEP_BELOW}
+),
+dd AS (
+  SELECT k.* FROM kept k
+  WHERE k.doc_id IN (SELECT min(doc_id) FROM kept GROUP BY text)
+),
+""" + _mix_ctes("dd") + f""",
+mixd AS (
+  SELECT d.doc_id, d.text
+  FROM dd d JOIN thr ON d.source = thr.source
+  WHERE {h} < thr.thr
+),
+h0 AS (SELECT doc_id, trim(text) AS t FROM mixd
+       WHERE length(trim(text)) > 0)""")
+    for r in range(1, _BPE_ROUNDS + 1):
+        out += f""",
+h{r} AS (
+  SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+           (SELECT findp FROM w{r}), (SELECT replp FROM w{r})),
+         '  ', ' ')) AS t
+  FROM h{r - 1}
+)"""
+    out += f""",
+base AS (
+  SELECT doc_id, ((doc_id % {ns}) + {ns}) % {ns} AS shard,
+         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+  FROM h{_BPE_ROUNDS}
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_end
+  FROM base WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens,
+       (cum_end - n_tokens) // {cap} AS seq_first,
+       (cum_end - 1) // {cap} AS seq_last,
+       (cum_end - n_tokens) % {cap} AS seq_offset,
+       (cum_end - 1) // {cap} - (cum_end - n_tokens) // {cap} + 1 AS n_seqs
+FROM c
+"""
+    return out
+
+
 # ---------------------------------------------------------------------------
 # BPE holdout encode (r10): train-once / apply-everywhere
 # ---------------------------------------------------------------------------
@@ -6632,6 +6782,75 @@ def _q_quality_rarity_inline(spark, sf_dir):
     )
 
 
+def _q_quality_rarity_holdout(spark, sf_dir):
+    """Cross-corpus rarity scoring (r11, VERDICT r10 #1): fit the
+    unigram model on the TRAIN half of the corpus (sources src0–src9,
+    the bpe_encode_holdout split), ship it inline, and score the
+    HELD-OUT half — the model's actual lifecycle (CCNet ships a
+    trained LM to every worker and scores corpora it never fit on).
+    The gate corpus's 31-token vocabulary is fully shared across
+    sources, so the held-out text is perturbed DETERMINISTICALLY to
+    witness the OOV path: docs with doc_id ≡ 0 (mod 4) get a
+    doc_id-derived token ``unk<doc_id mod 3>`` appended — provably
+    absent from the train vocabulary — and the oracle replays the
+    identical perturbation (the dq_quarantine injection pattern).
+    Unseen tokens score the max rarity ``total DIV 1``; the scoring
+    pass is the zero-Exchange inline shape (plan-audited)."""
+    from parquet_sampler_spark.operators.quality import unigram_rarity
+
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin(_BPE_TRAIN_SRC)
+    fit = d.filter(is_train)
+    hold = d.filter(~is_train).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" unk"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return unigram_rarity(
+        hold, "doc_id", "text",
+        scale=_RARITY_SCALE, keep_below=_RARITY_KEEP_BELOW,
+        fit_df=fit, inline=True,
+    )
+
+
+def _sql_quality_rarity_holdout() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _BPE_TRAIN_SRC)
+    train_rel = f"(SELECT * FROM documents WHERE source IN ({srcs})) tdocs"
+    return ("WITH " + _rarity_ctes(train_rel) + f""",
+hdocs AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id % 4) + 4) % 4 = 0
+              THEN text || ' unk' ||
+                   CAST(((doc_id % 3) + 3) % 3 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE source NOT IN ({srcs})
+),
+htoks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM hdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+hscore AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(rrar.rarity,
+                           (SELECT total FROM rtot) // 1)) AS BIGINT)
+           AS sum_rarity
+  FROM htoks LEFT JOIN rrar USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_rarity,
+       CAST(({_RARITY_SCALE} * sum_rarity) // n_tokens AS BIGINT)
+         AS mean_rarity_scaled,
+       ({_RARITY_SCALE} * sum_rarity) // n_tokens
+         <= {_RARITY_KEEP_BELOW} AS kept
+FROM hscore
+""")
+
+
 # ---------------------------------------------------------------------------
 # Weighted near-dup (r10): integer-weighted Jaccard via multiset
 # expansion through the UNCHANGED MinHash-LSH pipeline
@@ -6662,6 +6881,26 @@ def _q_minhash_pairs_weighted(spark, sf_dir):
     )
     return minhash_lsh_pairs(
         d, "doc_id", "text", n=2, threshold=_WMH_T, weighted=True,
+    ).select("id_a", "id_b", F.col("jaccard").alias("jaccard_w"))
+
+
+def _q_minhash_pairs_weighted_win(spark, sf_dir):
+    """The long-document escape for weighted near-dup (r11, VERDICT
+    r10 #2): identical statistic and output to minhash_pairs_weighted,
+    but occurrence indexes come from a row_number window over the
+    exploded gram stream — O(L log L) per doc instead of the per-row
+    expression's O(L²) string compares, so a 10⁴-token doc is no
+    longer a straggler. Shares the exact weighted-threshold-pairs
+    oracle verbatim (the multiset encoding is identical; only its
+    derivation differs — also pytest-pinned equal to the expression
+    path on a long-doc fixture)."""
+    from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n=2, threshold=_WMH_T, weighted="windowed",
     ).select("id_a", "id_b", F.col("jaccard").alias("jaccard_w"))
 
 

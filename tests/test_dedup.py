@@ -708,3 +708,50 @@ def test_weighted_minhash_bigram_multiplicity(spark):
         df, "doc_id", "text", n=2, threshold=0.4
     ).collect()
     assert len(set_form) == 1 and set_form[0]["jaccard"] == 1.0
+
+
+def test_weighted_minhash_windowed_matches_expression_path(spark):
+    # weighted="windowed" (the long-document escape: row_number over
+    # the exploded gram stream instead of the O(L^2) per-row
+    # occurrence-index expression) must produce the IDENTICAL pair set
+    # and jaccard values — including on docs long enough that the
+    # quadratic path is the one being escaped, and on repeated-token
+    # pathologies where occurrence indexes matter most
+    import random
+
+    from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    # 400 tokens: long enough that occurrence indexes repeat heavily
+    # (13x per token on a 30-word vocab) yet the O(L^2) expression
+    # path still terminates in test time
+    long_a = " ".join(rng.choice(vocab) for _ in range(400))
+    long_b = long_a.split(" ")
+    # perturb 5% of positions -> a genuine near-dup of a LONG doc
+    for i in rng.sample(range(400), 20):
+        long_b[i] = rng.choice(vocab)
+    rows = [
+        (1, long_a),
+        (2, " ".join(long_b)),
+        (3, "x x x y"),
+        (4, "x y"),
+        (5, "boiler " * 50 + "plate"),
+        (6, "boiler plate"),
+        (7, None),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for kw in ({"n": 1, "threshold": 0.3}, {"n": 2, "threshold": 0.3}):
+        expr = sorted(
+            tuple(r) for r in minhash_lsh_pairs(
+                df, "doc_id", "text", weighted=True, **kw
+            ).collect()
+        )
+        win = sorted(
+            tuple(r) for r in minhash_lsh_pairs(
+                df, "doc_id", "text", weighted="windowed", **kw
+            ).collect()
+        )
+        assert expr == win, kw
+        assert any(p[:2] == (1, 2) for p in expr), kw  # long pair found

@@ -120,3 +120,70 @@ def test_source_quota_deterministic_under_repartition(spark, hostile_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_bigram_novelty_salted_pinned_equal(spark, hostile_dir):
+    # r11: the skew-safe two-phase-aggregate sibling must produce
+    # bit-identical output to the window form — on the hostile corpus
+    # too (NULL/empty/one-token docs, duplicate docs, multi-space)
+    a = _as_sorted(
+        tuple(r) for r in QX._q_bigram_novelty(spark, hostile_dir).collect()
+    )
+    b = _as_sorted(
+        tuple(r)
+        for r in QX._q_bigram_novelty_salted(spark, hostile_dir).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_semijoin_shuffle_pinned_equal(spark):
+    # r11: the forced shuffle-hash escape returns exactly the
+    # broadcast plan's rows, and its physical plan really is the
+    # non-broadcast one
+    from parquet_sampler_spark import queries as R
+
+    sf = "/root/testdata/sf0.001"
+    a = _as_sorted(
+        tuple(r) for r in R.queries()["semijoin_orders"](spark, sf).collect()
+    )
+    b = _as_sorted(
+        tuple(r)
+        for r in R.queries()["semijoin_orders_shuffle"](spark, sf).collect()
+    )
+    assert a == b and len(a) > 0
+    plan = (
+        R.queries()["semijoin_orders_shuffle"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan and "BroadcastExchange" not in plan
+
+
+def test_semijoin_reduce_rejects_bad_strategy(spark):
+    import pytest as _pytest
+
+    from parquet_sampler_spark.operators.semijoin import semi_join_reduce
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with _pytest.raises(ValueError):
+        semi_join_reduce(df, "k", df, "k", broadcast="sortmerge")
+
+
+def test_curation_bpe_witnesses_vocabulary_true_packing(spark):
+    # r11 policy witness: the BPE-encoded composite must actually
+    # CHANGE the packed layout vs whitespace counts (same survivors,
+    # different n_tokens / sequence boundaries) — otherwise the hash
+    # gate would only prove the shared curation machinery
+    sf = "/root/testdata/sf0.001"
+    ws = {r["doc_id"]: tuple(r) for r in QX._q_curation_pipeline(
+        spark, sf
+    ).collect()}
+    bpe = {r["doc_id"]: tuple(r) for r in QX._q_curation_pipeline_bpe(
+        spark, sf
+    ).collect()}
+    assert set(ws) == set(bpe)  # same curated survivors
+    # the merge table collapses pairs, so SOME doc's vocabulary-true
+    # token count differs from its whitespace count
+    n_ws = {k: v[2] for k, v in ws.items()}
+    n_bpe = {k: v[2] for k, v in bpe.items()}
+    assert n_ws != n_bpe
+    assert all(n_bpe[k] <= n_ws[k] for k in n_ws)  # merges only shrink

@@ -305,3 +305,29 @@ def test_rarity_holdout_join_and_inline_agree_at_scale(spark):
         inline=True,
     ).collect())
     assert a == b and len(a) == 51
+
+
+def test_quality_rarity_holdout_registry_row_exercises_oov(spark):
+    # the registered holdout row must PROVABLY score unseen tokens:
+    # every doc_id % 4 == 0 doc carries an injected unk<id%3> token
+    # absent from the train vocabulary, so its sum_rarity includes at
+    # least one OOV contribution (= total train tokens, the max
+    # rarity) — strictly larger than any in-vocab token's rarity
+    from parquet_sampler_spark import queries_ext as QX
+    from parquet_sampler_spark.operators.quality import _doc_tokens
+
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    train = d.filter(F.col("source").isin(QX._BPE_TRAIN_SRC))
+    total = _doc_tokens(train, "doc_id", "text").count()
+    rows = {r["doc_id"]: r for r in QX._q_quality_rarity_holdout(
+        spark, sf
+    ).collect()}
+    injected = [r for i, r in rows.items() if i % 4 == 0]
+    assert injected, "fixture must contain doc_id % 4 == 0 holdout docs"
+    for r in injected:
+        # the OOV token alone contributes `total`; in-vocab tokens on
+        # this corpus are all far more frequent than singletons
+        assert r["sum_rarity"] >= total

@@ -52,6 +52,15 @@ def main() -> int:
         R.queries()["semijoin_orders"](spark, sf_dir),
         must_contain=["BroadcastHashJoin", "LeftSemi"],
     )
+    # 1b. non-broadcast semi-join escape (r11): past the broadcast
+    # ceiling the reduction must take a shuffled-hash join — both
+    # sides exchange on the key, NO BroadcastExchange anywhere
+    check(
+        "semijoin_orders_shuffle",
+        R.queries()["semijoin_orders_shuffle"](spark, sf_dir),
+        must_contain=["ShuffledHashJoin", "LeftSemi"],
+        must_not=["BroadcastExchange", "BroadcastHashJoin"],
+    )
     # 2. sampler: top-k heap, not a global sort (and never the
     # single-partition window the row_number() formulation degraded to)
     check(
@@ -423,6 +432,18 @@ def main() -> int:
                   "Sort "],
     )
 
+    # 34b. salted bigram novelty (r11): the hot-gram skew-safe sibling
+    # — per-gram df via two-phase aggregate (map-side partial = the
+    # (gram, salt) phase) broadcast back; NO window operator, so no
+    # whole-group-in-one-task skew surface exists in the plan
+    check(
+        "bigram_novelty_salted",
+        R.queries()["bigram_novelty_salted"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["Window", "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     # 35. unigram rarity (r10): the vocabulary statistics table joins
     # back onto the token stream by BROADCAST (never a corpus
     # shuffle-join), everything JVM-side
@@ -458,6 +479,18 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # 37d. windowed weighted minhash (r11): the long-document escape —
+    # same no-cartesian/no-Python contract as the expression path; its
+    # occurrence-index window must be keyed per (doc, gram), never a
+    # whole-partition or single-partition window
+    check(
+        "minhash_pairs_weighted_win",
+        R.queries()["minhash_pairs_weighted_win"](spark, sf_dir),
+        must_contain=["Window"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "SinglePartition"],
+    )
+
     # 37b. inline rarity scorer (r10): the model-shipped path — the
     # vocabulary collects at plan-build time, so the executed plan is
     # scan -> Arrow scorer -> project with NO join and NO exchange of
@@ -467,6 +500,30 @@ def main() -> int:
         R.queries()["quality_rarity_inline"](spark, sf_dir),
         must_not=["Exchange", "BroadcastHashJoin", "SortMergeJoin",
                   "CartesianProduct", "BatchEvalPython"],
+    )
+
+    # 37e. holdout rarity scorer (r11): cross-corpus inline scoring —
+    # the model collects from the TRAIN half at plan-build time; the
+    # executed scoring plan over the held-out half must stay the
+    # zero-Exchange shape (scan -> project -> Arrow scorer), OOV
+    # handling inside the shipped dict
+    check(
+        "quality_rarity_holdout",
+        R.queries()["quality_rarity_holdout"](spark, sf_dir),
+        must_not=["Exchange", "BroadcastHashJoin", "SortMergeJoin",
+                  "CartesianProduct", "BatchEvalPython"],
+    )
+
+    # 37f. vocabulary-true curation composite (r11): the BPE encode
+    # stage is stacked pure-string expressions — the full chain keeps
+    # curation_pipeline's contract (broadcast thresholds/vocab, no
+    # cartesian, no Python) with zero added joins for the encode
+    check(
+        "curation_pipeline_bpe",
+        R.queries()["curation_pipeline_bpe"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
     )
 
     # 37. curation composite (r10): quality filter -> dedup ->
