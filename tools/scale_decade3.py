@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -34,7 +35,10 @@ DEFAULT_QUERIES = [
     "sample_lineitem", "semijoin_orders", "manifest_prune",
     "ngram_dup_spans", "bloom_decontaminate", "pack_sequences",
 ]
-REPS = 2
+# SPARK_GRAFT_SCALE_REPS=1 for multi-hundred-second rows (the banded
+# dedup family at sf100) where 2 cold reps would double a multi-hour
+# measurement for a best-of that host noise dominates anyway
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
 
 def main() -> int:
