@@ -338,6 +338,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     weighted: bool | str = False,
+    verify_broadcast: bool = True,
 ) -> DataFrame:
     """Approximate Jaccard similarity join: MinHash signatures → banded
     LSH blocking → exact-Jaccard verification of candidates.
@@ -368,13 +369,15 @@ def minhash_lsh_pairs(
     at this corpus's ~200-token docs, but a LONG-document corpus
     (10⁴+ tokens) should pass ``weighted="windowed"``: occurrence
     indexes come from ``row_number`` over the exploded gram stream
-    (two extra Θ(tokens) shuffles — the (doc, gram) window and the
-    per-doc re-assembly — O(L log L) per doc instead of O(L²) string
-    compares). Output is IDENTICAL to the expression path (the same
-    ``gram#occ`` multiset encoding, occurrence index = count of equal
-    grams before the position; pinned equal by test) — only the
-    derivation differs. ``weighted=True`` keeps the per-row
-    expression path.
+    (one Θ(tokens) window shuffle, O(L log L) per doc instead of
+    O(L²) string compares), and the whole pipeline then stays
+    ROW-SHAPED — signatures aggregate the element stream directly and
+    verification counts matching elements per candidate pair, so no
+    per-doc array (the other thing a 10⁴-token doc breaks) is ever
+    materialized. Output is IDENTICAL to the expression path (the
+    same ``gram#occ`` multiset encoding — elements are unique within
+    a doc, so count-intersection equals the set ops; pinned equal by
+    test). ``weighted=True`` keeps the per-row expression path.
 
     With r = num_hashes/bands rows per band, a pair at similarity s is
     a candidate with probability ``1 - (1 - s^r)^bands`` (s-curve; with
@@ -413,11 +416,19 @@ def minhash_lsh_pairs(
     # shingled feeds both the signature pipeline and the verify joins —
     # persist so split/shingle runs once (measured faster than
     # re-deriving even single-shot: the verify side reads it twice).
+    elems = None
     if weighted == "windowed":
         # long-document escape: occurrence index via row_number over
-        # the exploded gram stream — O(L log L) per doc, then one
-        # per-doc re-assembly so the downstream signature/band/verify
-        # pipeline sees the identical __sh multiset arrays
+        # the exploded gram stream — O(L log L) per doc. The pipeline
+        # then stays ROW-SHAPED end-to-end: signatures aggregate the
+        # element stream directly, and verification counts matching
+        # elements per candidate pair (expansion elements are UNIQUE
+        # within a doc — gram#occ — so count-intersection IS the set
+        # intersection). Per-doc arrays are never materialized: a
+        # 10⁴-token doc as a collect_list array is exactly the row
+        # width this mode exists to avoid (a first cut re-assembled
+        # arrays and OOMed the 500k-doc decade run the expression
+        # path survives).
         from parquet_sampler_spark.functions.text import word_ngrams
 
         grams = word_ngrams(text_col, n, distinct=False)
@@ -425,7 +436,14 @@ def minhash_lsh_pairs(
             F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
         )
         w = Window.partitionBy(id_col, "__g").orderBy("__pos")
-        occ = ex0.select(
+        # NOT persisted: the element stream is Θ(corpus tokens) — at
+        # sf100 the persisted blocks alone exceeded the single-node
+        # scratch disk. All four consumers (signatures, sizes, both
+        # verify sides) share the identical window subtree, so Spark's
+        # ReuseExchange runs the scan→explode map stage ONCE and the
+        # consumers re-sort from the same shuffle files — one shuffle
+        # write instead of a corpus-sized persist.
+        elems = ex0.select(
             id_col,
             F.concat(
                 F.col("__g"),
@@ -433,9 +451,7 @@ def minhash_lsh_pairs(
                 (F.row_number().over(w) - 1).cast("string"),
             ).alias("__e"),
         )
-        shingled = _persist(
-            occ.groupBy(id_col).agg(F.collect_list("__e").alias("__sh"))
-        )
+        shingled = None
     else:
         if weighted:
             from parquet_sampler_spark.functions.text import word_ngrams
@@ -461,11 +477,18 @@ def minhash_lsh_pairs(
 
     # h < 2^31 and a < 2^31 keep a·h + b < 2^62: exact in BIGINT under
     # ANSI overflow checking, no wraparound anywhere.
-    ex = shingled.select(
-        id_col, F.explode("__sh").alias("__s")
-    ).select(
-        id_col, F.abs(F.xxhash64("__s") % F.lit(_MINHASH_P)).alias("__h")
-    )
+    if elems is not None:
+        ex = elems.select(
+            id_col,
+            F.abs(F.xxhash64("__e") % F.lit(_MINHASH_P)).alias("__h"),
+        )
+    else:
+        ex = shingled.select(
+            id_col, F.explode("__sh").alias("__s")
+        ).select(
+            id_col,
+            F.abs(F.xxhash64("__s") % F.lit(_MINHASH_P)).alias("__h"),
+        )
     sig = ex.groupBy(id_col).agg(*[
         F.min(
             F.pmod(F.col("__h") * F.lit(A[i]) + F.lit(B[i]),
@@ -496,21 +519,79 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Exact-Jaccard verification: join the shingle sets back in for the
-    # (small) candidate set only — from the pre-UDF `shingled` stage, so
-    # re-deriving them does not re-run base hashing or the signature UDF.
-    sh = shingled
-    verified = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"),
-                            F.col("__sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"),
-                        F.col("__sh").alias("sh_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+    if elems is not None:
+        # Row-shaped exact verification (windowed mode): intersection
+        # size = matching-element count per candidate pair (elements
+        # are unique within a doc), union = |A| + |B| − |A∩B|. The
+        # element stream joins to the (small) candidate list first, so
+        # the equality join touches only candidate docs' elements —
+        # never an all-pairs surface, never a per-doc array.
+        sizes = elems.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__n")
         )
-    )
+        ea = elems.select(F.col(id_col).alias("id_a"), "__e")
+        eb = elems.select(F.col(id_col).alias("id_b"), "__e")
+        # cand (and everything Θ(cand) derived from it) is hinted as
+        # the broadcast side wherever it meets a corpus-sized stream;
+        # the one remaining big exchange is the (id_b, element)
+        # equality join — Θ(cand·L) vs Θ(tokens) narrow rows, the
+        # irreducible intersection work
+        inter = (
+            F.broadcast(cand).join(ea, "id_a")
+            .join(eb, ["id_b", "__e"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__i"))
+        )
+        i = F.coalesce(F.col("__i"), F.lit(0))
+        scored = F.broadcast(cand.join(inter, ["id_a", "id_b"], "left"))
+        verified = (
+            F.broadcast(
+                scored.join(
+                    sizes.select(F.col(id_col).alias("id_a"),
+                                 F.col("__n").alias("__na")), "id_a")
+            )
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("__n").alias("__nb")), "id_b")
+            .withColumn(
+                "jaccard",
+                i.cast("double")
+                / (F.col("__na") + F.col("__nb") - i).cast("double"),
+            )
+        )
+    else:
+        # Exact-Jaccard verification: join the shingle sets back in
+        # for the (small) candidate set only — from the pre-UDF
+        # `shingled` stage, so re-deriving them does not re-run base
+        # hashing or the signature UDF.
+        # The candidate list is Θ(near-dup candidates) — small
+        # relative to the corpus on a well-banded design — so it is
+        # the broadcast side of the first verify join and the
+        # shingle-array table STREAMS (no shuffle). Without the hint,
+        # a candidate list a few MB past
+        # spark.sql.autoBroadcastJoinThreshold silently flips both
+        # verify joins to sort-merge, shuffling the full array table
+        # twice (measured at sf100: >70 GB of scratch). The hint cuts
+        # the other way when the BANDING is underwater: this corpus's
+        # 31-token vocabulary puts ~60M candidates (≈1 GB — over
+        # spark.driver.maxResultSize) into the set-form band join at
+        # 5M docs, so ``verify_broadcast=False`` restores the shuffle
+        # join for candidate-heavy corpora — whose real fix is a
+        # banding/threshold/cap redesign (SCALING.md r11), not a
+        # bigger driver.
+        sh = shingled
+        cand_side = F.broadcast(cand) if verify_broadcast else cand
+        verified = (
+            cand_side
+            .join(sh.select(F.col(id_col).alias("id_a"),
+                            F.col("__sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"),
+                            F.col("__sh").alias("sh_b")), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            )
+        )
     return verified.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )

@@ -58,6 +58,21 @@ def main() -> int:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
     spark.read.parquet(f"{sf10}/orders.parquet").count()  # warmup
+    # plan-level warmup at sf1: the FIRST execution of a plan pays
+    # whole-stage-codegen + first-shuffle costs ~3x its warm cost
+    # (measured: minhash_pairs sf10 cold 96 s vs warm 29 s). At
+    # REPS=1 the sf10 tier would pay it while the same-session sf100
+    # tier ran warm, biasing every alpha DOWN — so warm each named
+    # query once on the cheap sf1 slice before any timed cell.
+    sf1 = REPO / ".scratch" / "sf1"
+    if sf1.is_dir():
+        for name in names:
+            registry.clear_caches()
+            if name in FIXTURES:
+                _fixture_builder(name)(spark, str(sf1))
+            qs[name](spark, str(sf1)).count()
+        registry.clear_caches()
+        spark.sparkContext._jvm.System.gc()
 
     out_names = []
     for n in names:
@@ -71,6 +86,13 @@ def main() -> int:
             best_setup = math.inf
             for _ in range(REPS):
                 registry.clear_caches()
+                # force ContextCleaner GC so the previous rep's /
+                # query's shuffle files are deleted NOW — in a long
+                # local session they otherwise accumulate until the
+                # JVM happens to GC, and the sf100 banded-dedup pass
+                # fills the disk with orphaned shuffle data (r11:
+                # two decade runs died on No-space-left before this)
+                spark.sparkContext._jvm.System.gc()
                 if name in FIXTURES:
                     t0 = time.perf_counter()
                     _fixture_builder(name)(spark, sf_dir)
@@ -83,6 +105,12 @@ def main() -> int:
             times[name][sf] = round(best, 3)
             if name in FIXTURES:
                 times[FIXTURES[name]][sf] = round(best_setup, 3)
+            # incremental cell print: a crash on a later (bigger)
+            # query must not lose completed measurements
+            print(f"[cell] {name} sf{sf} {round(best, 3)}s"
+                  + (f" setup={round(best_setup, 3)}s"
+                     if name in FIXTURES else ""),
+                  flush=True)
 
     print("| query | sf10 s | sf100 s | α(10→100) |")
     print("|---|---|---|---|")
