@@ -1,0 +1,78 @@
+"""Decade-3 cells for the banded dedup family on the Heaps-law
+documents fixture (tools/make_docs_heaps.py) — the vocabulary grows
+with the corpus, so the MinHash signature space does not saturate and
+the cells measure the OPERATOR's exponent, not the standard fixture's
+bounded-vocabulary artifact (see SCALING.md r11 census).
+
+Protocol mirrors tools/scale_decade3.py: sf1-tier plan warmup (cold
+first execution ≈ 3× warm), cache clear + forced shuffle-file GC
+before each timed cell, single rep (SPARK_DRIVER_MEMORY=32g
+recommended). Queries run the REGISTRY functions over the fixture
+dirs — same code path as the gate rows.
+
+Usage: SPARK_DRIVER_MEMORY=32g python tools/scale_decade3_heaps.py \
+    [query ...]   (default: minhash_pairs minhash_pairs_weighted_win)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+DEFAULT = ["minhash_pairs", "minhash_pairs_weighted_win"]
+
+
+def main() -> int:
+    names = sys.argv[1:] or DEFAULT
+    root = REPO / ".scratch" / "docs_heaps"
+    for tier in ("sf1", "sf10", "sf100"):
+        if not (root / tier / "documents.parquet").exists():
+            raise SystemExit(
+                f"{root / tier} missing — run tools/make_docs_heaps.py"
+            )
+
+    from parquet_sampler_spark import queries as registry
+    from parquet_sampler_spark.session import get_spark
+
+    spark = get_spark("scale-decade3-heaps")
+    qs = registry.queries()
+
+    def run(name, tier):
+        registry.clear_caches()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        cnt = qs[name](spark, str(root / tier)).count()
+        return round(time.perf_counter() - t0, 3), cnt
+
+    times: dict[str, dict[str, float]] = {n: {} for n in names}
+    rows: dict[str, dict[str, int]] = {n: {} for n in names}
+    for name in names:
+        run(name, "sf1")  # plan warmup, untimed tier
+        for tier in ("sf10", "sf100"):
+            dt, cnt = run(name, tier)
+            times[name][tier] = dt
+            rows[name][tier] = cnt
+            print(f"[cell] {name} {tier} {dt}s rows={cnt}", flush=True)
+
+    print("| query | sf10 s | sf100 s | α(10→100) | pairs sf10 → sf100 |")
+    print("|---|---|---|---|---|")
+    alphas = {}
+    for n in names:
+        t10, t100 = times[n]["sf10"], times[n]["sf100"]
+        a = round(math.log(t100 / t10) / math.log(10.0), 2)
+        alphas[n] = a
+        print(f"| {n} | {t10} | {t100} | {a} | "
+              f"{rows[n]['sf10']} → {rows[n]['sf100']} |")
+    print(json.dumps({"metric": "scale_decade3_heaps", "times": times,
+                      "rows": rows, "alpha": alphas}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
