@@ -193,6 +193,15 @@ def _score_inline(
 
     rows = vocab.collect()
     total = sum(r["cnt"] for r in rows)
+    # The exactness contract below (rarity values survive the float64
+    # round-trip through Series.map/fillna) requires every value —
+    # max = total — to be < 2^53. Fail loudly rather than corrupt
+    # sums on the OOV-bearing path (ADVICE r11).
+    if total >= 2**53:
+        raise ValueError(
+            f"fit corpus has {total} tokens >= 2**53; inline scoring "
+            "would lose exactness through float64 — use the join path"
+        )
     rar = {r["tok"]: total // r["cnt"] for r in rows}
     oov = total  # total DIV 1: an unseen token is maximally rare
     schema = T.StructType(

@@ -331,3 +331,19 @@ def test_quality_rarity_holdout_registry_row_exercises_oov(spark):
         # the OOV token alone contributes `total`; in-vocab tokens on
         # this corpus are all far more frequent than singletons
         assert r["sum_rarity"] >= total
+
+
+def test_inline_rarity_rejects_huge_fit_corpus(spark):
+    # The float64-exactness invariant (every rarity value < 2^53) is
+    # enforced, not just documented (ADVICE r11): a fit corpus at the
+    # boundary fails loudly instead of silently corrupting OOV sums.
+    import pytest
+
+    from parquet_sampler_spark.operators.quality import _score_inline
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    vocab = spark.createDataFrame(
+        [("a", 2**53)], "tok string, cnt bigint"
+    )
+    with pytest.raises(ValueError, match="2\\*\\*53"):
+        _score_inline(df, "doc_id", "text", vocab, 1_000_000)
