@@ -367,17 +367,26 @@ def minhash_lsh_pairs(
     statistic. (2) The occurrence-index expression is O(L²) string
     compares per document (L = grams) — linear and partition-parallel
     at this corpus's ~200-token docs, but a LONG-document corpus
-    (10⁴+ tokens) should pass ``weighted="windowed"``: occurrence
-    indexes come from ``row_number`` over the exploded gram stream
-    (one Θ(tokens) window shuffle, O(L log L) per doc instead of
-    O(L²) string compares), and the whole pipeline then stays
-    ROW-SHAPED — signatures aggregate the element stream directly and
-    verification counts matching elements per candidate pair, so no
-    per-doc array (the other thing a 10⁴-token doc breaks) is ever
-    materialized. Output is IDENTICAL to the expression path (the
-    same ``gram#occ`` multiset encoding — elements are unique within
-    a doc, so count-intersection equals the set ops; pinned equal by
-    test). ``weighted=True`` keeps the per-row expression path.
+    (10⁴+ tokens) should pass ``weighted="grouped"`` (``"windowed"``
+    is an accepted alias — the r11 name, kept for compatibility):
+    occurrence indexes come by COUNT, not by sort — a per-(doc, gram)
+    ``groupBy().count()`` (map-side partial combine; the one shuffle
+    carries narrow Θ(doc·distinct-gram) tf rows) followed by a pure
+    ``sequence``-explode map emitting ``gram#0..gram#(tf-1)``. The
+    multiset encoding only needs SOME bijection of occurrences onto
+    indexes, so the element SET — all MinHash or Jaccard ever sees —
+    is identical to the positional expression path's, and the
+    pipeline stays ROW-SHAPED: signatures aggregate the hashed
+    element stream (which exists only as an unshuffled map over tf,
+    consumed once), and verification computes Σ min(tf_A, tf_B)
+    straight off the tf table, so no per-doc array (the other thing
+    a 10⁴-token doc breaks) is ever materialized. Output is
+    IDENTICAL to the expression path (pinned equal by test). The r11
+    form of this escape used ``row_number`` over a sorted window —
+    its decade-3 cell measured α 1.16 because all four consumers
+    re-SORTED the Θ(tokens) element stream from the shared exchange
+    (SCALING.md r11/r12); the grouped form deletes every sort.
+    ``weighted=True`` keeps the per-row expression path.
 
     With r = num_hashes/bands rows per band, a pair at similarity s is
     a candidate with probability ``1 - (1 - s^r)^bands`` (s-curve; with
@@ -403,6 +412,17 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
+    if isinstance(weighted, str) and weighted not in (
+        "windowed", "grouped"
+    ):
+        # a typo like "window" is truthy and would silently fall
+        # through to the O(L^2) expression path (ADVICE r11) — the
+        # same validation semi_join_reduce applies to its strategy
+        # strings
+        raise ValueError(
+            f"weighted={weighted!r}: expected bool, 'grouped', or "
+            "'windowed' (alias of 'grouped')"
+        )
     r = num_hashes // bands
 
     import random
@@ -416,40 +436,45 @@ def minhash_lsh_pairs(
     # shingled feeds both the signature pipeline and the verify joins —
     # persist so split/shingle runs once (measured faster than
     # re-deriving even single-shot: the verify side reads it twice).
-    elems = None
-    if weighted == "windowed":
-        # long-document escape: occurrence index via row_number over
-        # the exploded gram stream — O(L log L) per doc. The pipeline
-        # then stays ROW-SHAPED end-to-end: signatures aggregate the
-        # element stream directly, and verification counts matching
-        # elements per candidate pair (expansion elements are UNIQUE
-        # within a doc — gram#occ — so count-intersection IS the set
-        # intersection). Per-doc arrays are never materialized: a
-        # 10⁴-token doc as a collect_list array is exactly the row
-        # width this mode exists to avoid (a first cut re-assembled
-        # arrays and OOMed the 500k-doc decade run the expression
-        # path survives).
+    tf = None
+    if weighted in ("windowed", "grouped"):
+        # long-document escape: occurrence indexes by COUNT, not by
+        # sort. The multiset encoding only needs SOME bijection of
+        # each gram's occurrences onto gram#0..gram#(tf-1) — the
+        # element SET per doc (which is all MinHash or Jaccard ever
+        # sees) is identical whichever occurrence gets which index —
+        # so positional row_number over a sorted window buys nothing.
+        # A per-(doc, gram) count aggregate produces the same encoding
+        # with no Window, no Sort anywhere: groupBy partial-combines
+        # map-side, so the one shuffle carries Θ(doc·distinct-gram)
+        # narrow (id, gram, tf) rows instead of the Θ(corpus tokens)
+        # element stream. (r11 shipped this mode as a row_number
+        # window — 'windowed', the name kept as an alias — and its
+        # decade-3 cell came in at α 1.16: the four consumers shared
+        # the window's exchange via ReuseExchange but each RE-SORTED
+        # the 600M-row stream from shuffle files. The grouped form
+        # removes the sorts AND shrinks what any consumer re-reads to
+        # the tf table; verification never touches elements at all —
+        # Σ min(tf_a, tf_b) over a (gram)-equality join of candidate
+        # docs' tf rows IS the multiset intersection.) Per-doc arrays
+        # are never materialized: a 10⁴-token doc as a collect_list
+        # array is exactly the row width this mode exists to avoid (a
+        # first cut re-assembled arrays and OOMed the 500k-doc decade
+        # run the expression path survives).
         from parquet_sampler_spark.functions.text import word_ngrams
 
         grams = word_ngrams(text_col, n, distinct=False)
         ex0 = spread(df).select(
-            F.col(id_col), F.posexplode(grams).alias("__pos", "__g")
+            F.col(id_col), F.explode(grams).alias("__g")
         )
-        w = Window.partitionBy(id_col, "__g").orderBy("__pos")
-        # NOT persisted: the element stream is Θ(corpus tokens) — at
-        # sf100 the persisted blocks alone exceeded the single-node
-        # scratch disk. All four consumers (signatures, sizes, both
-        # verify sides) share the identical window subtree, so Spark's
-        # ReuseExchange runs the scan→explode map stage ONCE and the
-        # consumers re-sort from the same shuffle files — one shuffle
-        # write instead of a corpus-sized persist.
-        elems = ex0.select(
-            id_col,
-            F.concat(
-                F.col("__g"),
-                F.lit("#"),
-                (F.row_number().over(w) - 1).cast("string"),
-            ).alias("__e"),
+        # NOT persisted: Θ(doc·distinct-gram) can still be corpus-
+        # sized. All four consumers (signatures, sizes, both verify
+        # sides) share the identical aggregate subtree, so
+        # ReuseExchange runs the scan→explode→partial-agg map stage
+        # ONCE and the consumers re-run only the final hash aggregate
+        # from the same shuffle files — no sort in any of them.
+        tf = ex0.groupBy(id_col, "__g").agg(
+            F.count(F.lit(1)).alias("__tf")
         )
         shingled = None
     else:
@@ -477,10 +502,30 @@ def minhash_lsh_pairs(
 
     # h < 2^31 and a < 2^31 keep a·h + b < 2^62: exact in BIGINT under
     # ANSI overflow checking, no wraparound anywhere.
-    if elems is not None:
-        ex = elems.select(
-            id_col,
-            F.abs(F.xxhash64("__e") % F.lit(_MINHASH_P)).alias("__h"),
+    if tf is not None:
+        # expand each (gram, tf) to the hashed elements gram#0..
+        # gram#(tf-1) — a pure map over the tf table, no shuffle; the
+        # Θ(corpus tokens) element stream exists only here and is
+        # consumed exactly once (by the signature aggregate, which
+        # partial-combines map-side into one num_hashes-wide row per
+        # doc per partition)
+        ex = tf.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__tf") - 1),
+                    lambda k: F.abs(
+                        F.xxhash64(
+                            F.concat(
+                                F.col("__g"),
+                                F.lit("#"),
+                                k.cast("string"),
+                            )
+                        )
+                        % F.lit(_MINHASH_P)
+                    ),
+                )
+            ).alias("__h"),
         )
     else:
         ex = shingled.select(
@@ -519,33 +564,40 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    if elems is not None:
-        # Row-shaped exact verification (windowed mode): intersection
-        # size = matching-element count per candidate pair (elements
-        # are unique within a doc), union = |A| + |B| − |A∩B|. The
-        # element stream joins to the (small) candidate list first, so
-        # the equality join touches only candidate docs' elements —
-        # never an all-pairs surface, never a per-doc array.
-        sizes = elems.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("__n")
+    if tf is not None:
+        # Row-shaped exact verification (grouped mode): the multiset
+        # intersection is Σ_g min(tf_A, tf_B) over the common grams —
+        # computed straight off the tf table, so verification never
+        # touches the element stream at all. The gram-equality join
+        # probes Θ(cand · distinct-grams) rows (vs the r11 windowed
+        # form's Θ(cand · L) element-equality probe); union =
+        # |A| + |B| − |A∩B| with |X| = Σ tf.
+        sizes = tf.groupBy(id_col).agg(
+            F.sum("__tf").alias("__n")
         )
-        ea = elems.select(F.col(id_col).alias("id_a"), "__e")
-        eb = elems.select(F.col(id_col).alias("id_b"), "__e")
+        ta = tf.select(F.col(id_col).alias("id_a"), "__g",
+                       F.col("__tf").alias("__tfa"))
+        tb = tf.select(F.col(id_col).alias("id_b"), "__g",
+                       F.col("__tf").alias("__tfb"))
         # cand (and everything Θ(cand) derived from it) is hinted as
         # the broadcast side wherever it meets a corpus-sized stream;
-        # the one remaining big exchange is the (id_b, element)
-        # equality join — Θ(cand·L) vs Θ(tokens) narrow rows, the
-        # irreducible intersection work
+        # the one remaining big exchange is the (id_b, gram) equality
+        # join — the irreducible intersection work.
+        # verify_broadcast=False drops the hints here exactly as on
+        # the array path (ADVICE r11: the escape for candidate-heavy
+        # corpora must exist in BOTH verify modes — a candidate list
+        # past driver maxResultSize kills either one).
+        _hint = F.broadcast if verify_broadcast else (lambda d: d)
         inter = (
-            F.broadcast(cand).join(ea, "id_a")
-            .join(eb, ["id_b", "__e"])
+            _hint(cand).join(ta, "id_a")
+            .join(tb, ["id_b", "__g"])
             .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("__i"))
+            .agg(F.sum(F.least("__tfa", "__tfb")).alias("__i"))
         )
         i = F.coalesce(F.col("__i"), F.lit(0))
-        scored = F.broadcast(cand.join(inter, ["id_a", "id_b"], "left"))
+        scored = _hint(cand.join(inter, ["id_a", "id_b"], "left"))
         verified = (
-            F.broadcast(
+            _hint(
                 scored.join(
                     sizes.select(F.col(id_col).alias("id_a"),
                                  F.col("__n").alias("__na")), "id_a")

@@ -753,5 +753,54 @@ def test_weighted_minhash_windowed_matches_expression_path(spark):
                 df, "doc_id", "text", weighted="windowed", **kw
             ).collect()
         )
+        grp = sorted(
+            tuple(r) for r in minhash_lsh_pairs(
+                df, "doc_id", "text", weighted="grouped", **kw
+            ).collect()
+        )
         assert expr == win, kw
+        assert win == grp, kw  # "windowed" is an alias of "grouped"
         assert any(p[:2] == (1, 2) for p in expr), kw  # long pair found
+
+
+def test_weighted_rejects_unknown_strategy_string(spark):
+    # a typo like "window" must error, not silently take the O(L^2)
+    # expression path (ADVICE r11)
+    import pytest
+
+    from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="windowed"):
+        minhash_lsh_pairs(df, "doc_id", "text", weighted="window")
+
+
+def test_windowed_verify_broadcast_escape(spark):
+    # verify_broadcast=False must apply to windowed mode too (ADVICE
+    # r11): same output, and the windowed verify plan carries no
+    # broadcast-hinted candidate join when the escape is on
+    from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),
+        (3, "x y z"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kw = dict(n=1, threshold=0.3, weighted="windowed")
+    hinted = minhash_lsh_pairs(df, "doc_id", "text", **kw)
+    escaped = minhash_lsh_pairs(
+        df, "doc_id", "text", verify_broadcast=False, **kw
+    )
+    got_h = sorted(tuple(r) for r in hinted.collect())
+    got_e = sorted(tuple(r) for r in escaped.collect())
+    assert got_h == got_e and any(p[:2] == (1, 2) for p in got_h)
+    # the hinted plan broadcasts; the escaped one must not (AQE may
+    # still CHOOSE a broadcast at this toy size, so pin the logical
+    # hint, not the physical join): ResolvedHint appears only with
+    # verify_broadcast=True
+    assert "broadcast" in hinted._jdf.queryExecution().logical().toString().lower()
+    assert "broadcast" not in escaped._jdf.queryExecution().logical().toString().lower()

@@ -479,15 +479,16 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
-    # 37d. windowed weighted minhash (r11): the long-document escape —
-    # same no-cartesian/no-Python contract as the expression path; its
-    # occurrence-index window must be keyed per (doc, gram), never a
-    # whole-partition or single-partition window
+    # 37d. grouped weighted minhash (r11 'windowed', redesigned r12):
+    # the long-document escape — same no-cartesian/no-Python contract
+    # as the expression path, and occurrence indexes now come by
+    # COUNT (per-(doc,gram) hash aggregate), so the plan must carry
+    # NO window operator at all (the r11 row_number form's 4× re-sort
+    # of the element stream was the measured α 1.16 term)
     check(
         "minhash_pairs_weighted_win",
         R.queries()["minhash_pairs_weighted_win"](spark, sf_dir),
-        must_contain=["Window"],
-        must_not=["CartesianProduct", "BatchEvalPython",
+        must_not=["Window", "CartesianProduct", "BatchEvalPython",
                   "ArrowEvalPython", "SinglePartition"],
     )
 
