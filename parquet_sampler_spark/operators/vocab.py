@@ -173,3 +173,52 @@ def bpe_encode(
             )
         )
     return df.withColumn(out_col, col)
+
+
+def bpe_decode(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Invert :func:`bpe_encode`: replay the merge table in REVERSE
+    order, splitting each merged symbol ``a_b`` back into its pair
+    ``a b`` — the decode half of the tokenizer loop.
+
+    Exact inverse by construction: encode's k-th rewrite turned the
+    whole-token occurrence `` a  b `` into `` a_b `` inside the
+    double-space boundary expansion; undoing the rewrites
+    last-merge-first restores every intermediate trainer state in
+    reverse, so ``decode(encode(text)) == trim(text)`` for any corpus
+    whose base symbols contain no ``_`` (the join marker — the same
+    contract :func:`bpe_encode` places on its vocabulary; whole-token
+    boundary matching means a LATER merge's symbol ``a_b_c`` is never
+    corrupted by undoing ``a_b`` first, because `` a_b `` does not
+    match inside `` a_b_c ``). NULL decodes to NULL, empty to empty.
+    Same execution shape as encode: K stacked string expressions
+    fused into the scan — no shuffle, no Python.
+    """
+    if isinstance(merges, DataFrame):
+        rows = merges.select("round", "pair").orderBy("round").collect()
+        pairs = [r["pair"] for r in rows]
+    else:
+        pairs = [p if isinstance(p, str) else p[0] for p in merges]
+    col = F.trim(F.col(text_col))
+    for pair in reversed(pairs):
+        a, b = pair.split(" ", 1)
+        merged = pair.replace(" ", "_")
+        expanded = F.concat(
+            F.lit(" "),
+            F.replace(col, F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        col = F.trim(
+            F.replace(
+                F.replace(
+                    expanded, F.lit(f" {merged} "), F.lit(f" {a}  {b} ")
+                ),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    return df.withColumn(out_col, col)

@@ -2380,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "curation_pipeline_bpe": _q_curation_pipeline_bpe,
         "bpe_encode_holdout": _q_bpe_encode_holdout,
+        "bpe_roundtrip": _q_bpe_roundtrip,
     }
 
 
@@ -2494,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _sql_curation_pipeline(),
         "curation_pipeline_bpe": _sql_curation_pipeline_bpe(),
         "bpe_encode_holdout": _sql_bpe_encode_holdout(),
+        "bpe_roundtrip": _sql_bpe_roundtrip(),
     }
     # ann_ivf's oracle is trained from the comparison sf dir's parquet;
     # if that dir is absent (unusual environment), degrade the one
@@ -6355,6 +6357,58 @@ SELECT doc_id,
        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
        t AS bpe_text
 FROM {last}
+""")
+
+
+def _q_bpe_roundtrip(spark, sf_dir):
+    """BPE decode inverts encode (r12): apply the fitted merge table,
+    then replay it in REVERSE (bpe_decode) and compare with the
+    original — decode(encode(text)) == trim(text), the invertibility
+    contract a tokenizer owes its corpus. The oracle chains the SAME
+    winner CTEs forward (encode) and then backward (decode stages
+    reusing each winner's find/replace patterns swapped), so both the
+    encoded token counts AND the per-doc roundtrip verdicts are
+    value-hash checked. Plan: 2K stacked string expressions fused
+    into one scan — no shuffle, no Python (same shape as encode)."""
+    from parquet_sampler_spark.operators.vocab import (
+        bpe_decode, bpe_encode,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = [p for _, p, _, _ in _bpe_merges_cached(spark, sf_dir)]
+    base = d.filter(F.length(F.trim(F.col("text"))) > 0)
+    enc = bpe_encode(base, "text", pairs)
+    dec = bpe_decode(enc, "bpe_text", pairs, out_col="__dec")
+    return dec.select(
+        "doc_id",
+        F.size(F.split(F.col("bpe_text"), " ")).cast("bigint").alias(
+            "n_tokens"
+        ),
+        (F.col("__dec") == F.trim(F.col("text"))).alias("roundtrip_ok"),
+    )
+
+
+def _sql_bpe_roundtrip() -> str:
+    last = f"s{_BPE_ROUNDS}"
+    ctes = _bpe_round_ctes(_BPE_ROUNDS, carry="doc_id, ")
+    # decode chain: undo the merges last-first — each stage swaps the
+    # winner's find/replace patterns inside the same double-space
+    # boundary expansion the encode stages use
+    ctes.append(f"d{_BPE_ROUNDS} AS (SELECT doc_id, t FROM {last})")
+    for r in range(_BPE_ROUNDS, 0, -1):
+        ctes.append(f"""d{r - 1} AS (
+  SELECT doc_id, trim(replace(replace(' ' || replace(t, ' ', '  ') || ' ',
+           (SELECT replp FROM w{r}), (SELECT findp FROM w{r})),
+         '  ', ' ')) AS t
+  FROM d{r}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT e.doc_id,
+       CAST(len(string_split(e.t, ' ')) AS BIGINT) AS n_tokens,
+       d0.t = trim(doc.text) AS roundtrip_ok
+FROM {last} e
+JOIN d0 ON d0.doc_id = e.doc_id
+JOIN documents doc ON doc.doc_id = e.doc_id
 """)
 
 

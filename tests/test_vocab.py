@@ -190,3 +190,36 @@ def test_bpe_merge_cache_keys_on_sfdir_and_filter(spark):
     # counts must differ: the train half sees ~half the corpus tokens
     assert [r[3] for r in full] != [r[3] for r in half]
     qe._BPE_MERGES_CACHE.clear()
+
+
+def test_bpe_decode_inverts_encode(spark):
+    # decode must replay the merge table in reverse and restore
+    # trim(text) exactly — including nested merges (a_b then a_b_c),
+    # greedy-run pathologies ("a a a" merges only the first pair),
+    # NULL -> NULL, and empty -> empty
+    from parquet_sampler_spark.operators.vocab import (
+        bpe_decode, bpe_encode,
+    )
+
+    rows = [
+        (1, "a b c a b"),
+        (2, "a a a"),
+        (3, "  x y  "),
+        (4, None),
+        (5, ""),
+        (6, "c c c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # nested (second merge consumes the first) + a run merge ("c c")
+    merges = ["a b", "a_b c", "c c", "a a"]
+    enc = bpe_encode(df, "text", merges)
+    dec = bpe_decode(enc, "bpe_text", merges, out_col="dec")
+    got = {r["doc_id"]: (r["bpe_text"], r["dec"]) for r in dec.collect()}
+    assert got[1][0] == "a_b_c a_b"          # nested merge applied
+    assert got[2][0] == "a_a a"              # greedy leftmost only
+    assert got[6][0] == "c_c c_c"            # non-overlapping run
+    assert got[4] == (None, None)
+    assert got[5] == ("", "")
+    for i, text in [(1, "a b c a b"), (2, "a a a"), (3, "x y"),
+                    (6, "c c c c")]:
+        assert got[i][1] == text, i
