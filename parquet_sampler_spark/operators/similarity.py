@@ -100,6 +100,37 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact radius (range) search: every corpus row whose cosine to a
+    query row is ``>= threshold`` — the fixed-similarity complement of
+    :func:`cosine_topk`'s fixed-count contract (retrieval wants "all
+    matches above 0.9", not "the 10 best whatever they score").
+
+    Output: ``query_id, neighbor_id, score`` (self-matches excluded).
+    Plan: the query set broadcasts and the corpus STREAMS through one
+    scan — a map-side nested-loop over nq unit vectors per corpus row,
+    no shuffle of the corpus, no window; the threshold filter fuses
+    into the same stage, so at 100 TB this is a single
+    embarrassingly-parallel pass (the right shape while nq is
+    broadcast-sized; a corpus-sized query set wants the LSH-bucketed
+    neardup join instead — :func:`embedding_neardup`).
+    """
+    q = _normalized(queries, id_col, vec_col, "query_id", "__qv")
+    c = _normalized(corpus, id_col, vec_col, "neighbor_id", "__cv")
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", _unit_dot("__qv", "__cv"))
+        .filter(F.col("score") >= threshold)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).tolist()

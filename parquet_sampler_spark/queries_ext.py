@@ -33,6 +33,7 @@ from parquet_sampler_spark.operators.dedup import (
     simhash_pairs,
 )
 from parquet_sampler_spark.operators.similarity import (
+    cosine_range,
     cosine_topk,
     embedding_neardup_pairs,
     ivf_topk,
@@ -1299,6 +1300,7 @@ def _sql_embedding_neardup_block():
 
 _ANN_K = 10
 _ANN_NQ = 5  # query set: vec_id < 5
+_ANN_RANGE_T = 0.3  # radius: all neighbors at cosine >= 0.3
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -1307,6 +1309,31 @@ def _q_ann_topk(spark, sf_dir):
         e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
         k=_ANN_K,
     )
+
+
+def _q_ann_range(spark, sf_dir):
+    """Exact radius search (r12): all corpus vectors at cosine >=
+    threshold from each query — the fixed-similarity complement of
+    ann_topk's fixed-count contract. Plan: the nq-row query set
+    broadcasts, the corpus streams through ONE scan with the dot
+    product and threshold fused — no shuffle, no window; the 100 TB
+    shape while the query set is broadcast-sized (a corpus-sized
+    query set is embedding_neardup's LSH-bucketed join instead)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_range(
+        e, e.filter(F.col("vec_id") < _ANN_NQ), "vec_id", "embedding",
+        threshold=_ANN_RANGE_T,
+    )
+
+
+def _sql_ann_range():
+    cos = unit_dot_sql("q.v", "c.v")
+    return f"""
+WITH {normalized_cte_sql()}
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
+FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+WHERE q.vec_id < {_ANN_NQ} AND {cos} >= {_ANN_RANGE_T}
+"""
 
 
 def _sql_ann_topk():
@@ -2294,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_block": _q_embedding_neardup_block,
         "ann_topk": _q_ann_topk,
+        "ann_range": _q_ann_range,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
@@ -2413,6 +2441,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "embedding_neardup_block": _sql_embedding_neardup_block(),
         "ann_topk": _sql_ann_topk(),
+        "ann_range": _sql_ann_range(),
         "pricing_summary": _SQL_PRICING,
         "topk_orders": _SQL_TOPK_ORDERS,
         "events_hourly": _SQL_EVENTS_HOURLY,

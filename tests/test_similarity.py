@@ -572,3 +572,33 @@ def test_fit_hierarchy_never_returns_cellless_supers():
     assert len(assigned) == len(m)
     probes = _route_probe(m, cq, sq, owner, nprobe=3, nprobe_super=1)
     assert all(len(p) >= 1 for p in probes)
+
+
+def test_cosine_range_exact_and_bounds(spark):
+    # radius search returns exactly the >= threshold set, excludes
+    # self, drops zero-norm vectors, and agrees with cosine_topk's
+    # scores on the overlap
+    from parquet_sampler_spark.operators.similarity import (
+        cosine_range, cosine_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),      # cos ~= 0.995 to q0
+        (2, [0.0, 1.0]),      # cos 0 to q0
+        (3, [-1.0, 0.0]),     # cos -1 to q0
+        (4, [0.0, 0.0]),      # zero-norm: dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter("vec_id = 0")
+    got = cosine_range(df, q, "vec_id", "embedding", threshold=0.5).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(0, 1)]
+    assert abs(got[0]["score"] - (1.0 / (1.0 + 0.01) ** 0.5)) < 1e-12
+    # negative threshold: everything except self and the zero vector
+    all_got = cosine_range(df, q, "vec_id", "embedding", threshold=-1.0)
+    assert sorted(r["neighbor_id"] for r in all_got.collect()) == [1, 2, 3]
+    # score parity with cosine_topk on the same pair
+    tk = {r["neighbor_id"]: r["score"]
+          for r in cosine_topk(df, q, "vec_id", "embedding", k=3).collect()}
+    for r in all_got.collect():
+        assert r["score"] == tk[r["neighbor_id"]]

@@ -539,6 +539,19 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # 38. radius search (r12): the query set broadcasts and the corpus
+    # streams through one scan — a broadcast nested-loop by design
+    # (inequality join condition), never a shuffle join, never a
+    # window, never Python
+    check(
+        "ann_range",
+        R.queries()["ann_range"](spark, sf_dir),
+        must_contain=["BroadcastNestedLoopJoin"],
+        must_not=["SortMergeJoin", "ShuffledHashJoin", "Window",
+                  "CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
