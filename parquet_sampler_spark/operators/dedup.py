@@ -286,6 +286,89 @@ def cross_ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Broder CONTAINMENT similarity join: all pairs
+    (id_a < id_b) where ``max(|A∩B|/|A|, |A∩B|/|B|) >= threshold``
+    over the n-gram shingle sets.
+
+    Containment is the ASYMMETRIC near-dup statistic: a short document
+    quoted wholesale inside a long one scores ~1.0 containment while
+    its Jaccard is tiny (the union is dominated by the long doc), so
+    resemblance joins — :func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs` — never see it. This is the
+    boilerplate/subsumption detector: template pages, quoted posts,
+    documents embedded in aggregations. Output carries BOTH directions
+    (``cont_a`` = |A∩B|/|A| — how much of A sits inside B — and
+    ``cont_b``) plus their max as ``containment``; the caller decides
+    which side is the "contained" duplicate (cluster-dedup by keeping
+    the superset doc is the usual policy).
+
+    Plan: the same inverted-index self-join skeleton as
+    :func:`ngram_jaccard_pairs` — int64-hashed shingles, candidates
+    only where a shingle is shared (never the cross product),
+    per-pair intersection counts, sizes joined back. ``max_shingle_df``
+    has the identical contract: over-cap shingles leave the self-join
+    ONLY, denominators stay exact, so emitted values are
+    under-estimates (recall-approximate, precision-exact) — and it is
+    the same Σdf² hot-shingle guard, because containment inherits the
+    resemblance join's candidate economics wholesale.
+
+    Output columns: ``id_a, id_b, cont_a, cont_b, containment``.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sh = _persist(sh.select(id_col, F.xxhash64("shingle").alias("shingle")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+
+    join_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle")
+
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "cont_a",
+            F.col("common").cast("double") / F.col("size_a").cast("double"),
+        )
+        .withColumn(
+            "cont_b",
+            F.col("common").cast("double") / F.col("size_b").cast("double"),
+        )
+        .withColumn("containment", F.greatest("cont_a", "cont_b"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "cont_a", "cont_b", "containment")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1097,6 +1097,64 @@ _SQL_JACCARD_DEDUP = (
 )
 
 
+_CONTAIN_T = 0.8
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """Broder containment join (r12): the ASYMMETRIC near-dup
+    statistic — max(|A∩B|/|A|, |A∩B|/|B|) over 2-gram shingle sets —
+    catching a short doc quoted wholesale inside a long one, which
+    resemblance (Jaccard) structurally misses because the union is
+    dominated by the long doc. Registered in the scale-safe capped
+    form (same df cap and contract as jaccard_pairs_capped: over-cap
+    shingles leave the self-join only, denominators exact, so values
+    are under-estimates — recall-approximate, precision-exact). On
+    this corpus the qualifying pairs are the planted near-dups (no
+    natural quoting), but the emitted per-direction containments are
+    value-hash checked, and the asymmetric case (cont_a ≈ 1, tiny
+    jaccard) is pinned by a planted-subsumption pytest."""
+    from parquet_sampler_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=_JACCARD_N, threshold=_CONTAIN_T,
+        max_shingle_df=_JACCARD_DF_CAP,
+    )
+
+
+# same shingles/sizes/rare/jsh skeleton as _SQL_SHINGLES2_CAPPED, but
+# the pair statistic is per-direction containment instead of jaccard
+_SQL_CONTAINMENT_PAIRS = f"""
+WITH shingles AS (
+  SELECT doc_id, unnest({TX.word_ngrams_sql('text', 2, distinct=True)})
+         AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+rare AS (
+  SELECT shingle FROM shingles
+  GROUP BY shingle HAVING count(*) <= {_JACCARD_DF_CAP}
+),
+jsh AS (SELECT s.* FROM shingles s JOIN rare USING (shingle)),
+cpairs AS (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) / CAST(sa.set_size AS DOUBLE) AS cont_a,
+         CAST(common AS DOUBLE) / CAST(sb.set_size AS DOUBLE) AS cont_b
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM jsh a JOIN jsh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, cont_a, cont_b,
+       greatest(cont_a, cont_b) AS containment
+FROM cpairs WHERE greatest(cont_a, cont_b) >= {_CONTAIN_T}
+"""
+
+
 def _q_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup candidates, exact-Jaccard verified.
 
@@ -2313,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "jaccard_pairs_capped": _q_jaccard_pairs_capped,
+        "containment_pairs": _q_containment_pairs,
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_weighted": _q_minhash_pairs_weighted,
@@ -2437,6 +2496,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "jaccard_pairs": _SQL_JACCARD_PAIRS,
         "jaccard_pairs_capped": _SQL_JACCARD_PAIRS_CAPPED,
+        "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "jaccard_dedup": _SQL_JACCARD_DEDUP,
         "embedding_neardup": _sql_embedding_neardup(),
         "embedding_neardup_block": _sql_embedding_neardup_block(),
@@ -6969,14 +7029,16 @@ def _q_minhash_pairs_weighted(spark, sf_dir):
 
 def _q_minhash_pairs_weighted_win(spark, sf_dir):
     """The long-document escape for weighted near-dup (r11, VERDICT
-    r10 #2): identical statistic and output to minhash_pairs_weighted,
-    but occurrence indexes come from a row_number window over the
-    exploded gram stream — O(L log L) per doc instead of the per-row
-    expression's O(L²) string compares, so a 10⁴-token doc is no
-    longer a straggler. Shares the exact weighted-threshold-pairs
-    oracle verbatim (the multiset encoding is identical; only its
-    derivation differs — also pytest-pinned equal to the expression
-    path on a long-doc fixture)."""
+    r10 #2; redesigned r12): identical statistic and output to
+    minhash_pairs_weighted, but occurrence indexes come by COUNT — a
+    per-(doc, gram) aggregate plus a sequence explode — instead of
+    the per-row expression's O(L²) string compares, so a 10⁴-token
+    doc is no longer a straggler (the r11 form used a row_number
+    window; the grouped form deletes the sorts — dedup.py). Shares
+    the exact weighted-threshold-pairs oracle verbatim (the multiset
+    encoding is identical; only its derivation differs — also
+    pytest-pinned equal to the expression path on a long-doc
+    fixture)."""
     from parquet_sampler_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents").filter(

@@ -804,3 +804,43 @@ def test_windowed_verify_broadcast_escape(spark):
     # verify_broadcast=True
     assert "broadcast" in hinted._jdf.queryExecution().logical().toString().lower()
     assert "broadcast" not in escaped._jdf.queryExecution().logical().toString().lower()
+
+
+def test_containment_catches_subsumption_jaccard_misses(spark):
+    # the asymmetric case this operator exists for: a short doc quoted
+    # wholesale inside a much longer one — containment ~1.0, jaccard
+    # tiny — plus the cap contract (denominators exact, under-count
+    # only) and direction semantics (cont_a = how much of A is in B)
+    from parquet_sampler_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, quote),                       # the short doc
+        (2, filler + " " + quote),        # quotes doc 1 wholesale
+        (3, "unrelated text entirely"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = containment_pairs(df, "doc_id", "text", n=2,
+                            threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # all 5 of doc 1's 2-gram shingles appear in doc 2
+    assert r["cont_a"] == 1.0
+    assert r["cont_b"] < 0.2
+    assert r["containment"] == 1.0
+    # jaccard at the same threshold structurally misses it
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                              threshold=0.5).collect()
+    assert jac == []
+    # df cap: common shingles over the cap leave the join only —
+    # under-estimate, never over-estimate
+    capped = containment_pairs(df, "doc_id", "text", n=2, threshold=0.0,
+                               max_shingle_df=1).collect()
+    assert all(c["containment"] == 0.0 or c["cont_a"] <= 1.0
+               for c in capped)
+    assert not any(c["containment"] >= 0.9 for c in capped)
