@@ -315,3 +315,84 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_word_len: int = 3,
+    max_word_len: int = 10,
+    max_symbol_pct: int = 10,
+    min_alpha_pct: int = 80,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality RULE filter (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", App. A1.1, adapted): per-rule boolean flags plus
+    their conjunction, so the caller sees WHY a document was dropped,
+    not just that it was — the standard pre-training heuristic gate
+    that complements the model-based rarity filter
+    (:func:`unigram_rarity`).
+
+    Rules (every comparison INTEGER arithmetic — thresholds applied as
+    rational multiples, e.g. mean word length ``3 <= chars/n <= 10``
+    is tested as ``3·n <= chars AND chars <= 10·n`` — so the oracle is
+    exact at any row order, no float division anywhere):
+
+    - ``len_ok``      token count in [min_tokens, max_tokens]
+    - ``word_len_ok`` mean non-space chars per token in
+                      [min_word_len, max_word_len]
+    - ``symbol_ok``   non-alphanumeric characters <= max_symbol_pct %
+                      of non-space characters
+    - ``alpha_ok``    >= min_alpha_pct % of tokens contain a letter
+    - ``stop_ok``     >= min_stop_hits DISTINCT English stopwords
+                      present (Gopher's "contains at least two of ...")
+    - ``kept``        the conjunction
+
+    Empty/NULL documents: n = 0, chars = 0 — the degenerate rules
+    evaluate true on 0 <= 0 comparisons and ``len_ok`` alone rejects
+    the doc. One scan, pure row expressions, no shuffle: the 100 TB
+    shape of a rule gate.
+    """
+    from parquet_sampler_spark.functions.text import (
+        STOPWORDS, token_count,
+    )
+
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, " "))
+    n = token_count(F.col(text_col))
+    chars = F.length(F.translate(t, " ", "")).cast("bigint")
+    symbols = F.length(
+        F.regexp_replace(F.translate(t, " ", ""), "[a-zA-Z0-9]", "")
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+        )
+    ).cast("bigint")
+    len_ok = (n >= min_tokens) & (n <= max_tokens)
+    word_len_ok = (F.lit(min_word_len) * n <= chars) & (
+        chars <= F.lit(max_word_len) * n
+    )
+    symbol_ok = F.lit(100) * symbols <= F.lit(max_symbol_pct) * chars
+    alpha_ok = F.lit(100) * alpha_words >= F.lit(min_alpha_pct) * n
+    stop_ok = stop_hits >= min_stop_hits
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        len_ok.alias("len_ok"),
+        word_len_ok.alias("word_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (len_ok & word_len_ok & symbol_ok & alpha_ok & stop_ok)
+        .alias("kept"),
+    )

@@ -2463,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity_inline": _q_quality_rarity_inline,
         "quality_rarity_holdout": _q_quality_rarity_holdout,
         "tfidf_topk": _q_tfidf_topk,
+        "quality_gopher": _q_quality_gopher,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
         "curation_pipeline": _q_curation_pipeline,
         "curation_pipeline_bpe": _q_curation_pipeline_bpe,
@@ -2580,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity_inline": _sql_quality_rarity(),
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "tfidf_topk": _sql_tfidf_topk(),
+        "quality_gopher": _sql_quality_gopher(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
         "curation_pipeline": _sql_curation_pipeline(),
         "curation_pipeline_bpe": _sql_curation_pipeline_bpe(),
@@ -6566,6 +6568,48 @@ SELECT doc_id, n_tokens, sum_rarity,
          <= {_RARITY_KEEP_BELOW} AS kept
 FROM rscore
 """)
+
+
+def _q_quality_gopher(spark, sf_dir):
+    """Gopher-style rule gate (r12, Rae et al. 2021 App. A1.1): five
+    per-rule boolean flags (token count, mean word length, symbol
+    ratio, alphabetic-word fraction, distinct-stopword presence) plus
+    their conjunction — the heuristic pre-filter that complements the
+    model-based rarity rows. Every comparison is integer arithmetic
+    (rational thresholds applied as integer multiples), so the oracle
+    is exact; one scan, pure row expressions, no shuffle."""
+    from parquet_sampler_spark.operators.quality import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_quality_gopher() -> str:
+    n = TX.token_count_sql("text")
+    nospace = "replace(trim(coalesce(text, '')), ' ', '')"
+    chars = f"length({nospace})"
+    symbols = f"length(regexp_replace({nospace}, '[a-zA-Z0-9]', '', 'g'))"
+    toks = "string_split(trim(coalesce(text, '')), ' ')"
+    alpha = (f"len(list_filter({toks}, "
+             f"w -> regexp_matches(w, '[a-zA-Z]')))")
+    stopl = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    stops = f"len(list_intersect(list_distinct({toks}), [{stopl}]))"
+    len_ok = f"({n} >= 20 AND {n} <= 100000)"
+    word_len_ok = f"(3 * {n} <= {chars} AND {chars} <= 10 * {n})"
+    symbol_ok = f"(100 * {symbols} <= 10 * {chars})"
+    alpha_ok = f"(100 * {alpha} >= 80 * {n})"
+    stop_ok = f"({stops} >= 2)"
+    return f"""
+SELECT doc_id,
+       {n} AS n_tokens,
+       {len_ok} AS len_ok,
+       {word_len_ok} AS word_len_ok,
+       {symbol_ok} AS symbol_ok,
+       {alpha_ok} AS alpha_ok,
+       {stop_ok} AS stop_ok,
+       ({len_ok} AND {word_len_ok} AND {symbol_ok} AND {alpha_ok}
+        AND {stop_ok}) AS kept
+FROM documents
+"""
 
 
 def _q_tfidf_topk(spark, sf_dir):

@@ -347,3 +347,37 @@ def test_inline_rarity_rejects_huge_fit_corpus(spark):
     )
     with pytest.raises(ValueError, match="2\\*\\*53"):
         _score_inline(df, "doc_id", "text", vocab, 1_000_000)
+
+
+def test_gopher_rules_boundaries(spark):
+    # each rule exercised at its boundary on crafted docs — the corpus
+    # only discriminates on len_ok/stop_ok, so the other three rules
+    # are pinned here
+    from parquet_sampler_spark.operators.quality import gopher_rules
+
+    good = "the cat and dog " + " ".join(f"word{i}" for i in range(20))
+    rows = [
+        (1, good),                                   # passes all
+        (2, "the a"),                                # too short
+        (3, "the of " + " ".join(["xx"] * 30)),      # mean len < 3
+        (4, "the of " + " ".join(["x" * 11] * 30)),  # mean len > 10
+        (5, "the of " + " ".join(["####"] * 30)),    # symbols > 10%
+        (6, "the of " + " ".join(["1234"] * 30)),    # alpha < 80%
+        (7, " ".join(f"word{i}" for i in range(30))),  # no stopwords
+        (8, None),
+        (9, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_rules(df, "doc_id", "text").collect()}
+    assert got[1]["kept"]
+    assert not got[2]["len_ok"] and got[2]["stop_ok"]
+    assert not got[3]["word_len_ok"] and not got[3]["kept"]
+    assert not got[4]["word_len_ok"]
+    assert not got[5]["symbol_ok"]
+    assert not got[6]["alpha_ok"]
+    assert got[6]["symbol_ok"]       # digits are not symbols
+    assert not got[7]["stop_ok"] and got[7]["len_ok"]
+    for d in (8, 9):                 # degenerate: rejected by length
+        assert got[d]["n_tokens"] == 0 and not got[d]["kept"]
+        assert got[d]["word_len_ok"] and got[d]["symbol_ok"]
