@@ -396,3 +396,86 @@ def gopher_rules(
         (len_ok & word_len_ok & symbol_ok & alpha_ok & stop_ok)
         .alias("kept"),
     )
+
+
+def cooccurrence_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    scale: int = 1_000_000,
+    min_pair_docs: int = 2,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Top-``k`` token associations by fixed-point LIFT — the PMI
+    argument ``P(x,y) / (P(x)·P(y))`` over document-level
+    co-occurrence, kept transcendental-free as
+    ``(scale · pair_docs · n_docs) DIV (df(x) · df(y))`` (monotone in
+    PMI = its log; exact integers in both engines — the corpus-
+    statistics convention of :func:`unigram_rarity` / tf-idf).
+    Collocation mining for corpus analysis: which token pairs travel
+    together far more than chance.
+
+    Semantics: a document contributes each DISTINCT unordered token
+    pair once (``tok_a < tok_b``); ``df`` counts are document
+    frequencies from the full corpus. ``min_pair_docs`` drops
+    singleton-pair noise. ``max_token_df`` excludes ultra-common
+    tokens from PAIR FORMATION ONLY (df denominators stay exact) —
+    the hot-token guard with the same contract as the dedup family's
+    ``max_shingle_df``: a token in d docs forms Θ(d·u) pair rows, and
+    stop-tokens carry no association signal.
+
+    Plan: doc-distinct token relation (one aggregate), per-doc
+    self-join for pair counts (Θ(docs · u²), u = distinct tokens per
+    doc — bounded by doc length; cap u via ``max_token_df`` on
+    Zipf-heavy corpora), vocabulary-sized df table broadcast back,
+    global top-k as orderBy+limit (TakeOrderedAndProject — never a
+    full sort). Overflow: the triple product runs in DECIMAL(38,0) /
+    HUGEINT; the quotient is <= scale · n_docs, back in bigint range.
+
+    Output: ``tok_a, tok_b, pair_docs, lift_scaled``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = _doc_tokens(df, id_col, text_col).distinct()
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = toks.select(id_col).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ndocs")
+    )
+    join_toks = toks
+    if max_token_df is not None:
+        join_toks = toks.join(
+            F.broadcast(dfreq.filter(F.col("__df") <= max_token_df)
+                        .select("tok")),
+            "tok",
+        )
+    a = join_toks.select(F.col(id_col), F.col("tok").alias("tok_a"))
+    b = join_toks.select(F.col(id_col), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_docs"))
+        .filter(F.col("pair_docs") >= min_pair_docs)
+    )
+    scored = (
+        pairs
+        .join(F.broadcast(dfreq.select(F.col("tok").alias("tok_a"),
+                                       F.col("__df").alias("__dfa"))),
+              "tok_a")
+        .join(F.broadcast(dfreq.select(F.col("tok").alias("tok_b"),
+                                       F.col("__df").alias("__dfb"))),
+              "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a", "tok_b", "pair_docs",
+            F.expr(
+                f"CAST((CAST({scale} AS DECIMAL(38,0)) * pair_docs "
+                "* __ndocs) DIV (CAST(__dfa AS DECIMAL(38,0)) * __dfb) "
+                "AS BIGINT)"
+            ).alias("lift_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_scaled").desc(), "tok_a", "tok_b"
+    ).limit(k)

@@ -2464,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity_holdout": _q_quality_rarity_holdout,
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
+        "cooccurrence_topk": _q_cooccurrence_topk,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
         "curation_pipeline": _q_curation_pipeline,
         "curation_pipeline_bpe": _q_curation_pipeline_bpe,
@@ -2582,6 +2583,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
+        "cooccurrence_topk": _sql_cooccurrence_topk(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
         "curation_pipeline": _sql_curation_pipeline(),
         "curation_pipeline_bpe": _sql_curation_pipeline_bpe(),
@@ -6609,6 +6611,51 @@ SELECT doc_id,
        ({len_ok} AND {word_len_ok} AND {symbol_ok} AND {alpha_ok}
         AND {stop_ok}) AS kept
 FROM documents
+"""
+
+
+def _q_cooccurrence_topk(spark, sf_dir):
+    """Top-20 token associations by fixed-point lift (r12): the PMI
+    argument (scale · pair_docs · n_docs) DIV (df_a · df_b) over
+    document-level distinct co-occurrence — collocation mining, the
+    pairwise member of the corpus-statistics family (rarity = unary,
+    tf-idf = doc×term, this = term×term). Triple product in
+    DECIMAL(38,0)/HUGEINT so the integers stay exact; top-k is
+    orderBy+limit (TakeOrderedAndProject), ties broken by token
+    order. On this corpus the planted near-dup marker tokens rank
+    top — a genuine association witness."""
+    from parquet_sampler_spark.operators.quality import cooccurrence_topk
+
+    return cooccurrence_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=20, scale=1_000_000, min_pair_docs=2,
+    )
+
+
+def _sql_cooccurrence_topk() -> str:
+    return """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text)) > 0
+  )
+),
+dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS pair_docs
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT tok_a, tok_b, CAST(pair_docs AS BIGINT) AS pair_docs,
+       CAST((CAST(1000000 AS HUGEINT) * pair_docs * (SELECT n FROM nd))
+            // (CAST(da.df AS HUGEINT) * db.df) AS BIGINT)
+         AS lift_scaled
+FROM pairs
+JOIN dfreq da ON da.tok = pairs.tok_a
+JOIN dfreq db ON db.tok = pairs.tok_b
+ORDER BY lift_scaled DESC, tok_a, tok_b LIMIT 20
 """
 
 

@@ -381,3 +381,47 @@ def test_gopher_rules_boundaries(spark):
     for d in (8, 9):                 # degenerate: rejected by length
         assert got[d]["n_tokens"] == 0 and not got[d]["kept"]
         assert got[d]["word_len_ok"] and got[d]["symbol_ok"]
+
+
+def test_cooccurrence_lift_hand_trace(spark):
+    # 4 docs; x,y co-occur in 2 of them, each appearing in 3 docs:
+    # lift = (2/4) / (3/4 * 3/4) = 8/9 -> scaled 888888 (DIV floors);
+    # the always-together pair (p,q) maxes lift = 4/ (2/4*2/4) wait —
+    # p,q each in 2 docs, together in 2: (2/4)/(2/4 * 2/4) = 2.0
+    from parquet_sampler_spark.operators.quality import cooccurrence_topk
+
+    rows = [
+        (1, "x y p q"),
+        (2, "x y p q"),
+        (3, "x z"),
+        (4, "y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["tok_a"], r["tok_b"]): (r["pair_docs"], r["lift_scaled"])
+           for r in cooccurrence_topk(df, "doc_id", "text", k=50,
+                                      min_pair_docs=2).collect()}
+    assert got[("p", "q")] == (2, 2_000_000)
+    assert got[("x", "y")] == (2, (1_000_000 * 2 * 4) // (3 * 3))
+    assert ("x", "z") not in got or got[("x", "z")][0] >= 2
+    # min_pair_docs=2 drops the singleton pair (x,z)
+    assert ("x", "z") not in got
+    # ordering: highest lift first, deterministic ties
+    top = cooccurrence_topk(df, "doc_id", "text", k=1,
+                            min_pair_docs=2).collect()[0]
+    assert top["lift_scaled"] == 2_000_000
+
+
+def test_cooccurrence_token_df_cap_drops_hot_pairs_only(spark):
+    # "the" is in every doc (df=3 > cap 2): pairs involving it vanish,
+    # but the surviving pair's df DENOMINATORS are unchanged
+    from parquet_sampler_spark.operators.quality import cooccurrence_topk
+
+    rows = [(1, "the x y"), (2, "the x y"), (3, "the z")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r["tok_a"], r["tok_b"]): r["lift_scaled"]
+           for r in cooccurrence_topk(df, "doc_id", "text", k=50,
+                                      min_pair_docs=2,
+                                      max_token_df=2).collect()}
+    assert list(got) == [("x", "y")]
+    # df(x)=df(y)=2 from the FULL corpus: (1e6*2*3)//(2*2)
+    assert got[("x", "y")] == (1_000_000 * 2 * 3) // 4
