@@ -1129,16 +1129,37 @@ def ngram_dup_spans(
     collision can only over-flag a window (identically in the DuckDB
     oracle, which replicates the same two-stage hash).
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+
+    windows = _gram_hash_windows(df, id_col, text_col, n)
+    dup_grams = (
+        windows.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .filter(F.col("__ndocs") >= min_df)
+        .select("gh")
+    )
+    dup_windows = windows.join(dup_grams, "gh", "left_semi")
+    return _merge_window_spans(dup_windows, id_col, n, "n_dup_windows")
+
+
+def _gram_hash_windows(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Sliding n-token window hashes, one row per window position:
+    ``(id_col, pos, gh)`` with 1-based ``pos`` — the shared front end
+    of the span-level dedup family. Each token's characters are hashed
+    ONCE per document (:func:`mixed_string_hash`); a window's hash is
+    the base-31 polynomial fold of its n token hashes mod the Mersenne
+    prime, so the window STRING never materializes. Pure per-row map
+    fused into the scan — O(total tokens) rows, no shuffle."""
     from parquet_sampler_spark.functions.hashing import (
         MODULUS,
         mixed_string_hash,
     )
     from parquet_sampler_spark.plans.layout import spread
-
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    if min_df < 2:
-        raise ValueError(f"min_df must be >= 2, got {min_df}")
 
     tk = F.split(F.trim(F.col(text_col)), " ")
     th = F.transform(tk, lambda t: mixed_string_hash(t))
@@ -1147,7 +1168,7 @@ def ngram_dup_spans(
         f"i -> aggregate(slice(__th, i, {n}), 0L, "
         f"(acc, x) -> (acc * 31 + x) % {MODULUS}L))"
     )
-    windows = (
+    return (
         spread(df).select(F.col(id_col), th.alias("__th"))
         # guard: sequence(1, k) with k <= 0 is a DESCENDING sequence
         .filter(F.size("__th") >= n)
@@ -1161,19 +1182,20 @@ def ngram_dup_spans(
             "gh",
         )
     )
-    dup_grams = (
-        windows.groupBy("gh")
-        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
-        .filter(F.col("__ndocs") >= min_df)
-        .select("gh")
-    )
-    dup_windows = windows.join(dup_grams, "gh", "left_semi")
 
+
+def _merge_window_spans(
+    flagged: DataFrame, id_col: str, n: int, count_alias: str
+) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions into maximal
+    spans: a window starting more than ``n`` positions after its
+    predecessor opens a new span (touching/overlapping windows merge).
+    ONE per-document window pass."""
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w_doc) > n, F.lit(1)
     ).otherwise(F.lit(0))
-    islands = dup_windows.withColumn("__brk", brk).withColumn(
+    islands = flagged.withColumn("__brk", brk).withColumn(
         "__island",
         F.sum("__brk").over(
             w_doc.rowsBetween(Window.unboundedPreceding, 0)
@@ -1183,8 +1205,54 @@ def ngram_dup_spans(
         F.min("pos").alias("span_start"),
         (F.max("pos") + n - 1).alias("span_end"),
         (F.max("pos") + n - F.min("pos")).alias("span_tokens"),
-        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.count(F.lit(1)).alias(count_alias),
     ).drop("__island")
+
+
+def contaminated_spans(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    bench_broadcast: bool = True,
+) -> DataFrame:
+    """Cross-corpus SPAN-level decontamination: per training document,
+    the maximal token spans covered by sliding ``n``-token windows
+    whose window text occurs ANYWHERE in the benchmark corpus — the
+    span-level analog of n-gram decontamination (doc-level removal
+    like :func:`decontaminate` throws away a whole page for one
+    quoted benchmark line; this localizes exactly which tokens to cut,
+    the convention of GPT-3 App. C / PaLM-style n-gram overlap
+    scrubbing).
+
+    Output: ``(id_col, span_start, span_end, span_tokens,
+    n_contam_windows)`` — 1-based inclusive token positions; touching
+    or overlapping contaminated windows merge into one span
+    (gaps-and-islands, shared with :func:`ngram_dup_spans`).
+
+    Plan shape (the 100 TB contract): the benchmark gram-hash set is
+    Θ(benchmark tokens) — bounded by the BENCHMARK, never the corpus —
+    deduplicated and (by default) BROADCAST into a semi-join against
+    the training window stream, so the corpus-sized side never
+    shuffles (the bloom_decontaminate argument, without the bitmap:
+    benchmark suites are MBs where corpora are TBs).
+    ``bench_broadcast=False`` is the escape to a shuffle semi-join for
+    an unusually large benchmark side. Grams travel as 31-bit integer
+    hashes (a collision can only over-flag a window — identically in
+    the DuckDB oracle, which replicates the same two-stage hash).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    windows = _gram_hash_windows(train_df, id_col, text_col, n)
+    bench_grams = (
+        _gram_hash_windows(bench_df, id_col, text_col, n)
+        .select("gh").distinct()
+    )
+    if bench_broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    flagged = windows.join(bench_grams, "gh", "left_semi")
+    return _merge_window_spans(flagged, id_col, n, "n_contam_windows")
 
 
 # Bloom-filter decontamination: k probe-position derivations reuse the

@@ -2451,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_scan": _q_dpp_scan,
         "manifest_prune": _q_manifest_prune,
         "ngram_dup_spans": _q_ngram_dup_spans,
+        "decontaminate_spans": _q_decontaminate_spans,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
         "pack_sequences": _q_pack_sequences,
@@ -2573,6 +2574,7 @@ def oracle_sql() -> dict[str, str]:
         "dpp_scan": _sql_dpp_scan(),
         "manifest_prune": _SQL_MANIFEST_PRUNE,
         "ngram_dup_spans": _sql_ngram_dup_spans(),
+        "decontaminate_spans": _sql_decontaminate_spans(),
         "bloom_decontaminate": _sql_bloom_decontaminate(),
         "streaming_enrich": _SQL_STREAMING_ENRICH,
         "pack_sequences": _sql_pack_sequences(),
@@ -5824,6 +5826,79 @@ SELECT doc_id,
        max(pos) + {n} - 1 AS span_end,
        max(pos) + {n} - min(pos) AS span_tokens,
        CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+_CONTAM_SPAN_N = 4
+
+
+def _q_decontaminate_spans(spark, sf_dir):
+    """Cross-corpus SPAN-level decontamination (r12): per training
+    document (doc_id >= bench cut), the maximal token spans covered by
+    sliding 4-token windows whose text occurs anywhere in the
+    benchmark slice — the n-gram overlap scrub of GPT-3 App. C /
+    PaLM, localized to the exact tokens to cut (doc-level
+    `decontaminated` throws the whole page away for one quoted line).
+    The benchmark gram-hash set is Θ(benchmark tokens) — bounded by
+    the BENCHMARK — deduplicated and BROADCAST into a semi-join
+    against the training window stream, so the corpus side never
+    shuffles for flagging; spans merge with one per-doc window pass
+    (shared gaps-and-islands with ngram_dup_spans)."""
+    from parquet_sampler_spark.operators.dedup import contaminated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return contaminated_spans(
+        d.filter(F.col("doc_id") >= _BENCH_CUT),
+        d.filter(F.col("doc_id") < _BENCH_CUT),
+        "doc_id", "text", n=_CONTAM_SPAN_N,
+    )
+
+
+def _sql_decontaminate_spans() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash_sql,
+    )
+
+    n = _CONTAM_SPAN_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(t, x -> {mixed_string_hash_sql('x')}) AS h
+  FROM toks
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{n - 1}]),
+                     (acc, x) -> (acc * 31 + x) % {MODULUS}) AS gh
+  FROM th, unnest(range(1, len(h) - {n} + 2)) AS u(i)
+),
+bg AS (SELECT DISTINCT gh FROM w WHERE doc_id < {_BENCH_CUT}),
+dw AS (
+  SELECT doc_id, pos FROM w
+  WHERE doc_id >= {_BENCH_CUT} AND gh IN (SELECT gh FROM bg)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {n} THEN 1 ELSE 0 END AS brk
+  FROM dw
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {n} - 1 AS span_end,
+       max(pos) + {n} - min(pos) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_contam_windows
 FROM isl2 GROUP BY doc_id, island
 """
 

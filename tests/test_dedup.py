@@ -550,6 +550,70 @@ def test_ngram_dup_spans_short_docs_and_validation(spark):
 
 
 # ---------------------------------------------------------------------------
+# contaminated_spans (r12): cross-corpus span-level decontamination
+# ---------------------------------------------------------------------------
+
+
+def _contam_spans(spark, train_rows, bench_rows, n=4, **kw):
+    from parquet_sampler_spark.operators.dedup import contaminated_spans
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    out = contaminated_spans(train, bench, "doc_id", "text", n=n, **kw)
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens,
+         r.n_contam_windows)
+        for r in out.collect()
+    )
+
+
+def test_contaminated_spans_flags_benchmark_quotes_only(spark):
+    # train doc 10 quotes the benchmark's 6-token run at offset 2;
+    # doc 11 shares a run with doc 10 but NOT with the benchmark —
+    # cross-TRAIN duplication must not be flagged (that is
+    # ngram_dup_spans's job, not decontamination's).
+    bench = [(1, "a b c d e f")]
+    train = [
+        (10, "x y a b c d e f q r"),
+        (11, "x y shared run only with other train docs here now"),
+        (12, "shared run only with other train docs appears again too"),
+    ]
+    got = _contam_spans(spark, train, bench, n=4)
+    assert got == [(10, 3, 8, 6, 3)]
+
+
+def test_contaminated_spans_separated_quotes_make_two_spans(spark):
+    bench = [(1, "alpha beta gamma delta"), (2, "omega psi chi phi")]
+    train = [(10, "alpha beta gamma delta f1 f2 f3 f4 f5 omega psi chi phi")]
+    got = _contam_spans(spark, train, bench, n=4)
+    assert got == [(10, 1, 4, 4, 1), (10, 10, 13, 4, 1)]
+
+
+def test_contaminated_spans_broadcast_off_identical(spark):
+    bench = [(1, "a b c d e f"), (2, "alpha beta gamma delta epsilon")]
+    train = [
+        (10, "x y a b c d e f q r"),
+        (11, "pad1 alpha beta gamma delta epsilon pad2"),
+        (12, "clean document sharing nothing with the benchmark corpus"),
+    ]
+    on = _contam_spans(spark, train, bench, n=4, bench_broadcast=True)
+    off = _contam_spans(spark, train, bench, n=4, bench_broadcast=False)
+    assert on == off and len(on) == 2
+
+
+def test_contaminated_spans_short_docs_and_validation(spark):
+    from parquet_sampler_spark.operators.dedup import contaminated_spans
+
+    bench = [(1, "a b c")]
+    train = [(10, "a b c")]  # both shorter than n=4 -> no windows
+    assert _contam_spans(spark, train, bench, n=4) == []
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        contaminated_spans(tdf, bdf, "doc_id", "text", n=0)
+
+
+# ---------------------------------------------------------------------------
 # bloom_decontaminate (r09)
 # ---------------------------------------------------------------------------
 

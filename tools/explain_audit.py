@@ -552,6 +552,19 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # 39. span decontamination (r12): the benchmark gram set is
+    # Θ(benchmark tokens) and must BROADCAST into the flagging
+    # semi-join — the corpus-sized window stream never shuffles for
+    # it (the one Exchange left is the per-doc span window); no
+    # Python anywhere
+    check(
+        "decontaminate_spans",
+        R.queries()["decontaminate_spans"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "LeftSemi"],
+        must_not=["SortMergeJoin", "CartesianProduct",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
