@@ -479,3 +479,108 @@ def cooccurrence_topk(
     return scored.orderBy(
         F.col("lift_scaled").desc(), "tok_a", "tok_b"
     ).limit(k)
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    nbuckets: int = 3,
+    scale: int = 1000,
+    cdf_broadcast: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020):
+    per language, split documents into ``nbuckets`` equal-count tiles
+    by ascending unigram-LM score (low mean rarity = fluent/common =
+    "head" — what CCNet keeps for training; high = "tail"). Output:
+    ``(id_col, lang, mean_rarity_scaled, bucket, bucket_label)`` with
+    ``bucket`` the 1-based tile and ``bucket_label`` head/middle/tail
+    when ``nbuckets == 3`` (the tile index as a string otherwise).
+
+    Tile semantics are EXACTLY SQL ``NTILE(nbuckets) OVER (PARTITION
+    BY lang ORDER BY score, id)`` — the first ``N mod nbuckets`` tiles
+    get the extra row — but the PLAN never sorts raw documents inside
+    a whole-language window (at 100 TB a language is most of the
+    corpus — one task). Instead the exact rank decomposes:
+
+    1. per-(lang, score) doc counts — ONE hash aggregate, output
+       Θ(distinct scores), map-side combined;
+    2. the language CDF (running count below each score) — a window
+       over that AGGREGATE, Θ(distinct scores per lang) rows per task,
+       never Θ(docs);
+    3. the CDF joins back (broadcast by default — fixed-point scores
+       collide heavily, keeping the table ≪ corpus;
+       ``cdf_broadcast=False`` = AQE shuffle escape) and each doc's
+       exact rank = cum_before + its row_number within its (lang,
+       score) TIE GROUP — a window whose partitions are tie-sized,
+       not language-sized (hot ties on quantized scores are the
+       residual skew surface; raise ``scale`` to spread them);
+    4. the NTILE tile from the rank in pure integer arithmetic.
+
+    The per-doc scores come from :func:`unigram_rarity` (self-corpus
+    fit); the language column rides a narrow (id, lang) join — text
+    never shuffles.
+    """
+    if nbuckets < 1:
+        raise ValueError(f"nbuckets must be >= 1, got {nbuckets}")
+    scored = unigram_rarity(df, id_col, text_col, scale=scale)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    s = scored.join(langs, id_col).select(
+        id_col, "lang", "mean_rarity_scaled"
+    )
+    g = s.groupBy("lang", "mean_rarity_scaled").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w_cdf = Window.partitionBy("lang").orderBy("mean_rarity_scaled")
+    cdf = g.withColumn(
+        "__cum_before",
+        F.coalesce(
+            F.sum("__c").over(
+                w_cdf.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    totals = g.groupBy("lang").agg(
+        F.sum("__c").cast("bigint").alias("__n")
+    )
+    cdf = cdf.join(F.broadcast(totals), "lang").select(
+        "lang", "mean_rarity_scaled", "__cum_before", "__n"
+    )
+    if cdf_broadcast:
+        cdf = F.broadcast(cdf)
+    w_tie = Window.partitionBy("lang", "mean_rarity_scaled").orderBy(
+        id_col
+    )
+    ranked = (
+        s.join(cdf, ["lang", "mean_rarity_scaled"])
+        .withColumn(
+            "__rank",
+            F.col("__cum_before")
+            + F.row_number().over(w_tie).cast("bigint"),
+        )
+    )
+    nb = nbuckets
+    # NTILE: size = N div nb, rem = N mod nb; the first `rem` tiles
+    # take size+1 rows. greatest(size, 1) only guards the never-taken
+    # branch when N < nb (every rank falls in the size+1 region).
+    bucket = F.expr(
+        f"CASE WHEN __rank <= (__n % {nb}) * (__n DIV {nb} + 1) "
+        f"THEN (__rank - 1) DIV (__n DIV {nb} + 1) + 1 "
+        f"ELSE (__n % {nb}) + (__rank - (__n % {nb}) * (__n DIV {nb} + 1) - 1) "
+        f"DIV greatest(__n DIV {nb}, 1) + 1 END"
+    ).cast("int")
+    out = ranked.withColumn("bucket", bucket)
+    if nbuckets == 3:
+        label = (
+            F.when(F.col("bucket") == 1, F.lit("head"))
+            .when(F.col("bucket") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        label = F.col("bucket").cast("string")
+    return out.select(
+        id_col, "lang", "mean_rarity_scaled",
+        "bucket", label.alias("bucket_label"),
+    )

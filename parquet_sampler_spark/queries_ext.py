@@ -2465,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity_holdout": _q_quality_rarity_holdout,
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
+        "ccnet_buckets": _q_ccnet_buckets,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
         "curation_pipeline": _q_curation_pipeline,
@@ -2585,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
+        "ccnet_buckets": _sql_ccnet_buckets(),
         "cooccurrence_topk": _sql_cooccurrence_topk(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
         "curation_pipeline": _sql_curation_pipeline(),
@@ -6644,6 +6646,46 @@ SELECT doc_id, n_tokens, sum_rarity,
        ({_RARITY_SCALE} * sum_rarity) // n_tokens
          <= {_RARITY_KEEP_BELOW} AS kept
 FROM rscore
+""")
+
+
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets (r12, Wenzek et al.
+    2020): per language, documents split into 3 equal-count tiles by
+    ascending unigram-LM mean rarity (low = fluent = head, what CCNet
+    keeps). Tile semantics are exactly SQL NTILE(3) per language —
+    but the plan never sorts raw docs in a whole-language window:
+    exact ranks decompose into a per-(lang, score) count aggregate, a
+    CDF window over that AGGREGATE (Θ(distinct scores) rows), a
+    broadcast join-back, and a tie-group row_number — the skew-safe
+    exact-ntile shape for languages that span most of a corpus."""
+    from parquet_sampler_spark.operators.quality import ccnet_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(
+        d, "doc_id", "text", "lang", nbuckets=3, scale=_RARITY_SCALE
+    )
+
+
+def _sql_ccnet_buckets() -> str:
+    return ("WITH " + _rarity_ctes("documents") + f"""
+, sc AS (
+  SELECT r.doc_id, d.lang,
+         CAST(({_RARITY_SCALE} * r.sum_rarity) // r.n_tokens AS BIGINT)
+           AS mean_rarity_scaled
+  FROM rscore r JOIN documents d USING (doc_id)
+),
+tiled AS (
+  SELECT doc_id, lang, mean_rarity_scaled,
+         CAST(NTILE(3) OVER (PARTITION BY lang
+                             ORDER BY mean_rarity_scaled, doc_id)
+              AS INTEGER) AS bucket
+  FROM sc
+)
+SELECT doc_id, lang, mean_rarity_scaled, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket_label
+FROM tiled
 """)
 
 

@@ -425,3 +425,81 @@ def test_cooccurrence_token_df_cap_drops_hot_pairs_only(spark):
     assert list(got) == [("x", "y")]
     # df(x)=df(y)=2 from the FULL corpus: (1e6*2*3)//(2*2)
     assert got[("x", "y")] == (1_000_000 * 2 * 3) // 4
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets (r12): head/middle/tail perplexity tiles per language
+# ---------------------------------------------------------------------------
+
+
+def _buckets(spark, rows, **kw):
+    from parquet_sampler_spark.operators.quality import ccnet_buckets
+
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+    out = ccnet_buckets(df, "doc_id", "text", "lang", **kw)
+    return {r.doc_id: (r.lang, r.bucket, r.bucket_label)
+            for r in out.collect()}
+
+
+def test_ccnet_buckets_ntile_sizes_and_order(spark):
+    # one language, 5 docs, 3 tiles -> NTILE sizes 2/2/1 by ascending
+    # mean rarity. Token design: doc 1 uses only the corpus's most
+    # common token; docs use progressively rarer vocabularies.
+    rows = [
+        (1, "c c c c c c c c", "en"),   # all-common -> lowest rarity
+        (2, "c c c c c c c m", "en"),
+        (3, "c c c c c m m m", "en"),
+        (4, "c c m m m m r r", "en"),
+        (5, "r r r r q q q q", "en"),   # rare singles -> highest
+    ]
+    got = _buckets(spark, rows)
+    assert [got[i][1] for i in (1, 2, 3, 4, 5)] == [1, 1, 2, 2, 3]
+    assert got[1][2] == "head" and got[3][2] == "middle"
+    assert got[5][2] == "tail"
+
+
+def test_ccnet_buckets_ties_break_by_doc_id_and_langs_split(spark):
+    # docs 1-3 (en) are identical -> identical scores; NTILE ties must
+    # break by doc_id (1 -> head, 2 -> middle, 3 -> tail for N=3).
+    # The de corpus is independent: its single doc is tile 1.
+    rows = [
+        (1, "a a b", "en"),
+        (2, "a a b", "en"),
+        (3, "a a b", "en"),
+        (4, "x y z", "de"),
+    ]
+    got = _buckets(spark, rows)
+    assert [got[i] for i in (1, 2, 3)] == [
+        ("en", 1, "head"), ("en", 2, "middle"), ("en", 3, "tail")
+    ]
+    assert got[4] == ("de", 1, "head")
+
+
+def test_ccnet_buckets_fewer_docs_than_tiles(spark):
+    # N < nbuckets: every doc lands in its own leading tile, no
+    # division-by-zero from the empty-tile branch
+    rows = [(1, "a a a", "en"), (2, "zq zq yy", "en")]
+    got = _buckets(spark, rows)
+    assert got[1][1] == 1 and got[2][1] == 2
+
+
+def test_ccnet_buckets_cdf_broadcast_off_identical(spark):
+    rows = [
+        (i, "tok" + " tok" * (i % 4) + f" rare{i % 3}", "en")
+        for i in range(1, 13)
+    ] + [(20, "w w w", "fr"), (21, "v v w", "fr")]
+    on = _buckets(spark, rows, cdf_broadcast=True)
+    off = _buckets(spark, rows, cdf_broadcast=False)
+    assert on == off and len(on) == 14
+
+
+def test_ccnet_buckets_validation(spark):
+    from parquet_sampler_spark.operators.quality import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a", "en")], "doc_id bigint, text string, lang string"
+    )
+    with pytest.raises(ValueError):
+        ccnet_buckets(df, "doc_id", "text", "lang", nbuckets=0)

@@ -565,6 +565,18 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 40. ccnet buckets (r12): vocabulary and CDF tables broadcast
+    # back (the only big exchanges are the token agg and the narrow
+    # (id, lang) join); exact NTILE in pure integer expressions — no
+    # Python, no cartesian
+    check(
+        "ccnet_buckets",
+        R.queries()["ccnet_buckets"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
