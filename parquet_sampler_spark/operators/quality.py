@@ -584,3 +584,96 @@ def ccnet_buckets(
         id_col, "lang", "mean_rarity_scaled",
         "bucket", label.alias("bucket_label"),
     )
+
+
+def dsir_affinity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    scale: int = 1000,
+    select_at: int | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """DSIR-style data selection by importance to a TARGET distribution
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"), exact-arithmetic variant: fit unigram
+    models on the target corpus and on the raw corpus, score every raw
+    document by how much more target-like than raw-like its tokens
+    are, select the high-affinity slice.
+
+    DSIR's log importance weight is Σ_tok [log p_target(tok) − log
+    p_raw(tok)] — transcendental, so (the :func:`unigram_rarity`
+    convention) this uses the exact-integer surrogate
+
+        affinity = Σ_tok [rarity_raw(tok) − rarity_target(tok)]
+
+    with ``rarity_X = total_X DIV cnt_X(tok)`` (integer inverse
+    relative frequency, monotone in surprisal; tokens ABSENT from the
+    target model take the max rarity ``total_target`` — the OOV rule
+    shared with holdout rarity scoring). A token common under the
+    target but rare under the raw corpus contributes positively —
+    documents that look like the target score high. Per-token the
+    surrogate is monotone in the likelihood ratio; the SUM is a
+    defined, hash-exact statistic of its own, not the literal DSIR
+    product (which no integer arithmetic reproduces).
+
+    Output: ``(id_col, n_tokens, affinity_scaled, selected?)`` with
+    ``affinity_scaled = (scale · Σ) DIV n_tokens`` (fixed-point mean,
+    may be negative — DIV truncates toward zero identically in Spark
+    and DuckDB, ORACLE_PORTABILITY.md) and ``selected =
+    affinity_scaled >= select_at`` when a threshold is given.
+
+    Plan shape (the 100 TB contract): TWO token hash-aggregations
+    (raw corpus + target corpus — the target is benchmark-/wiki-sized
+    in practice, far smaller), their 1-row totals broadcast-crossed,
+    the combined (tok, rarity_raw, rarity_target) table — vocabulary-
+    sized, the model — broadcast back onto the raw token stream
+    (``broadcast_vocab=False`` = AQE shuffle escape), ONE per-doc
+    aggregation. Document text never shuffles.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    toks = _doc_tokens(df, id_col, text_col)
+    ttoks = _doc_tokens(target_df, id_col, text_col)
+    rawv = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__cr"))
+    tgtv = ttoks.groupBy("tok").agg(F.count(F.lit(1)).alias("__ct"))
+    rtot = rawv.agg(F.sum("__cr").cast("bigint").alias("__tr"))
+    ttot = tgtv.agg(F.sum("__ct").cast("bigint").alias("__tt"))
+    tab = (
+        rawv.join(tgtv, "tok", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "tok",
+            (
+                F.expr("__tr DIV __cr").cast("bigint")
+                - F.coalesce(
+                    F.expr("__tt DIV __ct").cast("bigint"),
+                    F.col("__tt"),
+                )
+            ).alias("__d"),
+        )
+    )
+    if broadcast_vocab:
+        tab = F.broadcast(tab)
+    out = (
+        toks.join(tab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__d").cast("bigint").alias("__aff"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.expr(f"({scale} * __aff) DIV n_tokens")
+            .cast("bigint")
+            .alias("affinity_scaled"),
+        )
+    )
+    if select_at is not None:
+        out = out.withColumn(
+            "selected", F.col("affinity_scaled") >= F.lit(select_at)
+        )
+    return out

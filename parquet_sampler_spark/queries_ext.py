@@ -2465,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity_holdout": _q_quality_rarity_holdout,
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
+        "dsir_select": _q_dsir_select,
         "ccnet_buckets": _q_ccnet_buckets,
         "cooccurrence_topk": _q_cooccurrence_topk,
         "pack_sequences_bpe": _q_pack_sequences_bpe,
@@ -2586,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
+        "dsir_select": _sql_dsir_select(),
         "ccnet_buckets": _sql_ccnet_buckets(),
         "cooccurrence_topk": _sql_cooccurrence_topk(),
         "pack_sequences_bpe": _sql_pack_sequences_bpe(),
@@ -6687,6 +6689,66 @@ SELECT doc_id, lang, mean_rarity_scaled, bucket,
             ELSE 'tail' END AS bucket_label
 FROM tiled
 """)
+
+
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_SELECT_AT = 0
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR-style importance selection (r12, Xie et al. 2023): fit
+    unigram models on the TARGET slice (src0-src1 — the wiki-like
+    corpus a practitioner points DSIR at) and on the raw corpus;
+    score every doc by the exact-integer target-affinity surrogate
+    Σ[rarity_raw − rarity_target] (OOV-in-target = max rarity, the
+    shared holdout rule); select affinity >= 0. On this corpus the
+    selected slice is ~2× enriched in target-source docs — the row
+    witnesses real selection, not a constant flag. Two vocab fits,
+    the combined model broadcast back, one per-doc agg — text never
+    shuffles."""
+    from parquet_sampler_spark.operators.quality import dsir_affinity
+
+    d = _t(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    return dsir_affinity(
+        d, "doc_id", "text", tgt,
+        scale=_RARITY_SCALE, select_at=_DSIR_SELECT_AT,
+    )
+
+
+def _sql_dsir_select() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    return f"""
+WITH dtoks AS (
+  SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+rawv AS (SELECT tok, count(*) AS cr FROM dtoks GROUP BY tok),
+rtot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr FROM rawv),
+tgtv AS (
+  SELECT tok, count(*) AS ct FROM dtoks
+  WHERE source IN ({srcs}) GROUP BY tok
+),
+ttot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM tgtv),
+tab AS (
+  SELECT r.tok,
+         CAST((SELECT tr FROM rtot) // r.cr AS BIGINT)
+         - COALESCE(CAST((SELECT tt FROM ttot) // g.ct AS BIGINT),
+                    (SELECT tt FROM ttot)) AS d
+  FROM rawv r LEFT JOIN tgtv g USING (tok)
+),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(d) AS BIGINT) AS aff
+  FROM dtoks JOIN tab USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(({_RARITY_SCALE} * aff) // n_tokens AS BIGINT)
+         AS affinity_scaled,
+       ({_RARITY_SCALE} * aff) // n_tokens >= {_DSIR_SELECT_AT}
+         AS selected
+FROM sc
+"""
 
 
 def _q_quality_gopher(spark, sf_dir):

@@ -503,3 +503,65 @@ def test_ccnet_buckets_validation(spark):
     )
     with pytest.raises(ValueError):
         ccnet_buckets(df, "doc_id", "text", "lang", nbuckets=0)
+
+
+# ---------------------------------------------------------------------------
+# dsir_affinity (r12): importance-to-target data selection
+# ---------------------------------------------------------------------------
+
+
+def _dsir(spark, raw_rows, tgt_ids, **kw):
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.operators.quality import dsir_affinity
+
+    df = spark.createDataFrame(raw_rows, "doc_id bigint, text string")
+    tgt = df.filter(F.col("doc_id").isin(tgt_ids))
+    out = dsir_affinity(df, "doc_id", "text", tgt, **kw)
+    return {r.doc_id: r.asDict() for r in out.collect()}
+
+
+def test_dsir_affinity_hand_trace(spark):
+    # raw corpus: doc 1 = "a a b", doc 2 = "c c c". target = doc 1.
+    # raw totals: T_r=6, cnt a=2 b=1 c=3 -> rr(a)=3 rr(b)=6 rr(c)=2
+    # target totals: T_t=3, cnt a=2 b=1 -> rt(a)=1 rt(b)=3; c OOV -> 3
+    # doc1 aff = (3-1)+(3-1)+(6-3) = 7; mean*1000 = 7000//3 = 2333
+    # doc2 aff = 3*(2-3) = -3; mean*1000 = -3000//3 = -1000
+    rows = [(1, "a a b"), (2, "c c c")]
+    got = _dsir(spark, rows, [1], scale=1000, select_at=0)
+    assert got[1]["affinity_scaled"] == 2333 and got[1]["selected"]
+    assert got[2]["affinity_scaled"] == -1000 and not got[2]["selected"]
+    assert got[1]["n_tokens"] == 3
+
+
+def test_dsir_affinity_negative_div_truncates_toward_zero(spark):
+    # aff = -7 over n=2 tokens: (1000*-7) DIV 2 = -3500 exactly; but
+    # a value like -7 DIV 2 must be -3 (toward zero), not -4 (floor) —
+    # pin via scale=1: doc 2 of the hand-trace has aff=-3, n=3 ->
+    # 1*-3 DIV 3 = -1; with n=2 docs we'd see the truncation. Use a
+    # crafted corpus where scale*aff is not divisible by n.
+    rows = [(1, "a a a a a"), (2, "z q")]
+    # target = doc 1: T_t=5, a:5 -> rt(a)=1. raw: T_r=7, a:5 z:1 q:1
+    # rr(a)=1, rr(z)=rr(q)=7; rt(z)=rt(q)=5 (OOV)
+    # doc2 aff = (7-5)+(7-5) = 4 -> scale=3: 12 DIV 2 = 6
+    # doc1 aff = 5*(1-1) = 0
+    got = _dsir(spark, rows, [1], scale=3)
+    assert got[2]["affinity_scaled"] == 6
+    assert got[1]["affinity_scaled"] == 0
+    assert "selected" not in got[1]  # no threshold -> no column
+
+
+def test_dsir_affinity_broadcast_off_identical(spark):
+    rows = [(i, f"w{i % 3} w{i % 5} common common") for i in range(20)]
+    on = _dsir(spark, rows, [0, 1, 2], select_at=0)
+    off = _dsir(spark, rows, [0, 1, 2], select_at=0,
+                broadcast_vocab=False)
+    assert on == off and len(on) == 20
+
+
+def test_dsir_affinity_validation(spark):
+    from parquet_sampler_spark.operators.quality import dsir_affinity
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        dsir_affinity(df, "doc_id", "text", df, scale=0)

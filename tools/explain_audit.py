@@ -565,6 +565,17 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 40b. DSIR selection (r12): the combined rarity model broadcasts
+    # back onto the token stream; no Python, no cartesian beyond the
+    # broadcast 1-row totals
+    check(
+        "dsir_select",
+        R.queries()["dsir_select"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     # 40. ccnet buckets (r12): vocabulary and CDF tables broadcast
     # back (the only big exchanges are the token agg and the narrow
     # (id, lang) join); exact NTILE in pure integer expressions — no
