@@ -2465,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity_holdout": _q_quality_rarity_holdout,
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
+        "bm25_topk": _q_bm25_topk,
         "dsir_select": _q_dsir_select,
         "ccnet_buckets": _q_ccnet_buckets,
         "cooccurrence_topk": _q_cooccurrence_topk,
@@ -2587,6 +2588,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
+        "bm25_topk": _sql_bm25_topk(),
         "dsir_select": _sql_dsir_select(),
         "ccnet_buckets": _sql_ccnet_buckets(),
         "cooccurrence_topk": _sql_cooccurrence_topk(),
@@ -6689,6 +6691,78 @@ SELECT doc_id, lang, mean_rarity_scaled, bucket,
             ELSE 'tail' END AS bucket_label
 FROM tiled
 """)
+
+
+_BM25_TERMS = ("spark", "hash", "merge", "window")
+_BM25_K = 10
+_BM25_SCALE = 1_000_000
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Fixed-point BM25 retrieval (r12, Robertson/Okapi k1=1.2,
+    b=0.75): top-10 documents for a 4-term query. The Okapi quotient
+    multiplied through by 20·T is the exact integer ratio
+    44·T·tf / (20·T·tf + 6·T + 18·N·dl); idf is the RSJ-monotone
+    fixed-point surrogate (scale·(2(N−df)+1)) DIV (2df+1) — both
+    engines compute identical integers (DECIMAL(38,0)/HUGEINT for
+    the triple product). The token explode FILTERS to the query
+    terms before any shuffle (rows ∝ query-term occurrences, never
+    corpus tokens); dl rides the groupBy key; the ≤|Q|-row df table
+    broadcasts; top-k is TakeOrderedAndProject."""
+    from parquet_sampler_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        list(_BM25_TERMS), k=_BM25_K, scale=_BM25_SCALE,
+    )
+
+
+def _sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    dl = TX.token_count_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST({dl} AS BIGINT) AS dl FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+        AND {dl} > 0
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS tt
+  FROM base
+),
+qtf AS (
+  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT d.doc_id, b.dl,
+           unnest(string_split(trim(d.text), ' ')) AS tok
+    FROM documents d JOIN base b USING (doc_id)
+  )
+  WHERE tok IN ({terms})
+  GROUP BY doc_id, dl, tok
+),
+dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY tok
+),
+term AS (
+  SELECT q.doc_id, q.dl,
+         CAST(
+           (CAST(({_BM25_SCALE} * (2 * ((SELECT n_docs FROM stats) - f.df)
+                                   + 1))
+                 // (2 * f.df + 1) AS HUGEINT)
+            * 44 * CAST((SELECT tt FROM stats) AS HUGEINT) * q.tf)
+           // (20 * CAST((SELECT tt FROM stats) AS HUGEINT) * q.tf
+               + 6 * (SELECT tt FROM stats)
+               + 18 * CAST((SELECT n_docs FROM stats) AS HUGEINT) * q.dl)
+           AS BIGINT) AS s
+  FROM qtf q JOIN dfreq f USING (tok)
+)
+SELECT doc_id, dl,
+       CAST(count(*) AS BIGINT) AS n_hit_terms,
+       CAST(sum(s) AS BIGINT) AS score_scaled
+FROM term GROUP BY doc_id, dl
+ORDER BY score_scaled DESC, doc_id LIMIT {_BM25_K}
+"""
 
 
 _DSIR_TARGET_SOURCES = ("src0", "src1")

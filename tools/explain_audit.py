@@ -565,6 +565,16 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 40c. BM25 retrieval (r12): top-k must compile to
+    # TakeOrderedAndProject (never a global Sort+Limit over the
+    # corpus); the df table broadcasts; no Python
+    check(
+        "bm25_topk",
+        R.queries()["bm25_topk"](spark, sf_dir),
+        must_contain=["TakeOrderedAndProject", "BroadcastHashJoin"],
+        must_not=["BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 40b. DSIR selection (r12): the combined rarity model broadcasts
     # back onto the token stream; no Python, no cartesian beyond the
     # broadcast 1-row totals
