@@ -677,3 +677,77 @@ def dsir_affinity(
             "selected", F.col("affinity_scaled") >= F.lit(select_at)
         )
     return out
+
+
+def ngram_diversity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group corpus n-gram diversity: distinct n-grams over total
+    n-gram occurrences — the corpus-level inverse of the per-document
+    Gopher repetition score (:func:`repetition_score` catches one doc
+    looping; THIS catches a whole SOURCE collapsing to boilerplate —
+    the self-BLEU-style diversity monitor a mixture pipeline watches
+    per domain/crawl before the mix poisons training).
+
+    Output: ``(group_col, n_grams, n_distinct, diversity_scaled)``
+    with ``diversity_scaled = (scale · n_distinct) DIV n_grams``
+    (fixed-point ratio, exact in both engines). Groups whose docs all
+    tokenize empty are absent.
+
+    Plan shape: ONE aggregation per (group, gram-hash) — the partial
+    phase dedups per partition so a boilerplate gram ships one row
+    per partition, never its occurrence count — then ONE per-group
+    rollup of Θ(distinct grams) rows. Grams travel as 64-bit hashes
+    (xxhash64 — a collision UNDER-counts distinct by 1 in both
+    engines identically only if the colliding grams share a group;
+    the oracle hashes identically so the value hash still matches).
+    Exact distincts, not approx_count_distinct: the two-level
+    aggregate IS the scale-sane exact shape, and the oracle needs
+    bit-equality.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash,
+    )
+    from parquet_sampler_spark.plans.layout import spread
+
+    tk = F.split(F.trim(F.col(text_col)), " ")
+    th = F.transform(tk, lambda t: mixed_string_hash(t))
+    gh = (
+        f"transform(sequence(1, size(__th) - {n - 1}), "
+        f"i -> aggregate(slice(__th, i, {n}), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {MODULUS}L))"
+    )
+    grams = (
+        spread(df)
+        .select(F.col(group_col).alias("grp"), th.alias("__th"))
+        .filter(F.size("__th") >= n)
+        .select("grp", F.explode(F.expr(gh)).alias("__gh"))
+    )
+    per_gram = grams.groupBy("grp", "__gh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    return (
+        per_gram.groupBy("grp")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_grams",
+            "n_distinct",
+            F.expr(f"({scale} * n_distinct) DIV n_grams")
+            .cast("bigint")
+            .alias("diversity_scaled"),
+        )
+    )

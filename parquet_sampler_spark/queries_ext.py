@@ -2466,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
         "bm25_topk": _q_bm25_topk,
+        "ngram_diversity": _q_ngram_diversity,
         "dsir_select": _q_dsir_select,
         "ccnet_buckets": _q_ccnet_buckets,
         "cooccurrence_topk": _q_cooccurrence_topk,
@@ -2589,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
         "bm25_topk": _sql_bm25_topk(),
+        "ngram_diversity": _sql_ngram_diversity(),
         "dsir_select": _sql_dsir_select(),
         "ccnet_buckets": _sql_ccnet_buckets(),
         "cooccurrence_topk": _sql_cooccurrence_topk(),
@@ -6691,6 +6693,57 @@ SELECT doc_id, lang, mean_rarity_scaled, bucket,
             ELSE 'tail' END AS bucket_label
 FROM tiled
 """)
+
+
+_DIVERSITY_N = 2
+_DIVERSITY_SCALE = 1_000_000
+
+
+def _q_ngram_diversity(spark, sf_dir):
+    """Per-source corpus bigram diversity (r12): distinct grams over
+    total gram occurrences — the corpus-level inverse of the Gopher
+    per-doc repetition score; the self-BLEU-style monitor a mixture
+    pipeline watches per domain before a boilerplate-collapsed crawl
+    poisons the mix. One (source, gram-hash) aggregate whose partial
+    phase dedups per partition, one per-source rollup; grams travel
+    as the shared polynomial hashes."""
+    from parquet_sampler_spark.operators.quality import ngram_diversity
+
+    return ngram_diversity(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "source",
+        n=_DIVERSITY_N, scale=_DIVERSITY_SCALE,
+    )
+
+
+def _sql_ngram_diversity() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash_sql,
+    )
+
+    n, scale = _DIVERSITY_N, _DIVERSITY_SCALE
+    return f"""
+WITH th AS (
+  SELECT source,
+         list_transform(string_split(trim(text), ' '),
+                        x -> {mixed_string_hash_sql('x')}) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+g AS (
+  SELECT source,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{n - 1}]),
+                     (acc, x) -> (acc * 31 + x) % {MODULUS}) AS gh
+  FROM th, unnest(range(1, len(h) - {n} + 2)) AS u(i)
+  WHERE len(h) >= {n}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(DISTINCT gh) AS BIGINT) AS n_distinct,
+       CAST(({scale} * count(DISTINCT gh)) // count(*) AS BIGINT)
+         AS diversity_scaled
+FROM g GROUP BY source
+"""
 
 
 _BM25_TERMS = ("spark", "hash", "merge", "window")

@@ -565,3 +565,70 @@ def test_dsir_affinity_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         dsir_affinity(df, "doc_id", "text", df, scale=0)
+
+
+# ---------------------------------------------------------------------------
+# ngram_diversity (r12): per-group distinct/total gram ratio
+# ---------------------------------------------------------------------------
+
+
+def _diversity(spark, rows, **kw):
+    from parquet_sampler_spark.operators.quality import ngram_diversity
+
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    out = ngram_diversity(df, "doc_id", "text", "source", **kw)
+    return {r.source: (r.n_grams, r.n_distinct, r.diversity_scaled)
+            for r in out.collect()}
+
+
+def test_ngram_diversity_hand_trace(spark):
+    # srcA: "a b a b" + "a b c" -> bigrams (a,b),(b,a),(a,b) and
+    # (a,b),(b,c): total 5, distinct 3 -> ratio 600000 at scale 1e6.
+    # srcB: one doc "x y z": 2 distinct of 2 -> 1000000.
+    rows = [
+        (1, "a b a b", "srcA"),
+        (2, "a b c", "srcA"),
+        (3, "x y z", "srcB"),
+    ]
+    got = _diversity(spark, rows)
+    assert got == {
+        "srcA": (5, 3, 600_000),
+        "srcB": (2, 2, 1_000_000),
+    }
+
+
+def test_ngram_diversity_short_and_empty_docs_drop(spark):
+    # one-token and empty docs yield no bigrams; a source with only
+    # such docs is absent entirely
+    rows = [
+        (1, "solo", "srcA"),
+        (2, "", "srcA"),
+        (3, None, "srcA"),
+        (4, "p q", "srcB"),
+    ]
+    got = _diversity(spark, rows)
+    assert got == {"srcB": (1, 1, 1_000_000)}
+
+
+def test_ngram_diversity_boilerplate_collapse_signal(spark):
+    # a source that repeats one sentence everywhere scores far lower
+    # than one with fresh text of the same volume
+    boiler = [(i, "the same line again and again", "dup") for i in range(10)]
+    fresh = [(100 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f", "fresh")
+             for i in range(10)]
+    got = _diversity(spark, boiler + fresh)
+    assert got["dup"][2] < 150_000 and got["fresh"][2] == 1_000_000
+
+
+def test_ngram_diversity_validation(spark):
+    from parquet_sampler_spark.operators.quality import ngram_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s")], "doc_id bigint, text string, source string"
+    )
+    with pytest.raises(ValueError):
+        ngram_diversity(df, "doc_id", "text", "source", n=0)
+    with pytest.raises(ValueError):
+        ngram_diversity(df, "doc_id", "text", "source", scale=0)

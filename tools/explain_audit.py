@@ -565,6 +565,17 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 40d. n-gram diversity (r12): two stacked hash aggregates, no
+    # join of any kind, no Python — the whole plan is scan -> explode
+    # -> agg -> agg
+    check(
+        "ngram_diversity",
+        R.queries()["ngram_diversity"](spark, sf_dir),
+        must_contain=["HashAggregate"],
+        must_not=["Join", "CartesianProduct", "Window",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 40c. BM25 retrieval (r12): top-k must compile to
     # TakeOrderedAndProject (never a global Sort+Limit over the
     # corpus); the df table broadcasts; no Python
