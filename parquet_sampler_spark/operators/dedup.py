@@ -1463,3 +1463,99 @@ def bloom_decontaminate(
         .select(id_col)
     )
     return corpus.join(F.broadcast(confirmed), id_col, "left_anti")
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Winnowing-fingerprint candidate pairs (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS algorithm): document pairs sharing at least
+    ``min_shared`` winnowed fingerprints, with the shared count.
+
+    Winnowing is the bandwidth-reduced relative of the full-window
+    machinery in :func:`ngram_dup_spans`: hash every ``k``-token gram,
+    slide a ``w``-gram window over the hash stream, keep each window's
+    MINIMUM hash, dedup per document. The selected set has expected
+    density ``2/(w+1)`` of the gram stream (the paper's bound) yet
+    GUARANTEES any shared token run of length >= ``w + k - 1`` yields
+    a shared fingerprint — position-aware substring detection at a
+    fraction of the index size, where MinHash answers whole-document
+    set similarity and ngram_dup_spans ships every window into its
+    aggregate.
+
+    Output: ``(id_a, id_b, n_shared)`` with ``id_a < id_b``.
+
+    Plan shape (the 100 TB contract): token hashing, gram folding,
+    window minima, and per-doc dedup are ONE per-row expression chain
+    fused into the scan (no shuffle until fingerprints exist —
+    Θ(2·tokens/(w+1)) rows); pairs come from an inverted-index
+    self-join on the fingerprint. Like every inverted-index join in
+    this family it has a Σdf² hot-key term — ``max_fp_df`` drops
+    fingerprints above a document-frequency cap from PAIR FORMATION
+    ONLY (``n_shared`` then under-counts by the dropped fingerprints,
+    precision of the emitted pairs stays exact — the
+    ``jaccard_pairs_capped`` contract, replicated in the oracle via
+    GROUP BY…HAVING). A boilerplate run shared by d docs is d·(d−1)/2
+    pairs BY DEFINITION — cap or pre-dedup when that is not the
+    question being asked.
+
+    Ties inside a window keep one value (minima compare VALUES; equal
+    minima in overlapping windows dedup away) — both engines take
+    ``min`` over the same integers, so selection is identical.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash,
+    )
+    from parquet_sampler_spark.plans.layout import spread
+
+    tk = F.split(F.trim(F.col(text_col)), " ")
+    th = F.transform(tk, lambda t: mixed_string_hash(t))
+    gh = (
+        f"transform(sequence(1, size(__th) - {k - 1}), "
+        f"i -> aggregate(slice(__th, i, {k}), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {MODULUS}L))"
+    )
+    wins = (
+        f"transform(sequence(1, size(__gh) - {w - 1}), "
+        f"i -> array_min(slice(__gh, i, {w})))"
+    )
+    fp = (
+        spread(df).select(F.col(id_col), th.alias("__th"))
+        .filter(F.size("__th") >= k + w - 1)
+        .select(F.col(id_col), F.expr(gh).alias("__gh"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"array_distinct({wins})")).alias("f"),
+        )
+    )
+    join_fp = fp
+    if max_fp_df is not None:
+        keep = (
+            fp.groupBy("f")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_fp_df)
+            .select("f")
+        )
+        join_fp = fp.join(F.broadcast(keep), "f")
+    a = join_fp.select(F.col(id_col).alias("id_a"), "f")
+    b = join_fp.select(F.col(id_col).alias("id_b"), "f")
+    return (
+        a.join(b, ["f"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -2451,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dpp_scan": _q_dpp_scan,
         "manifest_prune": _q_manifest_prune,
         "ngram_dup_spans": _q_ngram_dup_spans,
+        "winnow_pairs": _q_winnow_pairs,
         "decontaminate_spans": _q_decontaminate_spans,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
@@ -2578,6 +2579,7 @@ def oracle_sql() -> dict[str, str]:
         "dpp_scan": _sql_dpp_scan(),
         "manifest_prune": _SQL_MANIFEST_PRUNE,
         "ngram_dup_spans": _sql_ngram_dup_spans(),
+        "winnow_pairs": _sql_winnow_pairs(),
         "decontaminate_spans": _sql_decontaminate_spans(),
         "bloom_decontaminate": _sql_bloom_decontaminate(),
         "streaming_enrich": _SQL_STREAMING_ENRICH,
@@ -6693,6 +6695,65 @@ SELECT doc_id, lang, mean_rarity_scaled, bucket,
             ELSE 'tail' END AS bucket_label
 FROM tiled
 """)
+
+
+_WINNOW_K = 4
+_WINNOW_W = 4
+_WINNOW_MIN_SHARED = 2
+
+
+def _q_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint pairs (r12, Schleimer et al. 2003 /
+    MOSS): docs sharing >= 2 winnowed fingerprints (k=4-token grams,
+    w=4 window minima) — position-aware shared-substring detection at
+    ~2/(w+1) of the gram-stream index size, guaranteeing any shared
+    run >= w+k−1 tokens is caught. Selection is one per-row
+    expression chain fused into the scan; pairs come from the
+    inverted-index self-join on the (deduped, density-bounded)
+    fingerprints; `max_fp_df` is the hot-key cap of the family."""
+    from parquet_sampler_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED,
+    )
+
+
+def _sql_winnow_pairs() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash_sql,
+    )
+
+    k, w, m = _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED
+    return f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(trim(text), ' '),
+                        x -> {mixed_string_hash_sql('x')}) AS h
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(h) - {k} + 2),
+             i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                           h[i:i+{k - 1}]),
+                              (acc, x) -> (acc * 31 + x) % {MODULUS}))
+           AS gh
+  FROM th WHERE len(h) >= {k + w - 1}
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(gh) - {w} + 2),
+                i -> list_aggregate(gh[i:i+{w - 1}], 'min'))) AS f
+  FROM g
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {m}
+"""
 
 
 _DIVERSITY_N = 2

@@ -908,3 +908,70 @@ def test_containment_catches_subsumption_jaccard_misses(spark):
     assert all(c["containment"] == 0.0 or c["cont_a"] <= 1.0
                for c in capped)
     assert not any(c["containment"] >= 0.9 for c in capped)
+
+
+# ---------------------------------------------------------------------------
+# winnow_pairs (r12): MOSS winnowing fingerprint candidates
+# ---------------------------------------------------------------------------
+
+
+def _winnow(spark, rows, **kw):
+    from parquet_sampler_spark.operators.dedup import winnow_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_pairs(df, "doc_id", "text", **kw).collect()
+    )
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    # winnowing guarantees any shared token run of length >= w+k-1
+    # (= 7 at k=4, w=4) yields at least one shared fingerprint
+    run = "s1 s2 s3 s4 s5 s6 s7"
+    rows = [
+        (1, f"apple pear {run} cherry plum"),
+        (2, f"{run} melon grape kiwi fig date"),
+        (3, "entirely different words with no common run at all here"),
+    ]
+    got = _winnow(spark, rows, min_shared=1)
+    ids = {(a, b) for a, b, _ in got}
+    assert (1, 2) in ids
+    assert not any(3 in p for p in ids)
+
+
+def test_winnow_identical_docs_share_all_fingerprints(spark):
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [(1, text), (2, text)]
+    got = _winnow(spark, rows, min_shared=1)
+    assert len(got) == 1
+    a, b, n = got[0]
+    # every fingerprint of doc 1 is shared; count equals the doc's
+    # own deduped fingerprint count (positive, <= number of windows)
+    assert (a, b) == (1, 2) and 1 <= n <= 4
+
+
+def test_winnow_max_fp_df_cap_drops_hot_fingerprints(spark):
+    # the same 7-token run in THREE docs: each pair shares its
+    # fingerprints (df=3). Cap at 2 removes them from pair formation.
+    run = "h1 h2 h3 h4 h5 h6 h7"
+    rows = [
+        (1, f"{run} a1 a2 a3"),
+        (2, f"{run} b1 b2 b3"),
+        (3, f"{run} c1 c2 c3"),
+    ]
+    uncapped = _winnow(spark, rows, min_shared=1)
+    assert {(a, b) for a, b, _ in uncapped} == {(1, 2), (1, 3), (2, 3)}
+    capped = _winnow(spark, rows, min_shared=1, max_fp_df=2)
+    assert capped == []
+
+
+def test_winnow_short_docs_and_validation(spark):
+    from parquet_sampler_spark.operators.dedup import winnow_pairs
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e f")]  # < k+w-1 tokens
+    assert _winnow(spark, rows, min_shared=1) == []
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for bad in (dict(k=0), dict(w=0), dict(min_shared=0)):
+        with pytest.raises(ValueError):
+            winnow_pairs(df, "doc_id", "text", **bad)

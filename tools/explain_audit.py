@@ -565,6 +565,17 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 40e. winnowing pairs (r12): fingerprint selection is pure
+    # per-row expressions fused into the scan (no Python anywhere);
+    # the self-join is the one exchange
+    check(
+        "winnow_pairs",
+        R.queries()["winnow_pairs"](spark, sf_dir),
+        must_contain=["HashAggregate"],
+        must_not=["CartesianProduct", "Window",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 40d. n-gram diversity (r12): two stacked hash aggregates, no
     # join of any kind, no Python — the whole plan is scan -> explode
     # -> agg -> agg
