@@ -1453,3 +1453,100 @@ def semantic_dedup(
         assigned.join(dropped_df, "__sid", "left_anti")
         .select(F.col("__sid").alias(id_col), "cell")
     )
+
+
+def ivf_coreset(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 5,
+    nlist: int = 16,
+    seed: int = 42,
+    keep: str = "central",
+    model_cache: dict | None = None,
+    cache_key=None,
+    train_per_cell: int = 256,
+    train_max_iter: int = 20,
+) -> DataFrame:
+    """Cluster-balanced coreset selection: keep the ``m`` most (or
+    least) PROTOTYPICAL vectors of every KMeans cell — prototypicality
+    = squared distance to the own-cell centroid, the data-pruning
+    metric of Sorscher et al. 2022 ("Beyond neural scaling laws"):
+    keep ``"central"`` exemplars when curating a SMALL high-signal
+    subset, keep ``"outlier"`` (hard) examples when pruning an
+    abundant corpus. Either way the selection is per-cell, so every
+    density mode keeps representation — the balance a global top-k
+    by any score destroys.
+
+    Output: ``(id_col, cell, d, rank)`` — ``d`` the int64 quantized
+    squared distance (exact in both engines), ``rank`` 1-based within
+    the cell under ``(d ASC|DESC, id)``.
+
+    Plan shape (the 100 TB contract): the quantizer is the SHARED
+    bounded-sketch + seeded-Lloyd fit of :func:`ivf_topk` (pass the
+    same ``model_cache``/``cache_key`` and the index is trained once
+    per corpus across the ANN family); assignment + own-centroid
+    distance is ONE Arrow-batched map pass against the broadcast
+    centroids; per-cell top-m is a partitioned window that compiles
+    to WindowGroupLimit (m rows per cell survive the partial pass —
+    a cell is corpus/nlist-sized, the full-sort skew this pushdown
+    exists for). No join anywhere.
+
+    Zero-norm vectors participate (assignment is raw squared
+    distance — no normalization), unlike the cosine surfaces which
+    must drop them.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if keep not in ("central", "outlier"):
+        raise ValueError(
+            f"keep={keep!r}: expected 'central' or 'outlier'"
+        )
+    if model_cache is not None and cache_key in model_cache:
+        supers, centroids, owner = model_cache[cache_key]
+    else:
+        from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+        sketch = (
+            spread(corpus)
+            .select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).alias("__v"),
+                    lehmer_hash([id_col], seed).alias("__h"))
+            .orderBy("__h", "__id")
+            .limit(train_per_cell * nlist)
+            .collect()
+        )
+        X = np.array([r["__v"] for r in sketch], dtype=np.float64)
+        supers, centroids, owner = _fit_coarse_hierarchy(
+            X, nlist, seed, train_max_iter
+        )
+        if model_cache is not None:
+            model_cache[cache_key] = (supers, centroids, owner)
+
+    cq = _ivf_quantize(centroids)
+    sq = None if supers is None else _ivf_quantize(supers)
+
+    @F.pandas_udf("cell int, d bigint")
+    def cell_dist(vs: pd.Series) -> pd.DataFrame:
+        mtx = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        cells = np.asarray(_route_assign(mtx, cq, sq, owner))
+        diff = mtx - cq[cells]
+        return pd.DataFrame({
+            "cell": cells.astype(np.int32),
+            "d": (diff * diff).sum(axis=1).astype(np.int64),
+        })
+
+    assigned = spread(corpus).select(
+        F.col(id_col), cell_dist(F.col(vec_col)).alias("__cd")
+    ).select(
+        id_col,
+        F.col("__cd.cell").alias("cell"),
+        F.col("__cd.d").alias("d"),
+    )
+    order_d = F.col("d").asc() if keep == "central" else F.col("d").desc()
+    w = Window.partitionBy("cell").orderBy(order_d, F.col(id_col).asc())
+    return (
+        assigned.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) <= m)
+        .select(id_col, "cell", "d", F.col(_RN).alias("rank"))
+    )

@@ -1437,6 +1437,101 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+_CORESET_M = 5
+
+
+def _q_ivf_coreset(spark, sf_dir):
+    """Cluster-balanced coreset (r12, Sorscher et al. 2022): the 5
+    most prototypical vectors (smallest int64 quantized squared
+    distance to the own-cell centroid, ties by id) of every IVF cell —
+    per-cell selection keeps every density mode represented, the
+    balance a global top-k destroys. Shares ann_ivf's fitted
+    quantizer via the model cache (the index trains ONCE per corpus
+    across the ANN family); assignment + distance is one Arrow map
+    pass; per-cell top-m compiles to WindowGroupLimit. No join."""
+    from parquet_sampler_spark.operators.similarity import ivf_coreset
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_coreset(
+        e, "vec_id", "embedding",
+        m=_CORESET_M, nlist=_IVF_NLIST, seed=_IVF_SEED,
+        model_cache=_IVF_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir,
+                   _IVF_NLIST, _IVF_SEED),
+    )
+
+
+_CORESET_SQL_CACHE: dict[str, str] = {}
+
+
+def _sql_ivf_coreset() -> str:
+    """DuckDB twin of _q_ivf_coreset: identical centroid literals to
+    _sql_ann_ivf (same sketch + seeded Lloyd re-run on the raw
+    parquet), assignment as argmin over int64 squared distances, d
+    carried through, per-cell row_number <= m."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_sampler_spark.operators.similarity import (
+        _IVF_QSCALE,
+        ivf_train_centroids_numpy,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    if sf_dir in _CORESET_SQL_CACHE:
+        return _CORESET_SQL_CACHE[sf_dir]
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    cents = ivf_train_centroids_numpy(
+        ids, vecs, nlist=_IVF_NLIST, seed=_IVF_SEED
+    )
+    ci = np.floor(cents * _IVF_QSCALE).astype(np.int64)
+    rows = ",\n".join(
+        f"({j}, [{', '.join(str(int(x)) for x in c)}]::BIGINT[])"
+        for j, c in enumerate(ci)
+    )
+    sqdist = ("list_sum(list_transform(range(1, len(v) + 1), "
+              "j -> (v[j] - cv[j]) * (v[j] - cv[j])))")
+    sql = f"""
+WITH cents(cell, cv) AS (VALUES
+{rows}
+),
+vi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QSCALE})
+                       AS BIGINT)) AS v
+  FROM embeddings
+),
+dist AS (
+  SELECT vi.vec_id, cents.cell, {sqdist} AS d
+  FROM vi CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cell, d FROM (
+    SELECT vec_id, cell, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist) WHERE rn = 1
+)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(d AS BIGINT) AS d,
+       CAST(rank AS BIGINT) AS rank FROM (
+  SELECT vec_id, cell, d,
+         row_number() OVER (PARTITION BY cell ORDER BY d, vec_id)
+           AS rank
+  FROM assign
+) WHERE rank <= {_CORESET_M}
+"""
+    _CORESET_SQL_CACHE[sf_dir] = sql
+    return sql
+
+
 # built oracle strings keyed by sf_dir: training the quantizer twice
 # per queries()/oracle_sql() pair would be wasted work
 _IVF_SQL_CACHE: dict[str, str] = {}
@@ -2383,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range": _q_ann_range,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ivf_coreset": _q_ivf_coreset,
         "ann_pq": _q_ann_pq,
         "ann_ivfpq": _q_ann_ivfpq,
         "ann_ivfpq_residual": _q_ann_ivfpq_residual,
@@ -2615,6 +2711,7 @@ def oracle_sql() -> dict[str, str]:
         ("ann_ivfpq_residual8",
          lambda: _sql_ann_ivfpq_residual(ncodes=256)),
         ("ann_ivf_hier", _sql_ann_ivf_hier),
+        ("ivf_coreset", _sql_ivf_coreset),
     ):
         try:
             out[name] = builder()

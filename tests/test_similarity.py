@@ -602,3 +602,71 @@ def test_cosine_range_exact_and_bounds(spark):
           for r in cosine_topk(df, q, "vec_id", "embedding", k=3).collect()}
     for r in all_got.collect():
         assert r["score"] == tk[r["neighbor_id"]]
+
+
+# ---------------------------------------------------------------------------
+# ivf_coreset (r12): per-cell prototypicality selection
+# ---------------------------------------------------------------------------
+
+
+def _coreset_corpus(spark):
+    # two tight clusters far apart + one straggler per cluster: with
+    # nlist=2 Lloyd converges to one centroid per cluster
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        rows.append((i, (rng.normal(0, 0.05, 4) + [0, 0, 0, 0]).tolist()))
+    for i in range(20, 40):
+        rows.append((i, (rng.normal(0, 0.05, 4) + [9, 9, 9, 9]).tolist()))
+    rows.append((100, [1.5, 1.5, 1.5, 1.5]))   # cluster-0 outlier
+    rows.append((101, [7.5, 7.5, 7.5, 7.5]))   # cluster-1 outlier
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+def test_ivf_coreset_central_and_outlier_semantics(spark):
+    from parquet_sampler_spark.operators.similarity import ivf_coreset
+
+    df = _coreset_corpus(spark)
+    central = ivf_coreset(df, "vec_id", "embedding", m=3, nlist=2,
+                          seed=11).collect()
+    by_cell = {}
+    for r in central:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(by_cell) == 2
+    for cell, rs in by_cell.items():
+        assert len(rs) == 3
+        ds = [r.d for r in sorted(rs, key=lambda r: r.rank)]
+        assert ds == sorted(ds)           # rank follows ascending d
+        # the planted far-out points are never "central"
+        assert all(r.vec_id not in (100, 101) for r in rs)
+
+    outlier = ivf_coreset(df, "vec_id", "embedding", m=1, nlist=2,
+                          seed=11, keep="outlier").collect()
+    assert sorted(r.vec_id for r in outlier) == [100, 101]
+
+
+def test_ivf_coreset_shares_model_cache(spark):
+    from parquet_sampler_spark.operators.similarity import ivf_coreset
+
+    df = _coreset_corpus(spark)
+    cache = {}
+    a = ivf_coreset(df, "vec_id", "embedding", m=2, nlist=2, seed=11,
+                    model_cache=cache, cache_key="k").collect()
+    assert "k" in cache
+    b = ivf_coreset(df, "vec_id", "embedding", m=2, nlist=2, seed=11,
+                    model_cache=cache, cache_key="k").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_coreset_validation(spark):
+    from parquet_sampler_spark.operators.similarity import ivf_coreset
+
+    df = _coreset_corpus(spark)
+    with pytest.raises(ValueError):
+        ivf_coreset(df, "vec_id", "embedding", m=0)
+    with pytest.raises(ValueError):
+        ivf_coreset(df, "vec_id", "embedding", keep="middle")

@@ -565,6 +565,16 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 40f. IVF coreset (r12): one Arrow map pass + a per-cell top-m
+    # that must compile to WindowGroupLimit (rank pushdown — a cell
+    # is corpus/nlist-sized); no join anywhere
+    check(
+        "ivf_coreset",
+        R.queries()["ivf_coreset"](spark, sf_dir),
+        must_contain=["WindowGroupLimit"],
+        must_not=["Join", "CartesianProduct"],
+    )
+
     # 40e. winnowing pairs (r12): fingerprint selection is pure
     # per-row expressions fused into the scan (no Python anywhere);
     # the self-join is the one exchange
