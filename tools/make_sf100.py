@@ -14,6 +14,18 @@ keys, and these queries aggregate/join/fold PER KEY.
 Requires .scratch/sf10 (run tools/make_sf1.py then tools/make_sf10.py
 first). Deterministic (pure key arithmetic).
 Usage: python tools/make_sf100.py
+
+BANDED-DEDUP CAVEAT (r11 census, r12 resolution): the ``documents``
+slice here inherits the generator's FIXED 31-token vocabulary, so by
+sf100 the MinHash signature space saturates (bucket count frozen at
+371,146 across the decade while band pairs grow ×108) and decade-3
+cells for the banded pair family measure the FIXTURE, not the
+operator. Do NOT use this slice for minhash/simhash/jaccard pair
+decade cells — use ``tools/make_docs_heaps.py`` (vocabulary grows
+∝ √tokens, Heaps' law) + ``tools/scale_decade3_heaps.py``, the
+canonical banded-scaling corpus since r11. This slice remains right
+for the flat core (span dedup, bloom, packing, quality): those fold
+per token/key and never form signature buckets.
 """
 
 from __future__ import annotations
