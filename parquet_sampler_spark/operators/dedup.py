@@ -1543,13 +1543,18 @@ def winnow_pairs(
     )
     join_fp = fp
     if max_fp_df is not None:
-        keep = (
+        # broadcast the HOT set as an anti-join, never the keep set:
+        # fingerprints below the cap are ~ALL of them (Θ(corpus
+        # tokens) rows — measured 91M / >8 GiB at the Heaps sf100
+        # tier, where a keep-side broadcast kills the job), while the
+        # over-cap head is tiny BY CONSTRUCTION of the cap
+        hot = (
             fp.groupBy("f")
             .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_fp_df)
+            .filter(F.col("__df") > max_fp_df)
             .select("f")
         )
-        join_fp = fp.join(F.broadcast(keep), "f")
+        join_fp = fp.join(F.broadcast(hot), "f", "left_anti")
     a = join_fp.select(F.col(id_col).alias("id_a"), "f")
     b = join_fp.select(F.col(id_col).alias("id_b"), "f")
     return (

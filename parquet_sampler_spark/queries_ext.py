@@ -2548,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_prune": _q_manifest_prune,
         "ngram_dup_spans": _q_ngram_dup_spans,
         "winnow_pairs": _q_winnow_pairs,
+        "winnow_pairs_capped": _q_winnow_pairs_capped,
         "decontaminate_spans": _q_decontaminate_spans,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
@@ -2676,6 +2677,7 @@ def oracle_sql() -> dict[str, str]:
         "manifest_prune": _SQL_MANIFEST_PRUNE,
         "ngram_dup_spans": _sql_ngram_dup_spans(),
         "winnow_pairs": _sql_winnow_pairs(),
+        "winnow_pairs_capped": _sql_winnow_pairs(cap=_WINNOW_CAP),
         "decontaminate_spans": _sql_decontaminate_spans(),
         "bloom_decontaminate": _sql_bloom_decontaminate(),
         "streaming_enrich": _SQL_STREAMING_ENRICH,
@@ -6816,13 +6818,45 @@ def _q_winnow_pairs(spark, sf_dir):
     )
 
 
-def _sql_winnow_pairs() -> str:
+_WINNOW_CAP = 2
+
+
+def _q_winnow_pairs_capped(spark, sf_dir):
+    """The hot-fingerprint-capped sibling (r12): same selection, but
+    fingerprints in more than ``max_fp_df`` docs are excluded from
+    PAIR FORMATION (n_shared under-counts by the dropped prints,
+    emitted-pair precision stays exact — the jaccard_pairs_capped
+    contract). The Heaps decade-3 cells are the why: uncapped the
+    hot-fp head (max df 195 → 1,812 across the decade — stopword-run
+    prints scale with the corpus) drives pair output ×16.3 per ×10
+    docs (α 1.07); capped at 64 the output returns to ×9.9 and α to
+    0.97. The cap ships as a BROADCAST ANTI-join of the tiny over-cap
+    head — never a keep-side broadcast, which is Θ(corpus tokens)
+    (measured >8 GiB at the sf100 tier: the first cut did exactly
+    that and died on the broadcast ceiling). Gate-scale cap = 2 so
+    the drop is witnessed at sf0.01 (26 → 23 pairs); production caps
+    are corpus-calibrated."""
+    from parquet_sampler_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED,
+        max_fp_df=_WINNOW_CAP,
+    )
+
+
+def _sql_winnow_pairs(cap: int | None = None) -> str:
     from parquet_sampler_spark.functions.hashing import (
         MODULUS,
         mixed_string_hash_sql,
     )
 
     k, w, m = _WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED
+    cap_cte = "" if cap is None else f""",
+hot AS (SELECT f FROM fp GROUP BY f HAVING count(*) > {cap})"""
+    fp_rel = "fp" if cap is None else (
+        "(SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot))"
+    )
     return f"""
 WITH th AS (
   SELECT doc_id,
@@ -6845,10 +6879,11 @@ fp AS (
          unnest(list_transform(range(1, len(gh) - {w} + 2),
                 i -> list_aggregate(gh[i:i+{w - 1}], 'min'))) AS f
   FROM g
-)
+){cap_cte}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
-FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+FROM {fp_rel} a JOIN {fp_rel} b
+  ON a.f = b.f AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {m}
 """
 

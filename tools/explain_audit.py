@@ -575,6 +575,18 @@ def main() -> int:
         must_not=["Join", "CartesianProduct"],
     )
 
+    # 40e2. capped winnowing (r12): the hot-fingerprint cap must ship
+    # as a broadcast ANTI-join of the tiny over-cap head — a keep-side
+    # broadcast is Θ(corpus tokens) and died at the 8 GiB ceiling on
+    # the sf100 tier
+    check(
+        "winnow_pairs_capped",
+        R.queries()["winnow_pairs_capped"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "LeftAnti"],
+        must_not=["CartesianProduct", "Window",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
     # 40e. winnowing pairs (r12): fingerprint selection is pure
     # per-row expressions fused into the scan (no Python anywhere);
     # the self-join is the one exchange
