@@ -1564,3 +1564,86 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def scrub_contaminated_spans(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    bench_broadcast: bool = True,
+) -> DataFrame:
+    """The WRITE side of :func:`contaminated_spans`: return the
+    training corpus with every contaminated span CUT OUT — the
+    scrubbed text a decontamination pass actually publishes (the
+    span table is the audit artifact; this is the artifact that
+    trains).
+
+    Output: ``(id_col, n_tokens, n_kept, scrubbed_text)`` — token
+    counts before/after, and the surviving tokens re-joined with
+    single spaces in original order (empty string when a document is
+    entirely contaminated). Documents with no flagged span pass
+    through with ``n_kept == n_tokens``; docs that tokenize empty are
+    absent (no defined token stream), matching the span operator.
+
+    Plan shape: the span table's covered token positions explode to a
+    ``(id, pos)`` relation (Θ(contaminated tokens) — bounded by the
+    flagged material, typically ≪ corpus) that LEFT ANTI-joins the
+    corpus token stream; surviving tokens re-assemble per doc with ONE
+    aggregation using ``array_sort(collect_list(struct(pos, tok)))``
+    (order restored inside the aggregate — no window, no second
+    shuffle: Spark's collect_list is partial-aggregated per partition
+    and the sort runs on the assembled per-doc array). Everything
+    upstream (window hashing, bench-gram broadcast semi-join,
+    gaps-and-islands) is the shared span machinery.
+    """
+    spans = contaminated_spans(
+        train_df, bench_df, id_col, text_col, n=n,
+        bench_broadcast=bench_broadcast,
+    )
+    covered = spans.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).dropDuplicates([id_col, "pos"])
+
+    t = F.trim(F.col(text_col))
+    toks = (
+        train_df.filter(t.isNotNull() & (F.length(t) > 0))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(t, " ")).alias("__p0", "tok"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__p0") + 1).cast("bigint").alias("pos"),
+            "tok",
+        )
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    totals = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("scrubbed_text"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("scrubbed_text"), F.lit("")).alias(
+                "scrubbed_text"
+            ),
+        )
+    )

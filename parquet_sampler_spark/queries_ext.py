@@ -2550,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _q_winnow_pairs,
         "winnow_pairs_capped": _q_winnow_pairs_capped,
         "decontaminate_spans": _q_decontaminate_spans,
+        "decontaminate_scrub": _q_decontaminate_scrub,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "streaming_enrich": _q_streaming_enrich,
         "pack_sequences": _q_pack_sequences,
@@ -2679,6 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _sql_winnow_pairs(),
         "winnow_pairs_capped": _sql_winnow_pairs(cap=_WINNOW_CAP),
         "decontaminate_spans": _sql_decontaminate_spans(),
+        "decontaminate_scrub": _sql_decontaminate_scrub(),
         "bloom_decontaminate": _sql_bloom_decontaminate(),
         "streaming_enrich": _SQL_STREAMING_ENRICH,
         "pack_sequences": _sql_pack_sequences(),
@@ -6009,6 +6011,83 @@ SELECT doc_id,
        max(pos) + {n} - min(pos) AS span_tokens,
        CAST(count(*) AS BIGINT) AS n_contam_windows
 FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def _q_decontaminate_scrub(spark, sf_dir):
+    """The write side of decontaminate_spans (r12): the training
+    corpus with every contaminated span CUT OUT — token counts
+    before/after plus the scrubbed text, reassembled in original
+    order inside ONE aggregation (array_sort(collect_list(struct(pos,
+    tok)))) — no window, no second shuffle. Covered positions are
+    Θ(contaminated tokens) and anti-join the token stream."""
+    from parquet_sampler_spark.operators.dedup import (
+        scrub_contaminated_spans,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return scrub_contaminated_spans(
+        d.filter(F.col("doc_id") >= _BENCH_CUT),
+        d.filter(F.col("doc_id") < _BENCH_CUT),
+        "doc_id", "text", n=_CONTAM_SPAN_N,
+    )
+
+
+def _sql_decontaminate_scrub() -> str:
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash_sql,
+    )
+
+    n = _CONTAM_SPAN_N
+    return f"""
+WITH toksrc AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  WHERE doc_id >= {_BENCH_CUT}
+        AND text IS NOT NULL AND length(trim(text)) > 0
+),
+th AS (
+  SELECT doc_id,
+         list_transform(t, x -> {mixed_string_hash_sql('x')}) AS h
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0)
+),
+w AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+{n - 1}]),
+                     (acc, x) -> (acc * 31 + x) % {MODULUS}) AS gh
+  FROM th, unnest(range(1, len(h) - {n} + 2)) AS u(i)
+),
+bg AS (SELECT DISTINCT gh FROM w WHERE doc_id < {_BENCH_CUT}),
+dw AS (
+  SELECT doc_id, pos FROM w
+  WHERE doc_id >= {_BENCH_CUT} AND gh IN (SELECT gh FROM bg)
+),
+covered AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+  FROM dw, unnest(range(pos, pos + {n})) AS r(p)
+),
+toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+  FROM toksrc, unnest(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok FROM toks k
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = k.doc_id AND c.pos = k.pos)
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(coalesce(any_value(kc.n_kept), 0) AS BIGINT) AS n_kept,
+       coalesce(any_value(kc.s), '') AS scrubbed_text
+FROM toks t
+LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS s
+  FROM kept GROUP BY doc_id
+) kc ON kc.doc_id = t.doc_id
+GROUP BY t.doc_id
 """
 
 

@@ -975,3 +975,59 @@ def test_winnow_short_docs_and_validation(spark):
     for bad in (dict(k=0), dict(w=0), dict(min_shared=0)):
         with pytest.raises(ValueError):
             winnow_pairs(df, "doc_id", "text", **bad)
+
+
+# ---------------------------------------------------------------------------
+# scrub_contaminated_spans (r12): the cleaned-text write side
+# ---------------------------------------------------------------------------
+
+
+def _scrub(spark, train_rows, bench_rows, n=4, **kw):
+    from parquet_sampler_spark.operators.dedup import (
+        scrub_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    out = scrub_contaminated_spans(train, bench, "doc_id", "text",
+                                   n=n, **kw)
+    return {r.doc_id: (r.n_tokens, r.n_kept, r.scrubbed_text)
+            for r in out.collect()}
+
+
+def test_scrub_cuts_exactly_the_span(spark):
+    # doc 10 quotes the benchmark's 6-token run at positions 3-8 of
+    # 10 tokens: scrubbed text = tokens 1,2,9,10 in order
+    bench = [(1, "a b c d e f")]
+    train = [
+        (10, "x y a b c d e f q r"),
+        (11, "clean doc sharing nothing with the benchmark corpus here"),
+    ]
+    got = _scrub(spark, train, bench, n=4)
+    assert got[10] == (10, 4, "x y q r")
+    assert got[11][0] == got[11][1] and got[11][2].startswith("clean doc")
+
+
+def test_scrub_fully_contaminated_doc_empties(spark):
+    bench = [(1, "a b c d e f")]
+    train = [(10, "a b c d e f")]
+    got = _scrub(spark, train, bench, n=4)
+    assert got[10] == (6, 0, "")
+
+
+def test_scrub_two_spans_keep_middle(spark):
+    bench = [(1, "alpha beta gamma delta"), (2, "omega psi chi phi")]
+    train = [(10, "alpha beta gamma delta m1 m2 m3 m4 m5 omega psi chi phi")]
+    got = _scrub(spark, train, bench, n=4)
+    assert got[10] == (13, 5, "m1 m2 m3 m4 m5")
+
+
+def test_scrub_order_preserved_across_partitions(spark):
+    # a longer doc repartitioned: the ordered reassembly must restore
+    # original token order regardless of physical layout
+    bench = [(1, "cut1 cut2 cut3 cut4")]
+    toks = [f"t{i}" for i in range(30)]
+    text = " ".join(toks[:10] + "cut1 cut2 cut3 cut4".split() + toks[10:])
+    train_df_rows = [(10, text), (11, "unrelated filler text entirely")]
+    got = _scrub(spark, train_df_rows, bench, n=4)
+    assert got[10] == (34, 30, " ".join(toks))

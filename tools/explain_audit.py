@@ -552,6 +552,17 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # 39b. span scrub (r12): bench grams broadcast; covered positions
+    # anti-join the token stream; reassembly is ONE aggregation (no
+    # Window operator anywhere); no Python
+    check(
+        "decontaminate_scrub",
+        R.queries()["decontaminate_scrub"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "LeftAnti"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     # 39. span decontamination (r12): the benchmark gram set is
     # Θ(benchmark tokens) and must BROADCAST into the flagging
     # semi-join — the corpus-sized window stream never shuffles for
