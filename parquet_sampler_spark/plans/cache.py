@@ -5,47 +5,95 @@ shingle/signature tables, normalized vectors, CC labels. Nothing evicts
 those automatically, so every persisting module registers them HERE and
 ``queries.clear_caches()`` drains one registry instead of enumerating
 modules (the forget-to-wire failure mode of per-module registries).
+
+Entries are DEDUPED BY PLAN SEMANTICS (r12): Spark's CacheManager
+already shares one cache entry across semantically-equal plans, so a
+bench loop (or long-lived service) re-invoking the same operator must
+NOT append a duplicate registry entry — under the FIFO bound the
+duplicate's eventual eviction unpersists the SHARED entry out from
+under every other reference. That was a measured production bug: the
+r12 registry growth pushed a full bench pass past the old 32-entry
+bound, the FIFO evicted the weighted-minhash shingle cache between
+passes, and the row's pass-3 time went 0.9 s → 112 s (recompute of
+the O(L²) expansion once per downstream consumer). A semantic hit now
+refreshes the entry's position (LRU) and returns the ALREADY-persisted
+frame; only genuinely distinct plans grow the registry.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# FIFO-bounded: a long-lived service or bench loop calling persisting
-# operators repeatedly must not pin an unbounded set of cached blocks.
+# LRU-bounded: a long-lived service calling persisting operators over
+# ever-new inputs must not pin an unbounded set of cached blocks.
 # Evicting the oldest entry only unpersists it — any plan still
-# referencing it silently recomputes, so eviction is always safe.
-MAX_PERSISTED = 32
-_PERSISTED: list[DataFrame] = []
+# referencing it silently recomputes, so eviction is always safe (if
+# slow); semantic dedup above keeps steady-state workloads far below
+# the bound.
+MAX_PERSISTED = 64
+_PERSISTED: list[tuple[int | None, DataFrame]] = []
 
 
 def _evict_overflow() -> None:
     while len(_PERSISTED) > MAX_PERSISTED:
-        old = _PERSISTED.pop(0)
+        _, old = _PERSISTED.pop(0)
         try:
             old.unpersist()
         except Exception:
             pass  # session may already be stopped
 
 
+def _semantic_hit(df: DataFrame) -> DataFrame | None:
+    """Return the registered frame semantically equal to ``df`` (and
+    refresh its LRU position), or None. Hash first, then the exact
+    ``sameSemantics`` check — equal hashes can collide."""
+    try:
+        h = df.semanticHash()
+    except Exception:
+        return None
+    for i, (hh, old) in enumerate(_PERSISTED):
+        if hh == h:
+            try:
+                if old.sameSemantics(df):
+                    _PERSISTED.append(_PERSISTED.pop(i))
+                    return old
+            except Exception:
+                return None
+    return None
+
+
+def _hash_of(df: DataFrame) -> int | None:
+    try:
+        return df.semanticHash()
+    except Exception:
+        return None
+
+
 def persist(df: DataFrame) -> DataFrame:
-    """Persist ``df`` and register it for :func:`clear`."""
+    """Persist ``df`` and register it for :func:`clear` — or return
+    the already-persisted semantically-equal registrant."""
+    hit = _semantic_hit(df)
+    if hit is not None:
+        return hit
     out = df.persist()
-    _PERSISTED.append(out)
+    _PERSISTED.append((_hash_of(out), out))
     _evict_overflow()
     return out
 
 
 def register(df: DataFrame) -> DataFrame:
     """Register an already-persisted DataFrame for :func:`clear`."""
-    _PERSISTED.append(df)
+    hit = _semantic_hit(df)
+    if hit is not None:
+        return hit
+    _PERSISTED.append((_hash_of(df), df))
     _evict_overflow()
     return df
 
 
 def clear() -> None:
     """Unpersist and drop every registered DataFrame."""
-    for df in _PERSISTED:
+    for _, df in _PERSISTED:
         try:
             df.unpersist()
         except Exception:

@@ -187,3 +187,26 @@ def test_curation_bpe_witnesses_vocabulary_true_packing(spark):
     n_bpe = {k: v[2] for k, v in bpe.items()}
     assert n_ws != n_bpe
     assert all(n_bpe[k] <= n_ws[k] for k in n_ws)  # merges only shrink
+
+
+def test_persist_registry_dedups_semantically_equal_plans(spark):
+    # r12: re-invoking a persisting operator must refresh the existing
+    # registry entry, not append a duplicate — under the LRU bound a
+    # duplicate's eviction unpersists the SHARED cache entry out from
+    # under live plans (measured: bench pass 3 of
+    # minhash_pairs_weighted went 0.9 s -> 112 s when the old FIFO
+    # crossed its shingle cache)
+    from parquet_sampler_spark.plans import cache
+
+    cache.clear()
+    a = spark.range(50).selectExpr("id * 7 AS x")
+    b = spark.range(50).selectExpr("id * 7 AS x")
+    c = spark.range(50).selectExpr("id * 11 AS x")
+    pa, pb, pc = cache.persist(a), cache.persist(b), cache.persist(c)
+    assert pa is pb and pa is not pc
+    assert len(cache._PERSISTED) == 2
+    # LRU refresh: re-registering the first plan moves it to the tail
+    cache.persist(spark.range(50).selectExpr("id * 7 AS x"))
+    assert cache._PERSISTED[-1][1] is pa
+    cache.clear()
+    assert not cache._PERSISTED
