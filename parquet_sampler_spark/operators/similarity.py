@@ -1550,3 +1550,86 @@ def ivf_coreset(
         .filter(F.col(_RN) <= m)
         .select(id_col, "cell", "d", F.col(_RN).alias("rank"))
     )
+
+
+def jl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    proj_dim: int = 16,
+    shortlist: int = 40,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k through a Johnson-Lindenstrauss random
+    projection: project every vector to ``proj_dim`` dimensions with
+    seeded hyperplanes, shortlist the top ``shortlist`` per query by
+    PROJECTED cosine, then exact full-dimension rerank of the
+    shortlist — the cheap dense pre-filter (dim/proj_dim× fewer
+    multiplies per candidate score) a brute-force scan upgrades to
+    before reaching for an index, and the third candidate-generation
+    family beside bucketed LSH (signs only) and IVF (data-fitted
+    cells): JL keeps the full projected GEOMETRY, so recall degrades
+    smoothly with proj_dim instead of cliffing at bucket boundaries.
+
+    Output: ``query_id, neighbor_id, score, rank`` — score is the
+    full-dimension cosine of reranked shortlist members, ties by
+    neighbor id (the cosine_topk contract).
+
+    Exact-oracle parity: the planes come from the shared seeded
+    generator (literal-embeddable, the ann_lsh recipe); projections,
+    normalization, and both scoring stages are the left-to-right
+    double folds of functions/vectors.py whose DuckDB twins are
+    bit-identical, so shortlist membership and final ranks replay
+    value-for-value. Vectors whose PROJECTION is zero-norm drop from
+    the shortlist stage (measure-zero for real data; the
+    zero-norm-dropped contract of every cosine surface).
+
+    Plan shape: projection is a pure per-row expression (proj_dim
+    fused dot folds — no Python, no shuffle); the shortlist stage is
+    cosine_topk on proj_dim-wide arrays (queries broadcast, corpus
+    streams); the rerank joins the Θ(queries · shortlist) candidate
+    list back to full vectors by id. Like ann_topk this is
+    linear-in-corpus by design — the JL win is the constant, the
+    bucketed/IVF rows are the sub-linear siblings.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist must be >= k, got {shortlist} < {k}"
+        )
+    if proj_dim < 1:
+        raise ValueError(f"proj_dim must be >= 1, got {proj_dim}")
+    from parquet_sampler_spark.functions.vectors import dot
+
+    if dim is None:
+        dim = corpus.select(F.size(vec_col)).first()[0]
+    planes = _hyperplanes(dim, proj_dim, seed)
+    proj = F.array(*[
+        dot(vec_col, F.array(*[F.lit(float(w)) for w in plane]))
+        for plane in planes
+    ])
+    pc = spread(corpus).select(F.col(id_col), proj.alias("__jl"))
+    pq = spread(queries).select(F.col(id_col), proj.alias("__jl"))
+    short = cosine_topk(pc, pq, id_col, "__jl", k=shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    qv = _normalized(queries, id_col, vec_col, "query_id", "__qv")
+    cv = _normalized(corpus, id_col, vec_col, "neighbor_id", "__cv")
+    scored = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("score", _unit_dot("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) <= k)
+        .select("query_id", "neighbor_id", "score",
+                F.col(_RN).alias("rank"))
+    )

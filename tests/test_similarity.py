@@ -670,3 +670,105 @@ def test_ivf_coreset_validation(spark):
         ivf_coreset(df, "vec_id", "embedding", m=0)
     with pytest.raises(ValueError):
         ivf_coreset(df, "vec_id", "embedding", keep="middle")
+
+
+# ---------------------------------------------------------------------------
+# jl_topk (r12): Johnson-Lindenstrauss projected shortlist + rerank
+# ---------------------------------------------------------------------------
+
+
+def test_jl_topk_recall_isotropic_floor_and_score_parity(spark):
+    # the registry testdata is ISOTROPIC gaussian — JL's worst case
+    # (all cosines near 0, so the ε ≈ sqrt(ln n / proj_dim) distortion
+    # is large relative to the margins; same caveat ann_ivf documents
+    # for probed-fraction recall). Pin the measured floor: an 8%
+    # shortlist still recovers >3x its share of the true top-10.
+    from parquet_sampler_spark.operators.similarity import (
+        cosine_topk,
+        jl_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter("vec_id < 5")
+    exact_rows = cosine_topk(e, q, "vec_id", "embedding", k=10).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    jl_rows = jl_topk(e, q, "vec_id", "embedding", k=10,
+                      proj_dim=16, shortlist=40, seed=4242).collect()
+    jl = {(r.query_id, r.neighbor_id) for r in jl_rows}
+    assert len(jl) == len(exact) == 50
+    recall = len(exact & jl) / len(exact)
+    assert recall >= 0.3, f"recall={recall}"
+    # reranked scores are FULL-dim cosines: every kept pair that is
+    # also in the exact set must carry the identical score
+    exact_scores = {(r.query_id, r.neighbor_id): r.score
+                    for r in exact_rows}
+    jl_scores = {(r.query_id, r.neighbor_id): r.score for r in jl_rows}
+    for pair in exact & jl:
+        assert jl_scores[pair] == exact_scores[pair]
+
+
+def test_jl_topk_recall_clustered_corpus(spark):
+    # on CLUSTERED data (every real embedding corpus) JL preserves the
+    # cluster geometry and recall stays high at 4x dim reduction —
+    # the smooth-degradation property the operator exists for
+    import numpy as np
+
+    from parquet_sampler_spark.operators.similarity import (
+        cosine_topk,
+        jl_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((10, 64)) * 3
+    rows = []
+    for i in range(400):
+        c = i % 10
+        rows.append((i, (centers[c] + rng.standard_normal(64) * 0.3)
+                     .tolist()))
+    e = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    q = e.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(e, q, "vec_id", "embedding",
+                                  k=10).collect()}
+    jl = {(r.query_id, r.neighbor_id)
+          for r in jl_topk(e, q, "vec_id", "embedding", k=10,
+                           proj_dim=16, shortlist=40,
+                           seed=4242).collect()}
+    recall = len(exact & jl) / len(exact)
+    assert recall >= 0.9, f"recall={recall}"
+
+
+def test_jl_topk_wide_shortlist_equals_exact(spark):
+    # with the shortlist as wide as the corpus the rerank sees every
+    # candidate, so the output must EQUAL brute force exactly
+    from parquet_sampler_spark.operators.similarity import (
+        cosine_topk,
+        jl_topk,
+    )
+
+    e = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id < 60")
+    q = e.filter("vec_id < 3")
+    exact = sorted(map(tuple, cosine_topk(
+        e, q, "vec_id", "embedding", k=5).collect()))
+    jl = sorted(map(tuple, jl_topk(
+        e, q, "vec_id", "embedding", k=5, proj_dim=8,
+        shortlist=60, seed=7).collect()))
+    assert jl == exact
+
+
+def test_jl_topk_validation(spark):
+    from parquet_sampler_spark.operators.similarity import jl_topk
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        jl_topk(e, e, "vec_id", "embedding", k=0)
+    with pytest.raises(ValueError):
+        jl_topk(e, e, "vec_id", "embedding", k=5, shortlist=3)
+    with pytest.raises(ValueError):
+        jl_topk(e, e, "vec_id", "embedding", proj_dim=0)

@@ -576,6 +576,17 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 40g. JL projected top-k (r12): the projection is pure per-row
+    # expressions (no Python anywhere); queries broadcast in both the
+    # shortlist and rerank joins
+    check(
+        "ann_jl",
+        R.queries()["ann_jl"](spark, sf_dir),
+        must_contain=["BroadcastNestedLoopJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     # 40f. IVF coreset (r12): one Arrow map pass + a per-cell top-m
     # that must compile to WindowGroupLimit (rank pushdown — a cell
     # is corpus/nlist-sized); no join anywhere
