@@ -112,3 +112,59 @@ def pagerank(
 
     register(cached)
     return pr
+
+
+def triangle_counts(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph — the
+    cliquishness signal of the duplicate graph: true re-crawl groups
+    are near-CLIQUES (every copy pairs with every other → many
+    triangles), while template drift forms CHAINS (a—b—c with a, c
+    dissimilar → zero triangles). Connected components treat both the
+    same; triangle counts separate them, which is what decides
+    "keep one representative" vs "inspect the template family".
+
+    ``pairs`` is the canonical edge list ``(id_a < id_b)`` (the shared
+    duplicate graph). Triangles enumerate ORIENTED as a < b < c — each
+    triangle exactly once — by two self-joins: (a,b) ⋈ (b,c) ⋈ (a,c).
+    Every node of the triangle is credited once. Output:
+    ``(id_col, triangles)`` over ALL nodes (0 for nodes without
+    triangles, including nodes outside the graph entirely).
+
+    Scale: the wedge join is Σ_v deg(v)² on the CANONICAL orientation
+    (successor lists — strictly smaller than the symmetric Σdeg²);
+    near-dup graphs are degree-bounded by construction after dedup's
+    own capping conventions, and the edge list is Θ(near-dups), not
+    Θ(docs²). The join keys are plain equi-joins — shuffle-partitioned,
+    no broadcast needed beyond the edge list itself if small.
+    """
+    e = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ab = e.alias("ab")
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("bc")
+    ac = e.select(F.col("a").alias("a2"), F.col("b").alias("c2")).alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.b") == F.col("bc.b"))
+        .join(ac, (F.col("ac.a2") == F.col("ab.a"))
+              & (F.col("ac.c2") == F.col("bc.c")))
+        .select(F.col("ab.a").alias("a"), F.col("ab.b").alias("b"),
+                F.col("bc.c").alias("c"))
+    )
+    credit = (
+        tri.selectExpr("a AS v")
+        .unionAll(tri.selectExpr("b AS v"))
+        .unionAll(tri.selectExpr("c AS v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    )
+    return (
+        nodes.select(F.col(id_col))
+        .join(credit, nodes[id_col] == credit["v"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__t"), F.lit(0)).cast("bigint")
+            .alias("triangles"),
+        )
+    )

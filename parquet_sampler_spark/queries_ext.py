@@ -2614,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_events": _q_rolling_window_events,
         "value_histogram": _q_value_histogram,
         "pagerank_dups": _q_pagerank_dups,
+        "dup_triangles": _q_dup_triangles,
         "udtf_chunk_windows": _q_udtf_chunk_windows,
         "normalize_values": _q_normalize_values,
         "hourly_deltas": _q_hourly_deltas,
@@ -2744,6 +2745,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_window_events": _SQL_ROLLING_WINDOW_EVENTS,
         "value_histogram": _SQL_VALUE_HISTOGRAM,
         "pagerank_dups": _sql_pagerank_dups(),
+        "dup_triangles": _sql_dup_triangles(),
         "udtf_chunk_windows": _SQL_UDTF_CHUNK_WINDOWS,
         "normalize_values": _SQL_NORMALIZE_VALUES,
         "hourly_deltas": _SQL_HOURLY_DELTAS,
@@ -5294,6 +5296,44 @@ GROUP BY 1
 
 
 _PR_ITERS, _PR_DAMP, _PR_SCALE = 5, 85, 10**9
+
+
+def _q_dup_triangles(spark, sf_dir):
+    """Per-document triangle counts over the duplicate graph (r12) —
+    the cliquishness signal: true re-crawl groups are near-CLIQUES
+    (every copy pairs with every other), template drift forms CHAINS
+    (zero triangles). Connected components treat both identically;
+    this row separates them. Third graph algorithm beside CC and
+    PageRank, on the same shared LSH-verified pair graph; oracle =
+    the exact-pairs SQL with the identical a<b<c oriented two-join
+    enumeration."""
+    from parquet_sampler_spark.operators.graph import triangle_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return triangle_counts(d, _dup_graph_cached(spark, sf_dir), "doc_id")
+
+
+def _sql_dup_triangles() -> str:
+    return ("WITH " + _SQL_SHINGLES2 + f""",
+jp AS MATERIALIZED (
+  SELECT id_a, id_b FROM jpairs WHERE jaccard >= {_JACCARD_T}
+),
+tri AS (
+  SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+  FROM jp ab
+  JOIN jp bc ON bc.id_a = ab.id_b
+  JOIN jp ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+),
+credit AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+  ) GROUP BY v
+)
+SELECT d.doc_id, CAST(coalesce(credit.t, 0) AS BIGINT) AS triangles
+FROM documents d LEFT JOIN credit ON credit.v = d.doc_id
+""")
 
 
 def _q_pagerank_dups(spark, sf_dir):

@@ -99,3 +99,40 @@ def test_cluster_dedup_best_keeps_argmax_quality(spark):
         r["doc_id"] for r in cluster_dedup(df, pairs, "doc_id").collect()
     )
     assert minid == [1, 4, 9]
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts (r12): cliquishness of the duplicate graph
+# ---------------------------------------------------------------------------
+
+
+def _tri(spark, node_ids, edges):
+    from parquet_sampler_spark.operators.graph import triangle_counts
+
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r.doc_id: r.triangles
+            for r in triangle_counts(nodes, pairs, "doc_id").collect()}
+
+
+def test_triangles_clique_vs_chain(spark):
+    # 4-clique on 1-4: C(3,2)=3 triangles per node; chain 10-11-12:
+    # zero; isolated 20: zero
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    chain = [(10, 11), (11, 12)]
+    got = _tri(spark, [1, 2, 3, 4, 10, 11, 12, 20], clique + chain)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 0, 11: 0, 12: 0, 20: 0}
+
+
+def test_triangles_counted_once_per_orientation(spark):
+    # single triangle 1-2-3 plus a pendant edge 3-4: each triangle
+    # node credited exactly once, pendant stays 0
+    got = _tri(spark, [1, 2, 3, 4], [(1, 2), (1, 3), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_triangles_two_shared_edge(spark):
+    # triangles 1-2-3 and 2-3-4 share edge (2,3): shared nodes get 2
+    got = _tri(spark, [1, 2, 3, 4],
+               [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
