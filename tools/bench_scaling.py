@@ -83,6 +83,7 @@ FIXTURES: dict[str, str] = {
     "bpe_encode": "setup_bpe_model",
     "pack_sequences_bpe": "setup_bpe_model",
     "bpe_encode_holdout": "setup_bpe_holdout_model",
+    "dup_triangles": "setup_dup_graph",
 }
 
 
@@ -119,6 +120,14 @@ def _fixture_builder(name: str):
         return lambda spark, sf_dir: queries_ext._bpe_merges_cached(
             spark, sf_dir, queries_ext._BPE_TRAIN_SRC
         )
+    if name == "dup_triangles":
+        # warm the shared LSH-verified pair graph (persisted per
+        # session): the triangle row should time the wedge joins,
+        # not the graph build the other graph rows already charge
+        # to setup_dup_graph
+        return lambda spark, sf_dir: queries_ext._dup_graph_cached(
+            spark, sf_dir
+        ).count()
     raise KeyError(name)
 
 

@@ -41,6 +41,21 @@ DEFAULT_QUERIES = [
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 
 
+def _force(df, name):
+    """Force full execution: FULL_EVAL_ROWS' count-plans eliminate
+    their real work (bench.py) — hash-fold every column instead."""
+    from bench import FULL_EVAL_ROWS
+
+    if name in FULL_EVAL_ROWS:
+        from pyspark.sql import functions as F
+
+        df.agg(F.expr(
+            "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+        )).collect()
+        return df.count()
+    return df.count()
+
+
 def main() -> int:
     names = sys.argv[1:] or DEFAULT_QUERIES
     sf10 = REPO / ".scratch" / "sf10"
@@ -70,7 +85,7 @@ def main() -> int:
             registry.clear_caches()
             if name in FIXTURES:
                 _fixture_builder(name)(spark, str(sf1))
-            qs[name](spark, str(sf1)).count()
+            _force(qs[name](spark, str(sf1)), name)
         registry.clear_caches()
         spark.sparkContext._jvm.System.gc()
 
@@ -100,7 +115,7 @@ def main() -> int:
                         best_setup, time.perf_counter() - t0
                     )
                 t0 = time.perf_counter()
-                qs[name](spark, sf_dir).count()
+                _force(qs[name](spark, sf_dir), name)
                 best = min(best, time.perf_counter() - t0)
             times[name][sf] = round(best, 3)
             if name in FIXTURES:

@@ -28,6 +28,21 @@ sys.path.insert(0, str(REPO))
 DEFAULT = ["minhash_pairs", "minhash_pairs_weighted_win"]
 
 
+def _force(df, name):
+    """Force full execution: FULL_EVAL_ROWS' count-plans eliminate
+    their real work (bench.py) — hash-fold every column instead."""
+    from bench import FULL_EVAL_ROWS
+
+    if name in FULL_EVAL_ROWS:
+        from pyspark.sql import functions as F
+
+        df.agg(F.expr(
+            "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+        )).collect()
+        return df.count()
+    return df.count()
+
+
 def main() -> int:
     names = sys.argv[1:] or DEFAULT
     root = REPO / ".scratch" / "docs_heaps"
@@ -47,7 +62,7 @@ def main() -> int:
         registry.clear_caches()
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
-        cnt = qs[name](spark, str(root / tier)).count()
+        cnt = _force(qs[name](spark, str(root / tier)), name)
         return round(time.perf_counter() - t0, 3), cnt
 
     times: dict[str, dict[str, float]] = {n: {} for n in names}
