@@ -746,6 +746,172 @@ def minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Incremental (batch-vs-index) MinHash dedup
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_hashes: int, seed: int):
+    """The (a_i, b_i) permutation coefficients — one shared generator so
+    an index built yesterday and a probe banded today agree bit-for-bit
+    (same coefficients ⇒ same signatures ⇒ same band keys)."""
+    import random
+
+    rng = random.Random(seed)
+    A = [rng.randrange(1, _MINHASH_P) for _ in range(num_hashes)]
+    B = [rng.randrange(0, _MINHASH_P) for _ in range(num_hashes)]
+    return A, B
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded MinHash signature INDEX of a corpus: one narrow
+    ``(id, band, bh)`` row per (doc, band) — the persistable artifact
+    incremental dedup probes against, so admitting a new crawl batch
+    costs Θ(batch), never Θ(corpus).
+
+    This is the standing-state half of the production dedup loop (the
+    reference's whole-corpus pairing, like :func:`minhash_lsh_pairs`,
+    is the bootstrap that builds the first index): at 100 TB the index
+    is written once to storage partitioned/bucketed by ``(band, bh)``
+    so each batch probe is a bucket-local join — the corpus never
+    re-shuffles. Signatures are deterministic per row (seeded
+    coefficients via :func:`_minhash_params`, ``xxhash64`` element
+    hashes), so index rows built in different jobs/sessions are
+    identical — the property incrementality rests on.
+
+    Identical signature pipeline to :func:`minhash_lsh_pairs`' set
+    path: explode distinct shingles, hash to the 31-bit prime space
+    (exact in BIGINT under ANSI), ``num_hashes`` min-aggregates that
+    partial-combine map-side, band keys folded with ``xxhash64`` over
+    each band's r signature values. Docs with no shingles emit
+    nothing.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    A, B = _minhash_params(num_hashes, seed)
+    from parquet_sampler_spark.plans.layout import spread
+
+    ex = (
+        spread(df)
+        .select(F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("__s"))
+        .select(
+            id_col,
+            F.abs(F.xxhash64("__s") % F.lit(_MINHASH_P)).alias("__h"),
+        )
+    )
+    sig = ex.groupBy(id_col).agg(*[
+        F.min(
+            F.pmod(F.col("__h") * F.lit(A[i]) + F.lit(B[i]),
+                   F.lit(_MINHASH_P))
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ])
+    band_keys = [
+        F.xxhash64(*[F.col(f"__m{j * r + i}") for i in range(r)])
+        for j in range(bands)
+    ]
+    return sig.select(
+        id_col, F.posexplode(F.array(*band_keys)).alias("band", "bh")
+    )
+
+
+def minhash_probe_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 1,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify_broadcast: bool = True,
+) -> DataFrame:
+    """Incremental near-dup detection: which documents of a NEW
+    ``batch`` duplicate something already in ``corpus``? Bands the
+    batch with the same seeded pipeline as :func:`minhash_index`,
+    joins batch bands against the corpus index, and exact-Jaccard
+    verifies candidates — emitting ``(id_a=corpus doc, id_b=batch doc,
+    jaccard)`` pairs at ``jaccard >= threshold``.
+
+    The production 100 TB shape: the corpus index and its shingle
+    relation are standing state (bucketed by ``(band, bh)`` /
+    ``id``); per-batch cost is Θ(batch × bands) band rows + the
+    candidate verifies — never Θ(corpus), and the corpus text is
+    touched only for the candidate ids' shingle rows (storage-pruned
+    on a bucketed layout). Batch-internal duplicates are the existing
+    whole-set problem (:func:`minhash_lsh_pairs` on the batch alone —
+    batches are small, so that join is cheap).
+
+    Contract: ids are unique across ``corpus ∪ batch``. A batch doc
+    whose text already appears verbatim in the corpus pairs with it at
+    jaccard 1.0 — the "already ingested" signal. No ``id_a < id_b``
+    constraint: the sides are disjoint relations, so orientation is
+    (corpus, batch) by construction.
+
+    Recall equals the self-join form's: a (corpus, batch) pair is a
+    candidate iff the two docs share a band — the identical condition
+    :func:`minhash_lsh_pairs` applies, on identical (deterministic)
+    signatures — so any pair the whole-corpus form recalls is recalled
+    here when its endpoints straddle the split. Precision is exact
+    (every emitted pair is verified).
+    """
+    from parquet_sampler_spark.plans.layout import spread
+
+    idx = _persist(
+        minhash_index(corpus, id_col, text_col, n=n,
+                      num_hashes=num_hashes, bands=bands, seed=seed)
+    )
+    probe = minhash_index(batch, id_col, text_col, n=n,
+                          num_hashes=num_hashes, bands=bands, seed=seed)
+    cand = (
+        idx.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Exact-set verification, candidate side broadcast as in
+    # minhash_lsh_pairs (same escape hatch: verify_broadcast=False for
+    # candidate-heavy corpora restores the shuffle join).
+    sh_a = spread(corpus).select(
+        F.col(id_col).alias("id_a"),
+        _word_ngrams(text_col, n).alias("sh_a"),
+    )
+    sh_b = spread(batch).select(
+        F.col(id_col).alias("id_b"),
+        _word_ngrams(text_col, n).alias("sh_b"),
+    )
+    cand_side = F.broadcast(cand) if verify_broadcast else cand
+    verified = (
+        cand_side.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -243,6 +243,129 @@ def _score_inline(
     return df.select(id_col, text_col).mapInPandas(score, schema)
 
 
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per consecutive token pair ``(id_col, bg)`` where ``bg``
+    is the space-joined bigram from the shared gram builder
+    (functions/text.word_ngrams — same tokenize/slide/short-doc
+    semantics as every shingle in the repo). Documents with fewer than
+    two tokens contribute nothing (empty gram array)."""
+    from parquet_sampler_spark.functions.text import word_ngrams
+
+    t = F.trim(F.col(text_col))
+    return (
+        df.filter(t.isNotNull() & (F.length(t) > 0))
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(text_col, 2)).alias("bg"),
+        )
+    )
+
+
+def bigram_rarity_backoff(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    scale: int = 1000,
+    penalty: int = 3,
+    keep_below: int | None = None,
+    fit_df: DataFrame | None = None,
+) -> DataFrame:
+    """Order-2 rarity with stupid-backoff: the exact-integer analog of
+    a bigram LM quality score (the depth extension of
+    :func:`unigram_rarity` — pair counts are counts, so the
+    transcendental-free contract extends verbatim).
+
+    Model (fit corpus): bigram counts ``cnt2(w1 w2)`` over consecutive
+    token pairs with ``total2 = Σ cnt2``, plus the unigram table
+    ``cnt1(w)`` / ``total1`` for backoff. Scoring, per bigram of the
+    scored corpus:
+
+    * seen bigram → ``total2 DIV cnt2`` (inverse relative frequency),
+    * unseen bigram, seen second word → ``penalty · (total1 DIV
+      cnt1(w2))`` — the integer analog of stupid backoff
+      (Brants et al. 2007: score λ·S(w2) when the bigram is unseen;
+      ``penalty`` ≈ 1/λ, an integer so both engines agree exactly),
+    * unseen second word → ``penalty · total1`` (the OOV maximum, as
+      in :func:`unigram_rarity`'s cross-corpus mode).
+
+    Output per document with ≥ 1 bigram: ``n_bigrams``,
+    ``sum_rarity``, ``mean_rarity_scaled = (scale·sum) DIV n``, and
+    ``kept`` when ``keep_below`` is given. Documents with < 2 tokens
+    are excluded (no defined bigram score), mirroring the unigram
+    operator's zero-token exclusion.
+
+    Plan shape: bigrams are a pure per-row array expression (no
+    shuffle to form them); the model tables aggregate map-side-partial
+    (output ∝ bigram vocabulary); scoring is two BROADCAST left joins
+    (bigram rarity on ``bg``, unigram backoff on the extracted second
+    word) over the bigram stream plus one per-document aggregation.
+    A web-scale bigram vocabulary is larger than the unigram one
+    (~10⁸ rows can exceed broadcast) — the same AQE shuffle-join
+    escape as ``unigram_rarity(broadcast_vocab=False)`` applies; at
+    that scale ship ``penalty``-folded scores through the CCNet
+    inline shape instead.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if penalty < 1:
+        raise ValueError(f"penalty must be >= 1, got {penalty}")
+    fit = df if fit_df is None else fit_df
+    fb = _doc_bigrams(fit, id_col, text_col)
+    vocab2 = fb.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    tot2 = vocab2.agg(F.sum("cnt2").cast("bigint").alias("__total2"))
+    rar2 = (
+        vocab2.crossJoin(F.broadcast(tot2))
+        .select(
+            "bg",
+            F.expr("__total2 DIV cnt2").cast("bigint").alias("__r2"),
+        )
+    )
+    ft = _doc_tokens(fit, id_col, text_col)
+    vocab1 = ft.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt1"))
+    tot1 = vocab1.agg(F.sum("cnt1").cast("bigint").alias("__total1"))
+    rar1 = (
+        vocab1.crossJoin(F.broadcast(tot1))
+        .select(
+            F.col("tok").alias("__w2"),
+            F.expr("__total1 DIV cnt1").cast("bigint").alias("__r1"),
+        )
+    )
+    sb = _doc_bigrams(df, id_col, text_col).withColumn(
+        "__w2", F.element_at(F.split(F.col("bg"), " "), 2)
+    )
+    scored = (
+        sb.join(F.broadcast(rar2), "bg", "left")
+        .join(F.broadcast(rar1), "__w2", "left")
+        .crossJoin(F.broadcast(tot1))
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("__r2"),
+                F.lit(penalty) * F.col("__r1"),
+                F.lit(penalty) * F.col("__total1"),
+            ).alias("__r"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__r").cast("bigint").alias("sum_rarity"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_rarity",
+            F.expr(f"({scale} * sum_rarity) DIV n_bigrams")
+            .cast("bigint")
+            .alias("mean_rarity_scaled"),
+        )
+    )
+    if keep_below is not None:
+        scored = scored.withColumn(
+            "kept", F.col("mean_rarity_scaled") <= F.lit(keep_below)
+        )
+    return scored
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -375,6 +375,127 @@ def _q_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(counts.values())], schema=schema)
 
 
+_SNAP_SEED = 11
+_SNAP_RESIDUE = 1 << 20
+
+
+def _snap_fp(df: DataFrame, tbl: str, int_cols) -> DataFrame:
+    """One fingerprint row ``(tbl, n_rows, xor_hash, sum_hash)`` for a
+    member of the reduced star snapshot — the same portable
+    count + BIT_XOR + residue-sum fold as
+    :func:`operators.integrity.table_fingerprint`, collapsed to a
+    single bucket (snapshot members are ratio-bounded, so one row per
+    table is the right grain for a consistency manifest)."""
+    from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+    h = lehmer_hash(list(int_cols), seed=_SNAP_SEED)
+    return (
+        df.select(h.alias("h"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.bit_xor("h"), F.lit(0)).cast("bigint")
+            .alias("xor_hash"),
+            F.coalesce(F.sum(F.col("h") % F.lit(_SNAP_RESIDUE)), F.lit(0))
+            .cast("bigint").alias("sum_hash"),
+        )
+        .select(F.lit(tbl).alias("tbl"), "n_rows", "xor_hash", "sum_hash")
+    )
+
+
+def _q_star_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE intended workflow (README.md:15-26) as one
+    plan: sample the fact table, then semi-join-reduce every dimension
+    against it — orders ← sample, customer ← orders, nation ← customer,
+    region ← nation, part ← sample, supplier ← sample — and emit a
+    7-row consistency MANIFEST: per snapshot member, its row count and
+    an order-independent portable checksum. A user of the reference
+    runs `sample` once and `join` six times and then has no way to
+    prove the snapshot coherent; this row both produces the snapshot
+    and certifies it.
+
+    Shape at 100 TB: the sampled fact is computed ONCE
+    (session-persisted — the Spark analog of the reference writing the
+    sample file and reusing it) and every reduction is a broadcast
+    semi-join against its ratio-bounded key set; each manifest row is
+    a map-side-partial 1-row aggregate, so the only cross-partition
+    traffic beyond the semi-join probes is 7 × num_partitions
+    fingerprint rows. No dimension ever shuffles.
+
+    Determinism: the checksum is the portable Lehmer fold over each
+    member's (verified-unique) key columns — BIT_XOR plus a 20-bit
+    residue sum, exact integers in both engines."""
+    s = lineitem_sample(spark, sf_dir)
+    o = orders_reduced(spark, sf_dir)
+    c = customer_reduced(spark, sf_dir)
+    n = semi_join_reduce(
+        table(spark, sf_dir, "nation"), "n_nationkey", c, "c_nationkey"
+    )
+    r = semi_join_reduce(
+        table(spark, sf_dir, "region"), "r_regionkey", n, "n_regionkey"
+    )
+    p = semi_join_reduce(
+        table(spark, sf_dir, "part"), "p_partkey", s, "l_partkey"
+    )
+    su = semi_join_reduce(
+        table(spark, sf_dir, "supplier"), "s_suppkey", s, "l_suppkey"
+    )
+    li_keys = [
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.round(F.col("l_quantity") * 100).cast("bigint"),
+    ]
+    parts = [
+        _snap_fp(s, "lineitem_sample", li_keys),
+        _snap_fp(o, "orders", [F.col("o_orderkey")]),
+        _snap_fp(c, "customer", [F.col("c_custkey")]),
+        _snap_fp(n, "nation", [F.col("n_nationkey")]),
+        _snap_fp(r, "region", [F.col("r_regionkey")]),
+        _snap_fp(p, "part", [F.col("p_partkey")]),
+        _snap_fp(su, "supplier", [F.col("s_suppkey")]),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def _sql_star_snapshot() -> str:
+    sample = _sample_cte()
+
+    def fp(tbl: str, rel: str, cols: list[str]) -> str:
+        h = lehmer_hash_sql(cols, _SNAP_SEED)
+        return (
+            f"SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash, "
+            f"CAST(COALESCE(sum(h % {_SNAP_RESIDUE}), 0) AS BIGINT) "
+            f"AS sum_hash "
+            f"FROM (SELECT {h} AS h FROM {rel})"
+        )
+
+    li_cols = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "CAST(round(l_quantity * 100) AS BIGINT)",
+    ]
+    return (
+        f"WITH {sample}, {_ORDERS_RED_CTE}, {_CUSTOMER_RED_CTE}, "
+        "nation_red AS (SELECT n.* FROM nation n WHERE EXISTS "
+        "(SELECT 1 FROM customer_red c WHERE c.c_nationkey = n.n_nationkey)), "
+        "region_red AS (SELECT r.* FROM region r WHERE EXISTS "
+        "(SELECT 1 FROM nation_red n WHERE n.n_regionkey = r.r_regionkey)), "
+        "part_red AS (SELECT p.* FROM part p WHERE EXISTS "
+        "(SELECT 1 FROM lineitem_sample s WHERE s.l_partkey = p.p_partkey)), "
+        "supplier_red AS (SELECT su.* FROM supplier su WHERE EXISTS "
+        "(SELECT 1 FROM lineitem_sample s WHERE s.l_suppkey = su.s_suppkey)) "
+        + fp("lineitem_sample", "lineitem_sample", li_cols)
+        + " UNION ALL " + fp("orders", "orders_red", ["o_orderkey"])
+        + " UNION ALL " + fp("customer", "customer_red", ["c_custkey"])
+        + " UNION ALL " + fp("nation", "nation_red", ["n_nationkey"])
+        + " UNION ALL " + fp("region", "region_red", ["r_regionkey"])
+        + " UNION ALL " + fp("part", "part_red", ["p_partkey"])
+        + " UNION ALL " + fp("supplier", "supplier_red", ["s_suppkey"])
+    )
+
+
 def _capture_order(keys: list[str]) -> list[str]:
     """Order registry keys least-recently-driver-captured first.
 
@@ -444,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin_supplier": _q_semijoin_supplier,
         "semijoin_orders_nullsafe": _q_semijoin_orders_nullsafe,
         "semijoin_orders_shuffle": _q_semijoin_orders_shuffle,
+        "star_snapshot": _q_star_snapshot,
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
         "sample_order_preserving": _q_sample_order_preserving,
@@ -503,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s.l_orderkey AS VARCHAR) IS NOT DISTINCT FROM "
             "CAST(o.o_orderkey AS VARCHAR))"
         ),
+        "star_snapshot": _sql_star_snapshot(),
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
         "sample_order_preserving": _sql_sample_order_preserving(),

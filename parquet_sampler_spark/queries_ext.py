@@ -1169,6 +1169,44 @@ def _q_minhash_pairs(spark, sf_dir):
     return _dup_graph_cached(spark, sf_dir)
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    """Incremental (batch-vs-index) near-dup: every 10th document
+    (doc_id % 10 = 0) plays the NEW crawl batch; the rest is the
+    standing corpus whose banded MinHash index the batch probes
+    (operators/dedup.py minhash_probe_pairs — the production shape
+    where admitting a batch costs Θ(batch), never Θ(corpus)). Same
+    n=2 shingles / 32×8 banding / threshold as minhash_pairs, so the
+    recall argument carries over verbatim: the cross-split subset of
+    the self-join's candidates is exactly this row's candidate set,
+    and that row is value-hash-equal to the exact pairs SQL at gate
+    sf. Oracle: the exact threshold-pairs SQL restricted to pairs
+    straddling the split, oriented (corpus_id, batch_id)."""
+    from parquet_sampler_spark.operators.dedup import minhash_probe_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    return minhash_probe_pairs(
+        docs.filter(~is_batch), docs.filter(is_batch),
+        "doc_id", "text",
+        n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
+    ).select(
+        F.col("id_a").alias("corpus_id"),
+        F.col("id_b").alias("batch_id"),
+        "jaccard",
+    )
+
+
+_SQL_MINHASH_INCREMENTAL = f"""
+WITH {_SQL_SHINGLES2}
+SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS corpus_id,
+       CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS batch_id,
+       jaccard
+FROM jpairs
+WHERE jaccard >= {_JACCARD_T}
+  AND ((id_a % 10 = 0) <> (id_b % 10 = 0))
+"""
+
+
 def _q_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-distance near-dup pairs, full value-hash oracle.
     max_hamming=1: this corpus's token sets are so self-similar that
@@ -2545,6 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_incremental": _q_minhash_incremental,
         "minhash_pairs_weighted": _q_minhash_pairs_weighted,
         "minhash_pairs_weighted_win": _q_minhash_pairs_weighted_win,
         "simhash_pairs": _q_simhash_pairs,
@@ -2640,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity": _q_quality_rarity,
         "quality_rarity_inline": _q_quality_rarity_inline,
         "quality_rarity_holdout": _q_quality_rarity_holdout,
+        "quality_rarity_bigram": _q_quality_rarity_bigram,
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
         "bm25_topk": _q_bm25_topk,
@@ -2662,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
     # joined in r5.
     out = {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
+        "minhash_incremental": _SQL_MINHASH_INCREMENTAL,
         "minhash_pairs_weighted": _sql_minhash_pairs_weighted(),
         "minhash_pairs_weighted_win": _sql_minhash_pairs_weighted(),
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
@@ -2768,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity": _sql_quality_rarity(),
         "quality_rarity_inline": _sql_quality_rarity(),
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
+        "quality_rarity_bigram": _sql_quality_rarity_bigram(),
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
         "bm25_topk": _sql_bm25_topk(),
@@ -7779,6 +7821,99 @@ SELECT doc_id, n_tokens, sum_rarity,
          <= {_RARITY_KEEP_BELOW} AS kept
 FROM hscore
 """)
+
+
+_BIGRAM_PENALTY = 3
+
+
+def _q_quality_rarity_bigram(spark, sf_dir):
+    """Order-2 rarity with stupid-backoff (the continuity-notes depth
+    candidate): fit bigram + unigram models on the TRAIN sources,
+    score the held-out rest with the holdout row's deterministic
+    ``unk<k>`` perturbation. The word-salad corpus makes bigrams
+    sparse, so the scored text exercises ALL THREE branches at gate
+    sf: seen bigrams (total2 DIV cnt2), unseen-bigram/seen-word
+    stupid-backoff (penalty · unigram rarity), and unseen-word OOV
+    (penalty · total1) via the appended unk tokens. All integers —
+    the value-hash compares exact arithmetic, never a float log."""
+    from parquet_sampler_spark.operators.quality import (
+        bigram_rarity_backoff,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin(_BPE_TRAIN_SRC)
+    fit = d.filter(is_train)
+    hold = d.filter(~is_train).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" unk"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return bigram_rarity_backoff(
+        hold, "doc_id", "text",
+        scale=_RARITY_SCALE, penalty=_BIGRAM_PENALTY, fit_df=fit,
+    )
+
+
+def _sql_quality_rarity_bigram() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _BPE_TRAIN_SRC)
+    grams = TX.word_ngrams_sql("text", 2, distinct=False)
+    p = _BIGRAM_PENALTY
+    return f"""
+WITH fdocs AS (SELECT * FROM documents WHERE source IN ({srcs})),
+fb AS (
+  SELECT doc_id, unnest({grams}) AS bg
+  FROM fdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+v2 AS (SELECT bg, count(*) AS cnt2 FROM fb GROUP BY bg),
+t2 AS (SELECT CAST(sum(cnt2) AS BIGINT) AS total2 FROM v2),
+r2 AS (
+  SELECT bg, CAST((SELECT total2 FROM t2) // cnt2 AS BIGINT) AS rar2
+  FROM v2
+),
+fu AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS tok
+  FROM fdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+v1 AS (SELECT tok, count(*) AS cnt1 FROM fu GROUP BY tok),
+t1 AS (SELECT CAST(sum(cnt1) AS BIGINT) AS total1 FROM v1),
+r1 AS (
+  SELECT tok, CAST((SELECT total1 FROM t1) // cnt1 AS BIGINT) AS rar1
+  FROM v1
+),
+hdocs AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id % 4) + 4) % 4 = 0
+              THEN text || ' unk' ||
+                   CAST(((doc_id % 3) + 3) % 3 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE source NOT IN ({srcs})
+),
+hb AS (
+  SELECT doc_id, unnest({grams}) AS bg
+  FROM hdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+hscore AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(coalesce(r2.rar2,
+                           {p} * r1.rar1,
+                           {p} * (SELECT total1 FROM t1)))
+              AS BIGINT) AS sum_rarity
+  FROM hb
+  LEFT JOIN r2 USING (bg)
+  LEFT JOIN r1 ON r1.tok = string_split(hb.bg, ' ')[2]
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, sum_rarity,
+       CAST(({_RARITY_SCALE} * sum_rarity) // n_bigrams AS BIGINT)
+         AS mean_rarity_scaled
+FROM hscore
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -1031,3 +1031,72 @@ def test_scrub_order_preserved_across_partitions(spark):
     train_df_rows = [(10, text), (11, "unrelated filler text entirely")]
     got = _scrub(spark, train_df_rows, bench, n=4)
     assert got[10] == (34, 30, " ".join(toks))
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-index) MinHash
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    """Corpus (ids 1-4) and a new batch (ids 10-12): one batch doc is a
+    verbatim re-crawl of corpus doc 1, one is a near-dup of corpus doc
+    3, one is novel. Corpus also has an internal dup pair (1, 2) that
+    must NOT appear in the cross output."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    other = "completely different words appear within this little sentence here"
+    novel = "nothing in the standing corpus resembles this fresh document text"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, near2), (12, novel)],
+        "doc_id long, text string",
+    )
+    return corpus, batch
+
+
+def test_minhash_probe_finds_cross_pairs_only(split_docs):
+    from parquet_sampler_spark.operators.dedup import minhash_probe_pairs
+
+    corpus, batch = split_docs
+    pairs = minhash_probe_pairs(
+        corpus, batch, "doc_id", "text", n=2, threshold=0.5,
+        num_hashes=32, bands=8,
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    # verbatim re-crawl: jaccard exactly 1.0 against BOTH corpus copies
+    assert got[(1, 10)] == 1.0 and got[(2, 10)] == 1.0
+    # near-dup across the split is recalled and verified
+    assert (3, 11) in got and 0.5 <= got[(3, 11)] < 1.0
+    # novel batch doc pairs with nothing; corpus-internal dup (1,2)
+    # and corpus ids never appear on the batch side
+    assert all(b in (10, 11, 12) and a in (1, 2, 3, 4) for a, b in got)
+    assert not any(b == 12 for _, b in got)
+
+
+def test_minhash_index_matches_self_join_candidates(documents):
+    """Recall parity contract: cross-split probe pairs == the
+    cross-split subset of the whole-corpus LSH pairs (identical
+    signatures, identical band condition)."""
+    from parquet_sampler_spark.operators.dedup import minhash_probe_pairs
+
+    is_batch = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    cross = minhash_probe_pairs(
+        documents.filter(~is_batch), documents.filter(is_batch),
+        "doc_id", "text", n=2, threshold=0.5, num_hashes=32, bands=8,
+    )
+    full = minhash_lsh_pairs(
+        documents, "doc_id", "text", n=2, threshold=0.5,
+        num_hashes=32, bands=8,
+    )
+    want = {
+        (r.id_a, r.id_b) if r.id_b % 10 == 0 else (r.id_b, r.id_a)
+        for r in full.collect()
+        if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
+    }
+    got = {(r.id_a, r.id_b) for r in cross.collect()}
+    assert got == want

@@ -632,3 +632,77 @@ def test_ngram_diversity_validation(spark):
         ngram_diversity(df, "doc_id", "text", "source", n=0)
     with pytest.raises(ValueError):
         ngram_diversity(df, "doc_id", "text", "source", scale=0)
+
+
+# ---------------------------------------------------------------------------
+# bigram_rarity_backoff — order-2 rarity with stupid-backoff
+# ---------------------------------------------------------------------------
+
+def test_bigram_rarity_hand_trace(spark):
+    """Fit corpus: 'a b a b' + 'a b c'. Bigrams: (a b)x3, (b a)x1,
+    (b c)x1 → total2=5. Unigrams: a:3 b:3 c:1 → total1=7.
+    Score 'a b x': bigram 'a b' seen → 5 DIV 3 = 1; bigram 'b x':
+    unseen, word 'x' unseen → penalty*total1 = 3*7 = 21.
+    Score 'c c': bigram 'c c' unseen, 'c' seen → 3*(7 DIV 1) = 21."""
+    from parquet_sampler_spark.operators.quality import (
+        bigram_rarity_backoff,
+    )
+
+    fit = _docs(spark, ["a b a b", "a b c"])
+    score = spark.createDataFrame(
+        [(10, "a b x"), (11, "c c")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in bigram_rarity_backoff(
+            score, "doc_id", "text", scale=100, penalty=3, fit_df=fit
+        ).collect()
+    }
+    assert out[10].n_bigrams == 2
+    assert out[10].sum_rarity == 1 + 21
+    assert out[10].mean_rarity_scaled == (100 * 22) // 2
+    assert out[11].n_bigrams == 1
+    assert out[11].sum_rarity == 21
+
+
+def test_bigram_rarity_excludes_short_docs(spark):
+    from parquet_sampler_spark.operators.quality import (
+        bigram_rarity_backoff,
+    )
+
+    docs = _docs(spark, ["a b c d", "single", "", None, "  "])
+    out = bigram_rarity_backoff(docs, "doc_id", "text").collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].n_bigrams == 3
+
+
+def test_bigram_rarity_rejects_bad_params(spark):
+    from parquet_sampler_spark.operators.quality import (
+        bigram_rarity_backoff,
+    )
+
+    docs = _docs(spark, ["a b"])
+    with pytest.raises(ValueError, match="scale"):
+        bigram_rarity_backoff(docs, "doc_id", "text", scale=0)
+    with pytest.raises(ValueError, match="penalty"):
+        bigram_rarity_backoff(docs, "doc_id", "text", penalty=0)
+
+
+def test_bigram_rarity_keep_threshold(spark):
+    from parquet_sampler_spark.operators.quality import (
+        bigram_rarity_backoff,
+    )
+
+    docs = _docs(spark, ["a b a b a b", "z q w e r t"])
+    out = {
+        r.doc_id: r.kept
+        for r in bigram_rarity_backoff(
+            docs, "doc_id", "text", scale=100, keep_below=500
+        ).collect()
+    }
+    # self-fit: total2=10; doc0 = (a b)x3,(b a)x2 → mean 380;
+    # doc1 = five singleton bigrams → mean 1000
+    # repetitive doc = common bigrams = low rarity = kept;
+    # every bigram of the second doc is a singleton = high rarity
+    assert out[0] is True and out[1] is False

@@ -108,3 +108,48 @@ def test_no_broadcast_path_plans_shuffle_join(spark, orders, lineitem):
         assert red.count() == bcast.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_star_snapshot_manifest_consistent(spark):
+    """The 7-row manifest agrees with the individually-computed
+    snapshot members, and the checksum moves when a member changes."""
+    from parquet_sampler_spark.queries import (
+        _q_semijoin_orders,
+        _q_star_snapshot,
+        lineitem_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    manifest = {r.tbl: r for r in _q_star_snapshot(spark, sf).collect()}
+    assert set(manifest) == {
+        "lineitem_sample", "orders", "customer", "nation", "region",
+        "part", "supplier",
+    }
+    assert manifest["lineitem_sample"].n_rows == lineitem_sample(
+        spark, sf
+    ).count()
+    assert manifest["orders"].n_rows == _q_semijoin_orders(
+        spark, sf
+    ).count()
+    # consistency: every customer in the snapshot has its nation; a
+    # coherent snapshot can never have more nations than customers
+    assert manifest["nation"].n_rows <= manifest["customer"].n_rows
+    assert manifest["region"].n_rows <= manifest["nation"].n_rows
+    # a one-row perturbation of a member must move its fingerprint
+    from pyspark.sql import functions as F
+
+    from parquet_sampler_spark.queries import _snap_fp
+
+    o = _q_semijoin_orders(spark, sf)
+    first_key = o.first().o_orderkey
+    fp0 = _snap_fp(o, "orders", [F.col("o_orderkey")]).collect()[0]
+    fp1 = _snap_fp(
+        o.withColumn(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") == first_key,
+                   F.col("o_orderkey") + 1).otherwise(F.col("o_orderkey")),
+        ),
+        "orders", [F.col("o_orderkey")],
+    ).collect()[0]
+    assert (fp0.xor_hash, fp0.sum_hash) != (fp1.xor_hash, fp1.sum_hash)
+    assert fp0.n_rows == fp1.n_rows

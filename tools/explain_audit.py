@@ -664,6 +664,39 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # 41. star snapshot (r12): the composed reference workflow — every
+    # dimension reduction is a broadcast semi-join; the persisted
+    # sample is read from cache (InMemoryTableScan), never re-sampled
+    # per branch; manifest rows are partial-aggregated (no Window, no
+    # global sort anywhere)
+    check(
+        "star_snapshot",
+        R.queries()["star_snapshot"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "LeftSemi",
+                      "InMemoryTableScan"],
+        must_not=["SortMergeJoin", "CartesianProduct", "Window"],
+    )
+
+    # 42. incremental dedup (r12): batch-vs-index probe — band join +
+    # broadcast candidate verify; NEVER an all-pairs shape, no Python
+    check(
+        "minhash_incremental",
+        R.queries()["minhash_incremental"](spark, sf_dir),
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 43. bigram rarity with backoff (r12): both model tables broadcast
+    # back onto the per-row bigram stream; no Python, no cartesian
+    # beyond the broadcast 1-row totals
+    check(
+        "quality_rarity_bigram",
+        R.queries()["quality_rarity_bigram"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     print(f"\n{len(failures)} plan-property failures")
     for f in failures:
         print("  FAIL", f)
