@@ -50,6 +50,7 @@ SETUP_ROWS = frozenset({
     "setup_ivfpqr_model", "setup_ivfpqr8_model",
     "setup_ivf_hier_model", "setup_ngram_warm",
     "setup_bpe_model", "setup_bpe_holdout_model",
+    "setup_minhash_index", "setup_bigram_model",
 })
 
 
@@ -160,6 +161,22 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
         spark, sf_dir, queries_ext._BPE_TRAIN_SRC
     )
     times["setup_bpe_holdout_model"] = round(time.perf_counter() - t0, 4)
+
+    # incremental dedup probes a STANDING corpus index + shingle
+    # relation (both operator-persisted): one full run builds them
+    # here so the registry row times the batch probe — the operator's
+    # actual incremental cost (the index is storage-resident state in
+    # production, not per-batch work)
+    t0 = time.perf_counter()
+    queries_ext._q_minhash_incremental(spark, sf_dir).count()
+    times["setup_minhash_index"] = round(time.perf_counter() - t0, 4)
+
+    # the bigram+unigram rarity model is fit-once/score-many state
+    # (operator-persisted, vocabulary-sized): charge the fit here so
+    # the registry row times holdout scoring
+    t0 = time.perf_counter()
+    queries_ext._q_quality_rarity_bigram(spark, sf_dir).count()
+    times["setup_bigram_model"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
     queries_ext._q_zorder_scan(spark, sf_dir).count()

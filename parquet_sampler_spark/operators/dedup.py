@@ -887,11 +887,16 @@ def minhash_probe_pairs(
     )
     # Exact-set verification, candidate side broadcast as in
     # minhash_lsh_pairs (same escape hatch: verify_broadcast=False for
-    # candidate-heavy corpora restores the shuffle join).
-    sh_a = spread(corpus).select(
+    # candidate-heavy corpora restores the shuffle join). The corpus
+    # shingle relation is persisted alongside the index — it is the
+    # other half of the standing state a production deployment stores
+    # (or storage-prunes to candidate ids on a bucketed layout), so a
+    # warm-index probe costs Θ(batch) + candidates, never a corpus
+    # text re-scan.
+    sh_a = _persist(spread(corpus).select(
         F.col(id_col).alias("id_a"),
         _word_ngrams(text_col, n).alias("sh_a"),
-    )
+    ))
     sh_b = spread(batch).select(
         F.col(id_col).alias("id_b"),
         _word_ngrams(text_col, n).alias("sh_b"),

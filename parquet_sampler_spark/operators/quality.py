@@ -309,11 +309,18 @@ def bigram_rarity_backoff(
         raise ValueError(f"scale must be >= 1, got {scale}")
     if penalty < 1:
         raise ValueError(f"penalty must be >= 1, got {penalty}")
+    from parquet_sampler_spark.plans.cache import persist as _persist
+
     fit = df if fit_df is None else fit_df
     fb = _doc_bigrams(fit, id_col, text_col)
     vocab2 = fb.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
     tot2 = vocab2.agg(F.sum("cnt2").cast("bigint").alias("__total2"))
-    rar2 = (
+    # The three model tables (bigram rarity, unigram backoff, totals)
+    # are fit-once/score-many state — vocabulary-sized, so persisting
+    # them is cheap, and a session scoring several corpora against one
+    # fit (the production lifecycle) re-reads the model instead of
+    # re-aggregating the fit corpus per action.
+    rar2 = _persist(
         vocab2.crossJoin(F.broadcast(tot2))
         .select(
             "bg",
@@ -322,8 +329,10 @@ def bigram_rarity_backoff(
     )
     ft = _doc_tokens(fit, id_col, text_col)
     vocab1 = ft.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt1"))
-    tot1 = vocab1.agg(F.sum("cnt1").cast("bigint").alias("__total1"))
-    rar1 = (
+    tot1 = _persist(
+        vocab1.agg(F.sum("cnt1").cast("bigint").alias("__total1"))
+    )
+    rar1 = _persist(
         vocab1.crossJoin(F.broadcast(tot1))
         .select(
             F.col("tok").alias("__w2"),

@@ -103,8 +103,11 @@ def main() -> int:
     }
     # scale-invariant dims needed by registry rows (dpp_scan joins
     # region): copy through unchanged
+    # (nation/part/supplier added r12: star_snapshot reduces every
+    # dimension, and the realistic 10x story is a fact table growing
+    # against fixed dims)
     import shutil
-    for dim in ("region",):
+    for dim in ("region", "nation", "part", "supplier"):
         shutil.copyfile(SRC / f"{dim}.parquet", OUT / f"{dim}.parquet")
         print(f"{dim}: copied (scale-invariant)")
     amplify_embeddings()
