@@ -916,6 +916,46 @@ def minhash_probe_pairs(
     )
 
 
+def minhash_admit_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Admission filter for a new crawl batch against a standing
+    corpus — the full incremental-ingest decision: a batch document is
+    REJECTED iff it near-duplicates something already in the corpus
+    (:func:`minhash_probe_pairs`) or a SENIOR (smaller-id) document
+    within the batch itself (:func:`minhash_lsh_pairs` on the batch —
+    batches are small, so the self-join is cheap); everything else is
+    returned, full rows, ready to append.
+
+    Keeper rule is the repo-wide greedy min-id survivor: a batch doc
+    is dropped when a similar senior exists, regardless of whether
+    that senior is itself admitted (same documented rule as
+    :func:`jaccard_dedup` — one pass, deterministic, SQL-expressible;
+    the alternative "recursive" admission needs iteration and changes
+    results only for similarity chains that straddle the threshold).
+
+    Scale: probe cost Θ(batch × bands) against the persisted index +
+    candidate verifies; the batch self-join is the whole-corpus
+    problem at batch size. Two anti-joins against id-only loser lists
+    (broadcastable at any realistic batch size) — the batch text
+    never shuffles.
+    """
+    cross = minhash_probe_pairs(
+        corpus, batch, id_col, text_col, **kwargs
+    )
+    internal = minhash_lsh_pairs(batch, id_col, text_col, **kwargs)
+    losers = (
+        cross.select(F.col("id_b").alias(id_col))
+        .unionAll(internal.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return batch.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

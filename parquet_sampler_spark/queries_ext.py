@@ -1196,6 +1196,39 @@ def _q_minhash_incremental(spark, sf_dir):
     )
 
 
+def _q_minhash_admit(spark, sf_dir):
+    """The full incremental-ingest decision (the other half of
+    minhash_incremental): which batch documents get APPENDED to the
+    standing corpus? A batch doc is rejected iff it near-duplicates
+    the corpus or a senior (smaller-id) batch doc; survivors return
+    as full rows. Greedy min-id keeper rule (repo-wide). Oracle: the
+    exact pairs SQL — a batch doc d is a loser iff some qualifying
+    pair has id_b = d (senior partner of either side), or id_a = d
+    with a corpus partner (corpus ids above d's)."""
+    from parquet_sampler_spark.operators.dedup import minhash_admit_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    return minhash_admit_batch(
+        docs.filter(~is_batch), docs.filter(is_batch),
+        "doc_id", "text",
+        n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
+    )
+
+
+_SQL_MINHASH_ADMIT = f"""
+WITH {_SQL_SHINGLES2}
+SELECT d.* FROM documents d
+WHERE d.doc_id % 10 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM jpairs j
+    WHERE j.jaccard >= {_JACCARD_T}
+      AND (j.id_b = d.doc_id
+           OR (j.id_a = d.doc_id AND j.id_b % 10 <> 0))
+  )
+"""
+
+
 _SQL_MINHASH_INCREMENTAL = f"""
 WITH {_SQL_SHINGLES2}
 SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS corpus_id,
@@ -2584,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_dedup": _q_jaccard_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_incremental": _q_minhash_incremental,
+        "minhash_admit": _q_minhash_admit,
         "minhash_pairs_weighted": _q_minhash_pairs_weighted,
         "minhash_pairs_weighted_win": _q_minhash_pairs_weighted_win,
         "simhash_pairs": _q_simhash_pairs,
@@ -2703,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "minhash_pairs": _SQL_JACCARD_PAIRS,
         "minhash_incremental": _SQL_MINHASH_INCREMENTAL,
+        "minhash_admit": _SQL_MINHASH_ADMIT,
         "minhash_pairs_weighted": _sql_minhash_pairs_weighted(),
         "minhash_pairs_weighted_win": _sql_minhash_pairs_weighted(),
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,

@@ -1100,3 +1100,26 @@ def test_minhash_index_matches_self_join_candidates(documents):
     }
     got = {(r.id_a, r.id_b) for r in cross.collect()}
     assert got == want
+
+
+def test_minhash_admit_batch_rules(split_docs, spark):
+    """Admission: corpus-dups and junior batch-internal dups rejected;
+    novel docs admitted; the senior of a batch-internal pair survives
+    even though its junior is rejected."""
+    from parquet_sampler_spark.operators.dedup import minhash_admit_batch
+
+    corpus, batch = split_docs
+    novel = "nothing in the standing corpus resembles this fresh document text"
+    batch2 = batch.unionAll(
+        spark.createDataFrame([(13, novel)], "doc_id long, text string")
+    )
+    admitted = sorted(
+        r.doc_id
+        for r in minhash_admit_batch(
+            corpus, batch2, "doc_id", "text",
+            n=2, threshold=0.5, num_hashes=32, bands=8,
+        ).collect()
+    )
+    # 10 dups corpus 1/2; 11 dups corpus 3; 13 dups senior 12 -> only
+    # 12 (the novel senior) is admitted
+    assert admitted == [12]
