@@ -486,6 +486,87 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    lsh_bits: int = 8,
+    lsh_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental embedding-space near-dup: which vectors of a NEW
+    ``batch`` near-duplicate (cosine ≥ ``threshold``) something
+    already in ``corpus``? The embedding-space twin of
+    ``dedup.minhash_probe_pairs`` — the SemDeDup-style ingest gate.
+
+    The corpus's sign-bit bucket table (``lsh_tables`` × ``lsh_bits``
+    hyperplane signatures) is persisted as the standing INDEX; the
+    batch is signed with the SAME hyperplanes and probed against it —
+    per-batch cost is Θ(batch × tables) bucket rows + exact verifies
+    of colliding pairs, never Θ(corpus). Both sides' signatures are
+    deterministic (seeded hyperplanes), so index rows built in an
+    earlier job match today's probe bit-for-bit.
+
+    Emits ``(id_a = corpus id, id_b = batch id, cos_sim)`` with the
+    exact JVM left-to-right unit-dot — precision exact; recall is the
+    sign-bit s-curve (near 1 only in the near-identical regime
+    ``threshold ≥ ~0.9``, the same contract as
+    ``embedding_neardup_pairs(method='lsh')``). Ids must be unique
+    across ``corpus ∪ batch``; a re-ingested identical vector pairs
+    with its original at cos 1.0.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be positive")
+    dim = corpus.select(F.size(vec_col)).first()[0]
+    planes = np.concatenate([
+        np.array(_hyperplanes(dim, lsh_bits, seed + 1000 * t))
+        for t in range(lsh_tables)
+    ])
+    weights = (1 << np.arange(lsh_bits)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def all_sigs(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)
+        signs = (m @ planes.T) > 0
+        packed = signs.reshape(len(vs), lsh_tables, lsh_bits) @ weights
+        return pd.Series(packed.tolist())
+
+    def banded(df: DataFrame) -> DataFrame:
+        return (
+            spread(df)
+            .select(F.col(id_col).alias("__id"),
+                    all_sigs(F.col(vec_col)).alias("__sigs"))
+            .select("__id", F.posexplode("__sigs").alias("tbl", "sig"))
+        )
+
+    idx = _cache_persist(banded(corpus))
+    probe = banded(batch)
+    cand = (
+        idx.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # normalized corpus vectors persist beside the index (standing
+    # state, same rationale as minhash_probe_pairs' shingle relation)
+    a = _cache_persist(_normalized(corpus, id_col, vec_col, "id_a", "__va"))
+    b = _normalized(batch, id_col, vec_col, "id_b", "__vb")
+    return (
+        F.broadcast(cand).join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", _unit_dot("__va", "__vb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def _block_candidates(
     normed: DataFrame, threshold: float, nblocks: int
 ) -> DataFrame:

@@ -1399,6 +1399,64 @@ def _sql_embedding_neardup():
     )
 
 
+def _q_embedding_neardup_incremental(spark, sf_dir):
+    """Incremental embedding near-dup (the SemDeDup ingest gate, r12):
+    the scaled twins play the NEW batch and the raw embeddings table
+    the standing corpus whose persisted sign-bit bucket index the
+    batch probes (operators/similarity.embedding_neardup_incremental)
+    — the embedding-space twin of minhash_incremental. A twin's unit
+    vector is BIT-IDENTICAL to its original's (×2 is IEEE-exact), so
+    its signature matches in every LSH table and recall for the
+    qualifying pairs is exactly 1; all cross pairs sit below 0.52 and
+    can never leak past the 0.92 verify. Oracle: the exact cosine
+    cross-join between corpus and batch at the same threshold."""
+    from parquet_sampler_spark.operators.similarity import (
+        embedding_neardup_incremental,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(
+        F.col("vec_id") % _NEARDUP_DUP_MOD == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_DUP_OFF).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return embedding_neardup_incremental(
+        emb, twins, "vec_id", "embedding", threshold=_NEARDUP_HI,
+    )
+
+
+def _sql_embedding_neardup_incremental():
+    from parquet_sampler_spark.functions.vectors import dot_sql
+
+    def ncte(prefix: str, table: str) -> str:
+        d = dot_sql("embedding", "embedding")
+        return (
+            f"{prefix}nrm AS (SELECT vec_id, sqrt({d}) AS nrm "
+            f"FROM {table}), "
+            f"{prefix}ed AS (SELECT e.vec_id, "
+            f"list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nrm)"
+            f" AS v FROM {table} e JOIN {prefix}nrm n USING (vec_id) "
+            f"WHERE n.nrm > 0)"
+        )
+
+    tw = (
+        f"tw AS (SELECT vec_id + {_NEARDUP_DUP_OFF} AS vec_id, "
+        f"list_transform(embedding, x -> "
+        f"CAST(CAST(x AS DOUBLE) * 2.0 AS REAL)) AS embedding "
+        f"FROM embeddings WHERE vec_id % {_NEARDUP_DUP_MOD} = 0)"
+    )
+    cos = unit_dot_sql("a.v", "b.v")
+    return (
+        f"WITH {tw}, {ncte('c', 'embeddings')}, {ncte('t', 'tw')} "
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim "
+        f"FROM ced a CROSS JOIN ted b "
+        f"WHERE {cos} >= {_NEARDUP_HI}"
+    )
+
+
 def _q_embedding_neardup_block(spark, sf_dir):
     """Loose-threshold (exploratory) near-dup sweep via the EXACT
     block-GEMM plan. Below ~0.9 the pair angle is wide enough that any
@@ -2622,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_weighted_win": _q_minhash_pairs_weighted_win,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_incremental": _q_embedding_neardup_incremental,
         "embedding_neardup_block": _q_embedding_neardup_block,
         "ann_topk": _q_ann_topk,
         "ann_range": _q_ann_range,
@@ -2759,6 +2818,8 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "jaccard_dedup": _SQL_JACCARD_DEDUP,
         "embedding_neardup": _sql_embedding_neardup(),
+        "embedding_neardup_incremental":
+            _sql_embedding_neardup_incremental(),
         "embedding_neardup_block": _sql_embedding_neardup_block(),
         "ann_topk": _sql_ann_topk(),
         "ann_range": _sql_ann_range(),

@@ -772,3 +772,33 @@ def test_jl_topk_validation(spark):
         jl_topk(e, e, "vec_id", "embedding", k=5, shortlist=3)
     with pytest.raises(ValueError):
         jl_topk(e, e, "vec_id", "embedding", proj_dim=0)
+
+
+def test_embedding_neardup_incremental_probe(spark):
+    """Batch-vs-index gate: a re-ingested identical vector pairs with
+    its original at cos 1.0; a novel direction emits nothing; pairs
+    never form within a side."""
+    from parquet_sampler_spark.operators.similarity import (
+        embedding_neardup_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0]),
+         (3, [0.6, 0.8, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(10, [2.0, 0.0, 0.0, 0.0]),     # scaled copy of 1 -> cos 1.0
+         (11, [0.0, 0.0, 0.0, 1.0])],    # orthogonal to everything
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_incremental(
+            corpus, batch, "vec_id", "embedding", threshold=0.95,
+        ).collect()
+    }
+    assert got[(1, 10)] == 1.0
+    assert all(b == 10 for _, b in got)  # 11 matches nothing
+    # corpus-internal near structure (1,3)=0.6 never appears
+    assert all(a in (1, 2, 3) for a, _ in got)
