@@ -51,6 +51,7 @@ SETUP_ROWS = frozenset({
     "setup_ivf_hier_model", "setup_ngram_warm",
     "setup_bpe_model", "setup_bpe_holdout_model",
     "setup_minhash_index", "setup_bigram_model",
+    "setup_embneardup_index",
 })
 
 
@@ -177,6 +178,12 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_quality_rarity_bigram(spark, sf_dir).count()
     times["setup_bigram_model"] = round(time.perf_counter() - t0, 4)
+
+    # ... and the embedding-space standing state (sign-bit bucket
+    # index + normalized corpus vectors) for the SemDeDup ingest gate
+    t0 = time.perf_counter()
+    queries_ext._q_embedding_neardup_incremental(spark, sf_dir).count()
+    times["setup_embneardup_index"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
     queries_ext._q_zorder_scan(spark, sf_dir).count()

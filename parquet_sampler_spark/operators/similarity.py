@@ -492,9 +492,10 @@ def embedding_neardup_incremental(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    lsh_bits: int = 8,
+    lsh_bits: int = 16,
     lsh_tables: int = 8,
     seed: int = 42,
+    verify_broadcast: bool = True,
 ) -> DataFrame:
     """Incremental embedding-space near-dup: which vectors of a NEW
     ``batch`` near-duplicate (cosine ≥ ``threshold``) something
@@ -508,6 +509,21 @@ def embedding_neardup_incremental(
     of colliding pairs, never Θ(corpus). Both sides' signatures are
     deterministic (seeded hyperplanes), so index rows built in an
     earlier job match today's probe bit-for-bit.
+
+    SIZE THE SIGNATURE TO THE CORPUS. Each table has ``2^lsh_bits``
+    buckets, so random-collision candidates grow as
+    ``tables · |corpus|·|batch| / 2^lsh_bits`` — a FIXED width
+    saturates once the corpus outgrows the bucket space and candidate
+    generation degenerates toward all-pairs (measured: 8 bits at a
+    1.14M-vector corpus blew the candidate list past
+    spark.driver.maxResultSize — the sf10 decade cell that motivated
+    the 16-bit default; 8 bits is comfortable only to ~10⁵ vectors).
+    Rule: ``lsh_bits ≳ log2(corpus) + 4``. Widening bits lowers
+    per-table recall at a given angle ((1-θ/π)^bits), so pair it with
+    the near-identical regime this gate exists for (θ small) or more
+    tables. ``verify_broadcast=False`` is the escape when the
+    candidate list is still too large to broadcast (same contract as
+    ``minhash_probe_pairs``): the verify joins fall back to shuffle.
 
     Emits ``(id_a = corpus id, id_b = batch id, cos_sim)`` with the
     exact JVM left-to-right unit-dot — precision exact; recall is the
@@ -558,8 +574,9 @@ def embedding_neardup_incremental(
     # state, same rationale as minhash_probe_pairs' shingle relation)
     a = _cache_persist(_normalized(corpus, id_col, vec_col, "id_a", "__va"))
     b = _normalized(batch, id_col, vec_col, "id_b", "__vb")
+    cand_side = F.broadcast(cand) if verify_broadcast else cand
     return (
-        F.broadcast(cand).join(a, "id_a")
+        cand_side.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("cos_sim", _unit_dot("__va", "__vb"))
         .filter(F.col("cos_sim") >= threshold)

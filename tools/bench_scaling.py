@@ -86,6 +86,7 @@ FIXTURES: dict[str, str] = {
     "dup_triangles": "setup_dup_graph",
     "minhash_incremental": "setup_minhash_index",
     "quality_rarity_bigram": "setup_bigram_model",
+    "embedding_neardup_incremental": "setup_embneardup_index",
 }
 
 
@@ -135,6 +136,16 @@ def _fixture_builder(name: str):
         return lambda spark, sf_dir: queries_ext._q_quality_rarity_bigram(
             spark, sf_dir
         ).count()
+    if name == "embedding_neardup_incremental":
+        # one full run builds + persists the sign-bit bucket index and
+        # the normalized corpus vectors; the timed row measures the
+        # batch probe
+        return (
+            lambda spark, sf_dir:
+            queries_ext._q_embedding_neardup_incremental(
+                spark, sf_dir
+            ).count()
+        )
     if name == "dup_triangles":
         # warm the shared LSH-verified pair graph (persisted per
         # session): the triangle row should time the wedge joins,

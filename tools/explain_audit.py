@@ -686,6 +686,27 @@ def main() -> int:
                   "BatchEvalPython", "ArrowEvalPython"],
     )
 
+    # 42b. admission decision (r12): loser lists are id-only
+    # anti-joins; never all-pairs, no Python in the decision path
+    check(
+        "minhash_admit",
+        R.queries()["minhash_admit"](spark, sf_dir),
+        must_contain=["LeftAnti"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "BatchEvalPython", "ArrowEvalPython"],
+    )
+
+    # 42c. embedding ingest gate (r12): bucket-collision candidates +
+    # exact verify — the Arrow-batched signature UDF is the only
+    # Python (same contract as embedding_neardup's LSH path); never a
+    # nested-loop/cartesian all-pairs shape
+    check(
+        "embedding_neardup_incremental",
+        R.queries()["embedding_neardup_incremental"](spark, sf_dir),
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "FlatMapGroupsInPandas", "BatchEvalPython"],
+    )
+
     # 43. bigram rarity with backoff (r12): both model tables broadcast
     # back onto the per-row bigram stream; no Python, no cartesian
     # beyond the broadcast 1-row totals
