@@ -468,6 +468,39 @@ def sample_fraction(
     return df.sample(withReplacement=False, fraction=ratio, seed=seed)
 
 
+def sample_threshold(
+    df: DataFrame,
+    ratio: float,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic hash-threshold sample: keep a row iff
+    ``lehmer_hash(key_cols) < floor(M·ratio)`` — the engine-portable
+    twin of :func:`sample_fraction` and the INCREMENTAL form of the
+    seeded sampler. Membership depends only on the row's own key, so
+    appending new data never changes an old row's fate (the
+    exact-count form re-ranks globally: admitting row n+1 can evict
+    row n) — the property a growing table, a stream, or a multi-day
+    ingest pipeline needs from its sample, and how production "1% of
+    all traffic forever" samples are actually built. Count is
+    approximate (binomial around ratio·n; the hash is uniform on
+    [0, M)); :func:`sample_exact` is the exact-count form.
+
+    Plan: a pure per-row filter fused into the scan stage — no
+    shuffle, no sort, no driver state; trivially partition-parallel
+    at any scale, and two engines (or two days' jobs) agree on every
+    row.
+    """
+    _validate_ratio(ratio)
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS as _M,
+        lehmer_hash as _lh,
+    )
+
+    t = int(_M * ratio)
+    return df.filter(_lh(list(key_cols), seed=seed) < F.lit(t))
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

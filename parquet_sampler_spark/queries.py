@@ -323,6 +323,30 @@ FROM s
 """
 
 
+def _q_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold (incremental) sampling of orders: keep iff
+    ``lehmer(o_orderkey) < floor(M·ratio)`` — membership depends only
+    on the row's own key, so a growing table keeps a consistent
+    sample across ingest days (operators/sample.sample_threshold; the
+    exact-count re-ranking form is sample_lineitem). Pure scan-fused
+    filter, no shuffle/sort/driver state; oracle is the literal
+    threshold predicate."""
+    from parquet_sampler_spark.operators.sample import sample_threshold
+
+    return sample_threshold(
+        table(spark, sf_dir, "orders"), _OP_RATIO,
+        key_cols=["o_orderkey"], seed=_OP_SEED,
+    )
+
+
+def _sql_sample_threshold() -> str:
+    from parquet_sampler_spark.functions.hashing import MODULUS
+
+    pr = lehmer_hash_sql(["o_orderkey"], _OP_SEED)
+    t = int(MODULUS * _OP_RATIO)
+    return f"SELECT * FROM orders WHERE {pr} < {t}"
+
+
 def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink parity (reference lib.rs:13-134: schema-preserving
     write of a reduced dimension): write ``customer_reduced`` through
@@ -569,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
         "sample_order_preserving": _q_sample_order_preserving,
+        "sample_threshold": _q_sample_threshold,
         "sink_roundtrip": _q_sink_roundtrip,
         "sink_partitioned": _q_sink_partitioned,
         "sink_orc_roundtrip": _q_sink_orc_roundtrip,
@@ -629,6 +654,7 @@ def oracle_sql() -> dict[str, str]:
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
         "sample_order_preserving": _sql_sample_order_preserving(),
+        "sample_threshold": _sql_sample_threshold(),
         "sink_roundtrip": (
             f"WITH {sample}, {_ORDERS_RED_CTE}, {_CUSTOMER_RED_CTE} "
             "SELECT * FROM customer_red"

@@ -429,3 +429,32 @@ def test_rand_fallback_keeps_topk_at_large_k(spark):
     assert len(got) == 60_000
     assert mod.SELECT_STATS["threshold"] == before["threshold"]
     assert mod.SELECT_STATS["topk"] == before["topk"] + 1
+
+
+def test_sample_threshold_incremental_consistency(spark):
+    """The property the threshold form exists for: a row's membership
+    depends only on its own key, so sampling a grown table agrees with
+    the earlier sample on every old row (the exact-count form cannot
+    promise this — k grows and the rank boundary moves)."""
+    from parquet_sampler_spark.operators.sample import sample_threshold
+
+    day1 = spark.range(0, 10_000).selectExpr("id AS k")
+    day2 = spark.range(0, 25_000).selectExpr("id AS k")
+    s1 = {r.k for r in sample_threshold(day1, 0.05, ["k"], seed=7).collect()}
+    s2 = {r.k for r in sample_threshold(day2, 0.05, ["k"], seed=7).collect()}
+    assert {k for k in s2 if k < 10_000} == s1
+    # binomial count sanity: within 5 sigma of 0.05 * n
+    import math
+
+    n, p = 25_000, 0.05
+    assert abs(len(s2) - n * p) < 5 * math.sqrt(n * p * (1 - p))
+
+
+def test_sample_threshold_rejects_bad_ratio(spark):
+    from parquet_sampler_spark.operators.sample import sample_threshold
+
+    df = spark.range(10).selectExpr("id AS k")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_threshold(df, 1.5, ["k"])
