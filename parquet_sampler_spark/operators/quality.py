@@ -269,11 +269,21 @@ def bigram_rarity_backoff(
     penalty: int = 3,
     keep_below: int | None = None,
     fit_df: DataFrame | None = None,
+    inline: bool = False,
 ) -> DataFrame:
     """Order-2 rarity with stupid-backoff: the exact-integer analog of
     a bigram LM quality score (the depth extension of
     :func:`unigram_rarity` — pair counts are counts, so the
     transcendental-free contract extends verbatim).
+
+    ``inline=True`` ships BOTH model tables (bigram + unigram rarity
+    dicts, bounded by vocabulary size) into an Arrow-batched
+    ``mapInPandas`` scorer — no join, no shuffle, the CCNet
+    model-to-every-worker shape :func:`unigram_rarity` documents;
+    bit-identical output (pinned by the shared oracle). The caveat is
+    sharper at order 2: a web-scale BIGRAM vocabulary can be 10-100×
+    the unigram one — if the collected model no longer fits the
+    driver/executors, stay on the (broadcast or shuffle) join path.
 
     Model (fit corpus): bigram counts ``cnt2(w1 w2)`` over consecutive
     token pairs with ``total2 = Σ cnt2``, plus the unigram table
@@ -339,6 +349,15 @@ def bigram_rarity_backoff(
             F.expr("__total1 DIV cnt1").cast("bigint").alias("__r1"),
         )
     )
+    if inline:
+        scored = _score_bigram_inline(
+            df, id_col, text_col, rar2, rar1, tot1, scale, penalty
+        )
+        if keep_below is not None:
+            scored = scored.withColumn(
+                "kept", F.col("mean_rarity_scaled") <= F.lit(keep_below)
+            )
+        return scored
     sb = _doc_bigrams(df, id_col, text_col).withColumn(
         "__w2", F.element_at(F.split(F.col("bg"), " "), 2)
     )
@@ -373,6 +392,91 @@ def bigram_rarity_backoff(
             "kept", F.col("mean_rarity_scaled") <= F.lit(keep_below)
         )
     return scored
+
+
+def _score_bigram_inline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rar2: DataFrame,
+    rar1: DataFrame,
+    tot1: DataFrame,
+    scale: int,
+    penalty: int,
+) -> DataFrame:
+    """Inline (model-shipped) order-2 scoring: collect both rarity
+    tables (bounded by vocabulary size) and score every document in an
+    Arrow-batched ``mapInPandas`` pass — no join, no shuffle.
+    Bit-identical to the join path (shared oracle): the scoring pass
+    is columnar pandas (split / explode / within-doc shift / dict-map
+    / coalesce / groupby-sum), no Python-level per-document loop.
+
+    Exactness contract: every mapped value must survive the float64
+    round-trip through ``Series.map``/``fillna`` — rarity values are
+    ≤ the fit totals and the backoff multiplies by ``penalty``, so
+    both ``total2`` and ``penalty·total1`` must be < 2^53 (asserted,
+    as in :func:`_score_inline`)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    d2 = {r["bg"]: r["__r2"] for r in rar2.collect()}
+    d1 = {r["__w2"]: r["__r1"] for r in rar1.collect()}
+    total1 = tot1.collect()[0]["__total1"]
+    total2_max = max(d2.values(), default=0)
+    if total2_max >= 2**53 or penalty * total1 >= 2**53:
+        raise ValueError(
+            "fit corpus too large for exact float64 round-trip in "
+            "inline scoring — use the join path"
+        )
+    oov1 = total1  # total1 DIV 1, as in the join path's final coalesce
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bigrams", T.LongType(), False),
+            T.StructField("sum_rarity", T.LongType(), False),
+            T.StructField("mean_rarity_scaled", T.LongType(), False),
+        ]
+    )
+    cols = [id_col, "n_bigrams", "sum_rarity", "mean_rarity_scaled"]
+
+    def score(batches):
+        for pdf in batches:
+            t = pdf[text_col].dropna().str.strip(" ")
+            t = t[t != ""]
+            empty = pd.DataFrame(columns=cols).astype(
+                {c: "int64" for c in cols[1:]}
+            )
+            if t.empty:
+                yield empty
+                continue
+            toks = t.str.split(" ")
+            ex = toks.explode()
+            w = pd.DataFrame({"row": ex.index, "w1": ex.values})
+            # consecutive pairs: shift within document — columnar
+            w["w2"] = w.groupby("row")["w1"].shift(-1)
+            w = w.dropna(subset=["w2"])
+            if w.empty:
+                yield empty
+                continue
+            bg = w["w1"] + " " + w["w2"]
+            # coalesce(r2, penalty*r1(w2), penalty*total1): values
+            # < 2^53, exact through float64
+            backoff = w["w2"].map(d1).fillna(oov1) * penalty
+            r = bg.map(d2).fillna(backoff).astype("int64")
+            s = r.groupby(w["row"]).sum()
+            n = w.groupby("row").size().astype("int64")
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].loc[s.index],
+                    "n_bigrams": n,
+                    "sum_rarity": s,
+                    "mean_rarity_scaled": (scale * s) // n,
+                }
+            )
+            yield out[cols]
+
+    return df.select(id_col, text_col).mapInPandas(score, schema)
 
 
 def tfidf_top_terms(

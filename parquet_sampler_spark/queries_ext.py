@@ -2773,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity_inline": _q_quality_rarity_inline,
         "quality_rarity_holdout": _q_quality_rarity_holdout,
         "quality_rarity_bigram": _q_quality_rarity_bigram,
+        "quality_rarity_bigram_inline": _q_quality_rarity_bigram_inline,
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
         "bm25_topk": _q_bm25_topk,
@@ -2906,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity_inline": _sql_quality_rarity(),
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "quality_rarity_bigram": _sql_quality_rarity_bigram(),
+        "quality_rarity_bigram_inline": _sql_quality_rarity_bigram(),
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
         "bm25_topk": _sql_bm25_topk(),
@@ -7953,6 +7955,38 @@ def _q_quality_rarity_bigram(spark, sf_dir):
     return bigram_rarity_backoff(
         hold, "doc_id", "text",
         scale=_RARITY_SCALE, penalty=_BIGRAM_PENALTY, fit_df=fit,
+    )
+
+
+def _q_quality_rarity_bigram_inline(spark, sf_dir):
+    """The zero-Exchange inline shape of the order-2 scorer (r12):
+    both model tables collected (vocabulary-bounded) and shipped into
+    an Arrow-batched mapInPandas pass — no join, no shuffle of the
+    scored corpus, the same promotion quality_rarity_inline made for
+    order 1. Bit-identical integer output: the oracle is
+    quality_rarity_bigram's verbatim."""
+    from parquet_sampler_spark.operators.quality import (
+        bigram_rarity_backoff,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin(_BPE_TRAIN_SRC)
+    fit = d.filter(is_train)
+    hold = d.filter(~is_train).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" unk"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return bigram_rarity_backoff(
+        hold, "doc_id", "text",
+        scale=_RARITY_SCALE, penalty=_BIGRAM_PENALTY, fit_df=fit,
+        inline=True,
     )
 
 

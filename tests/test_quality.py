@@ -706,3 +706,30 @@ def test_bigram_rarity_keep_threshold(spark):
     # repetitive doc = common bigrams = low rarity = kept;
     # every bigram of the second doc is a singleton = high rarity
     assert out[0] is True and out[1] is False
+
+
+def test_bigram_inline_matches_join_path(spark):
+    """inline=True is bit-identical to the join path — including
+    multi-space token edges, OOV words, and unseen bigrams."""
+    from parquet_sampler_spark.operators.quality import (
+        bigram_rarity_backoff,
+    )
+
+    fit = _docs(spark, ["a b a b", "a b c", "c  a b"])
+    score = spark.createDataFrame(
+        [(10, "a b x"), (11, "c c"), (12, "b  c a"), (13, "solo"),
+         (14, None), (15, "  ")],
+        "doc_id bigint, text string",
+    )
+    join_rows = sorted(
+        tuple(r) for r in bigram_rarity_backoff(
+            score, "doc_id", "text", scale=100, penalty=3, fit_df=fit
+        ).collect()
+    )
+    inline_rows = sorted(
+        tuple(r) for r in bigram_rarity_backoff(
+            score, "doc_id", "text", scale=100, penalty=3, fit_df=fit,
+            inline=True,
+        ).collect()
+    )
+    assert join_rows == inline_rows and join_rows

@@ -707,6 +707,16 @@ def main() -> int:
                   "FlatMapGroupsInPandas", "BatchEvalPython"],
     )
 
+    # 43b. inline order-2 scorer (r12): the model collects at
+    # plan-build time; the executed scoring plan must be the
+    # zero-Exchange shape (scan -> project -> Arrow scorer)
+    check(
+        "quality_rarity_bigram_inline",
+        R.queries()["quality_rarity_bigram_inline"](spark, sf_dir),
+        must_not=["Exchange", "BroadcastHashJoin", "SortMergeJoin",
+                  "CartesianProduct", "BatchEvalPython"],
+    )
+
     # 43. bigram rarity with backoff (r12): both model tables broadcast
     # back onto the per-row bigram stream; no Python, no cartesian
     # beyond the broadcast 1-row totals
