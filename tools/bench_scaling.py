@@ -87,6 +87,9 @@ FIXTURES: dict[str, str] = {
     "minhash_incremental": "setup_minhash_index",
     "quality_rarity_bigram": "setup_bigram_model",
     "embedding_neardup_incremental": "setup_embneardup_index",
+    # admit reuses the same standing state as the probe row; its
+    # timed cost = index probe + batch-internal self-join + anti-joins
+    "minhash_admit": "setup_minhash_index",
 }
 
 
@@ -123,7 +126,7 @@ def _fixture_builder(name: str):
         return lambda spark, sf_dir: queries_ext._bpe_merges_cached(
             spark, sf_dir, queries_ext._BPE_TRAIN_SRC
         )
-    if name == "minhash_incremental":
+    if name in ("minhash_incremental", "minhash_admit"):
         # one full run builds + persists the corpus index and shingle
         # relation (the standing state); the timed row then measures
         # the batch probe — the operator's incremental cost
