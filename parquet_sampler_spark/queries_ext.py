@@ -2706,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_dedup_best": _q_cluster_dedup_best,
         "events_multi_rollup": _q_events_multi_rollup,
         "streaming_hourly": _q_streaming_hourly,
+        "streaming_sample": _q_streaming_sample,
         "streaming_sessionize": _q_streaming_sessionize,
         "streaming_sessionize_native": _q_streaming_sessionize_native,
         "streaming_dedup": _q_streaming_dedup,
@@ -2841,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_dedup_best": _SQL_CLUSTER_DEDUP_BEST,
         "events_multi_rollup": _SQL_EVENTS_MULTI_ROLLUP,
         "streaming_hourly": _SQL_EVENTS_HOURLY,
+        "streaming_sample": _sql_streaming_sample(),
         "streaming_sessionize": _SQL_STREAMING_SESSIONIZE,
         "streaming_sessionize_native": _SQL_STREAMING_SESSIONIZE,
         "streaming_dedup": _SQL_STREAMING_DEDUP,
@@ -3578,6 +3580,69 @@ def _stream_shuffle(spark, n: int | None = None):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _q_streaming_sample(spark, sf_dir):
+    """Stream/batch parity for the incremental sampler (r12): the
+    hash-threshold predicate is STATELESS — a row's membership depends
+    only on its own key — so the SAME operator call that samples a
+    table samples an unbounded stream with zero state and no
+    watermark. Orders is replayed as a file stream in two chunk files
+    (``maxFilesPerTrigger=1`` forces two microbatches — genuinely
+    incremental delivery), ``sample_threshold`` filters the stream,
+    and the drained output must equal the batch row's relation
+    EXACTLY: the oracle is sample_threshold's SQL verbatim. This is
+    the property the threshold form exists for — the exact-count
+    sampler re-ranks globally and CANNOT stream."""
+    import glob
+    import os
+    import shutil
+
+    from parquet_sampler_spark.operators.sample import sample_threshold
+    from parquet_sampler_spark.queries import (
+        _OP_RATIO,
+        _OP_SEED,
+        session_tmp_dir,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"stream_sample_{tag}")
+    data = os.path.join(d, "data")
+    if not os.path.isdir(data):
+        os.makedirs(data)
+        o = _t(spark, sf_dir, "orders")
+        for k in (0, 1):
+            stage = os.path.join(d, f"stage{k}")
+            (
+                o.filter(F.pmod(F.col("o_orderkey"), F.lit(2)) == k)
+                .coalesce(1).write.mode("overwrite").parquet(stage)
+            )
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(data, f"chunk{k}.parquet"))
+            shutil.rmtree(stage)
+    schema = _t(spark, sf_dir, "orders").schema
+    with _stream_shuffle(spark):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(data)
+        )
+        sampled = sample_threshold(
+            src, _OP_RATIO, key_cols=["o_orderkey"], seed=_OP_SEED
+        )
+        name = f"psx_stream_sample_{next(_STREAM_SEQ)}"
+        q = (
+            sampled.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def _sql_streaming_sample() -> str:
+    from parquet_sampler_spark.queries import _sql_sample_threshold
+
+    return _sql_sample_threshold()
 
 
 def _q_streaming_dedup(spark, sf_dir):

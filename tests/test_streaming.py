@@ -1499,3 +1499,24 @@ def test_watermark_filter_lags_one_batch(spark, tmp_path):
 
     assert got[t0 + dt.timedelta(hours=5)] == 1   # straggler dropped
     assert got[t0 + dt.timedelta(hours=9)] == 2   # straggler accepted
+
+
+def test_streaming_sample_equals_batch(spark):
+    """Stream/batch parity of the stateless threshold sampler: the
+    drained stream output is EXACTLY the batch operator's relation."""
+    from parquet_sampler_spark.operators.sample import sample_threshold
+    from parquet_sampler_spark.queries import _OP_RATIO, _OP_SEED
+    from parquet_sampler_spark.queries_ext import _q_streaming_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in _q_streaming_sample(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sample_threshold(
+            spark.read.parquet(f"{sf}/orders.parquet"), _OP_RATIO,
+            key_cols=["o_orderkey"], seed=_OP_SEED,
+        ).collect()
+    )
+    assert got == want and got
