@@ -448,39 +448,7 @@ def _q_star_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the checksum is the portable Lehmer fold over each
     member's (verified-unique) key columns — BIT_XOR plus a 20-bit
     residue sum, exact integers in both engines."""
-    s = lineitem_sample(spark, sf_dir)
-    o = orders_reduced(spark, sf_dir)
-    c = customer_reduced(spark, sf_dir)
-    n = semi_join_reduce(
-        table(spark, sf_dir, "nation"), "n_nationkey", c, "c_nationkey"
-    )
-    r = semi_join_reduce(
-        table(spark, sf_dir, "region"), "r_regionkey", n, "n_regionkey"
-    )
-    p = semi_join_reduce(
-        table(spark, sf_dir, "part"), "p_partkey", s, "l_partkey"
-    )
-    su = semi_join_reduce(
-        table(spark, sf_dir, "supplier"), "s_suppkey", s, "l_suppkey"
-    )
-    li_keys = [
-        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"),
-        F.col("l_suppkey"),
-        F.round(F.col("l_quantity") * 100).cast("bigint"),
-    ]
-    parts = [
-        _snap_fp(s, "lineitem_sample", li_keys),
-        _snap_fp(o, "orders", [F.col("o_orderkey")]),
-        _snap_fp(c, "customer", [F.col("c_custkey")]),
-        _snap_fp(n, "nation", [F.col("n_nationkey")]),
-        _snap_fp(r, "region", [F.col("r_regionkey")]),
-        _snap_fp(p, "part", [F.col("p_partkey")]),
-        _snap_fp(su, "supplier", [F.col("s_suppkey")]),
-    ]
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionAll(x)
-    return out
+    return _star_manifest(spark, sf_dir, SAMPLE_SEED)
 
 
 def _sql_star_snapshot() -> str:
@@ -517,6 +485,154 @@ def _sql_star_snapshot() -> str:
         + " UNION ALL " + fp("region", "region_red", ["r_regionkey"])
         + " UNION ALL " + fp("part", "part_red", ["p_partkey"])
         + " UNION ALL " + fp("supplier", "supplier_red", ["s_suppkey"])
+    )
+
+
+def _star_manifest(
+    spark: SparkSession, sf_dir: str, seed: int
+) -> DataFrame:
+    """The star_snapshot manifest for an arbitrary sample seed (the
+    registered row's seed-:data:`SAMPLE_SEED` path reuses the session
+    cache; other seeds build the sample fresh)."""
+    if seed == SAMPLE_SEED:
+        s = lineitem_sample(spark, sf_dir)
+    else:
+        from parquet_sampler_spark.sources.io import metadata_row_count
+
+        s = sample_exact(
+            table(spark, sf_dir, "lineitem"), SAMPLE_RATIO, seed=seed,
+            key_cols=["l_orderkey", "l_linenumber"],
+            tie_cols=_LINEITEM_TIE,
+            total_rows=metadata_row_count(f"{sf_dir}/lineitem.parquet"),
+        )
+    o = semi_join_reduce(
+        table(spark, sf_dir, "orders"), "o_orderkey", s, "l_orderkey"
+    )
+    c = semi_join_reduce(
+        table(spark, sf_dir, "customer"), "c_custkey", o, "o_custkey"
+    )
+    n = semi_join_reduce(
+        table(spark, sf_dir, "nation"), "n_nationkey", c, "c_nationkey"
+    )
+    r = semi_join_reduce(
+        table(spark, sf_dir, "region"), "r_regionkey", n, "n_regionkey"
+    )
+    p = semi_join_reduce(
+        table(spark, sf_dir, "part"), "p_partkey", s, "l_partkey"
+    )
+    su = semi_join_reduce(
+        table(spark, sf_dir, "supplier"), "s_suppkey", s, "l_suppkey"
+    )
+    li_keys = [
+        F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.round(F.col("l_quantity") * 100).cast("bigint"),
+    ]
+    parts = [
+        _snap_fp(s, "lineitem_sample", li_keys),
+        _snap_fp(o, "orders", [F.col("o_orderkey")]),
+        _snap_fp(c, "customer", [F.col("c_custkey")]),
+        _snap_fp(n, "nation", [F.col("n_nationkey")]),
+        _snap_fp(r, "region", [F.col("r_regionkey")]),
+        _snap_fp(p, "part", [F.col("p_partkey")]),
+        _snap_fp(su, "supplier", [F.col("s_suppkey")]),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+_DRIFT_SEED = 43
+
+
+def _q_star_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy composed with the workflow (r12): fingerprint two
+    snapshot VERSIONS (sample seeds 42 vs 43 — e.g. yesterday's and
+    today's refresh) and diff the manifests into the repair worklist —
+    exactly which snapshot members actually changed and need
+    re-shipping. ``operators/integrity.fingerprint_diff`` does the
+    comparison (full-outer join over the ≤7-row manifests — driver-
+    trivial at any table size); members whose reduced content is
+    IDENTICAL under both seeds (the small dims whose keys are fully
+    covered either way) drop out of the worklist — the bytes a naive
+    re-publish would ship for nothing."""
+    from parquet_sampler_spark.operators.integrity import fingerprint_diff
+
+    fa = _star_manifest(spark, sf_dir, SAMPLE_SEED).withColumnRenamed(
+        "tbl", "bucket"
+    )
+    fb = _star_manifest(spark, sf_dir, _DRIFT_SEED).withColumnRenamed(
+        "tbl", "bucket"
+    )
+    return fingerprint_diff(fa, fb).withColumnRenamed("bucket", "tbl")
+
+
+def _star_ctes(prefix: str, seed: int) -> str:
+    """The full star-reduction CTE chain with every relation name
+    prefixed — lets two seeds' chains coexist in one oracle query."""
+    names = [
+        "lineitem_sample", "orders_red", "customer_red", "nation_red",
+        "region_red", "part_red", "supplier_red",
+    ]
+    chain = (
+        f"{_sample_cte(seed=seed)}, {_ORDERS_RED_CTE}, "
+        f"{_CUSTOMER_RED_CTE}, "
+        "nation_red AS (SELECT n.* FROM nation n WHERE EXISTS "
+        "(SELECT 1 FROM customer_red c WHERE c.c_nationkey = n.n_nationkey)), "
+        "region_red AS (SELECT r.* FROM region r WHERE EXISTS "
+        "(SELECT 1 FROM nation_red n WHERE n.n_regionkey = r.r_regionkey)), "
+        "part_red AS (SELECT p.* FROM part p WHERE EXISTS "
+        "(SELECT 1 FROM lineitem_sample s WHERE s.l_partkey = p.p_partkey)), "
+        "supplier_red AS (SELECT su.* FROM supplier su WHERE EXISTS "
+        "(SELECT 1 FROM lineitem_sample s WHERE s.l_suppkey = su.s_suppkey))"
+    )
+    for n in names:
+        chain = chain.replace(n, f"{prefix}{n}")
+    return chain
+
+
+def _star_fp_union(prefix: str) -> str:
+    def fp(tbl: str, rel: str, cols: list[str]) -> str:
+        h = lehmer_hash_sql(cols, _SNAP_SEED)
+        return (
+            f"SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash, "
+            f"CAST(COALESCE(sum(h % {_SNAP_RESIDUE}), 0) AS BIGINT) "
+            f"AS sum_hash "
+            f"FROM (SELECT {h} AS h FROM {prefix}{rel})"
+        )
+
+    li_cols = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "CAST(round(l_quantity * 100) AS BIGINT)",
+    ]
+    return (
+        fp("lineitem_sample", "lineitem_sample", li_cols)
+        + " UNION ALL " + fp("orders", "orders_red", ["o_orderkey"])
+        + " UNION ALL " + fp("customer", "customer_red", ["c_custkey"])
+        + " UNION ALL " + fp("nation", "nation_red", ["n_nationkey"])
+        + " UNION ALL " + fp("region", "region_red", ["r_regionkey"])
+        + " UNION ALL " + fp("part", "part_red", ["p_partkey"])
+        + " UNION ALL " + fp("supplier", "supplier_red", ["s_suppkey"])
+    )
+
+
+def _sql_star_snapshot_drift() -> str:
+    return (
+        f"WITH {_star_ctes('a_', SAMPLE_SEED)}, "
+        f"{_star_ctes('b_', _DRIFT_SEED)}, "
+        f"fa AS ({_star_fp_union('a_')}), "
+        f"fb AS ({_star_fp_union('b_')}) "
+        "SELECT COALESCE(fa.tbl, fb.tbl) AS tbl, "
+        "fa.n_rows AS a_rows, fa.xor_hash AS a_xor, "
+        "fa.sum_hash AS a_sum, "
+        "fb.n_rows AS b_rows, fb.xor_hash AS b_xor, "
+        "fb.sum_hash AS b_sum "
+        "FROM fa FULL OUTER JOIN fb ON fa.tbl = fb.tbl "
+        "WHERE NOT (fa.n_rows IS NOT DISTINCT FROM fb.n_rows "
+        "AND fa.xor_hash IS NOT DISTINCT FROM fb.xor_hash "
+        "AND fa.sum_hash IS NOT DISTINCT FROM fb.sum_hash)"
     )
 
 
@@ -590,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin_orders_nullsafe": _q_semijoin_orders_nullsafe,
         "semijoin_orders_shuffle": _q_semijoin_orders_shuffle,
         "star_snapshot": _q_star_snapshot,
+        "star_snapshot_drift": _q_star_snapshot_drift,
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
         "sample_order_preserving": _q_sample_order_preserving,
@@ -651,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(o.o_orderkey AS VARCHAR))"
         ),
         "star_snapshot": _sql_star_snapshot(),
+        "star_snapshot_drift": _sql_star_snapshot_drift(),
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
         "sample_order_preserving": _sql_sample_order_preserving(),

@@ -153,3 +153,30 @@ def test_star_snapshot_manifest_consistent(spark):
     ).collect()[0]
     assert (fp0.xor_hash, fp0.sum_hash) != (fp1.xor_hash, fp1.sum_hash)
     assert fp0.n_rows == fp1.n_rows
+
+
+def test_star_snapshot_drift_worklist(spark):
+    """Drift between two snapshot versions: the sample-derived members
+    must appear in the worklist (different seeds sample different
+    rows); identical manifests diff to empty."""
+    from parquet_sampler_spark.queries import (
+        SAMPLE_SEED,
+        _q_star_snapshot_drift,
+        _star_manifest,
+    )
+    from parquet_sampler_spark.operators.integrity import fingerprint_diff
+
+    sf = "/root/testdata/sf0.001"
+    drift = {r.tbl for r in _q_star_snapshot_drift(spark, sf).collect()}
+    assert "lineitem_sample" in drift and "orders" in drift
+    assert drift <= {
+        "lineitem_sample", "orders", "customer", "nation", "region",
+        "part", "supplier",
+    }
+    same = fingerprint_diff(
+        _star_manifest(spark, sf, SAMPLE_SEED).withColumnRenamed(
+            "tbl", "bucket"),
+        _star_manifest(spark, sf, SAMPLE_SEED).withColumnRenamed(
+            "tbl", "bucket"),
+    )
+    assert same.count() == 0
