@@ -497,14 +497,18 @@ def _star_manifest(
     if seed == SAMPLE_SEED:
         s = lineitem_sample(spark, sf_dir)
     else:
+        from parquet_sampler_spark.plans.cache import persist as _persist
         from parquet_sampler_spark.sources.io import metadata_row_count
 
-        s = sample_exact(
+        # persisted like the seed-42 session cache: the sample subtree
+        # feeds 5 of the 7 manifest branches — unpersisted it would
+        # re-run the sampler per branch
+        s = _persist(sample_exact(
             table(spark, sf_dir, "lineitem"), SAMPLE_RATIO, seed=seed,
             key_cols=["l_orderkey", "l_linenumber"],
             tie_cols=_LINEITEM_TIE,
             total_rows=metadata_row_count(f"{sf_dir}/lineitem.parquet"),
-        )
+        ))
     o = semi_join_reduce(
         table(spark, sf_dir, "orders"), "o_orderkey", s, "l_orderkey"
     )
