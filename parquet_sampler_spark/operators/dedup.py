@@ -916,6 +916,42 @@ def minhash_probe_pairs(
     )
 
 
+def exact_dup_probe(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Incremental EXACT dedup: which batch rows are verbatim copies
+    (on ``cols``) of something already in the corpus? Emits
+    ``(batch id under id_col, dup_of = smallest matching corpus id)``
+    — the cheapest gate in the incremental-ingest stack, run before
+    the near-dup probes.
+
+    Scale shape: the corpus side collapses to one (fingerprint,
+    min id) row per DISTINCT value — the standing exact-dup index, a
+    map-side-partial aggregate whose output is bounded by distinct
+    content, persisted like the MinHash index. The join ships
+    128-bit MD5 fingerprints, never the content columns themselves
+    (at 100 TB the text column is the thing you cannot afford to
+    shuffle; an md5 collision is ~2^-64 at any realistic corpus).
+    """
+    # unit-separator-joined so multi-column values cannot alias
+    # across the boundary (("ab","c") vs ("a","bc")); NULLs are
+    # skipped by concat_ws in both engines
+    fp = F.md5(F.concat_ws(chr(31), *[F.col(c) for c in cols]))
+    idx = _persist(
+        corpus.select(fp.alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("dup_of"))
+    )
+    return (
+        batch.select(F.col(id_col), fp.alias("__fp"))
+        .join(idx, "__fp")
+        .select(F.col(id_col), "dup_of")
+    )
+
+
 def minhash_admit_batch(
     corpus: DataFrame,
     batch: DataFrame,

@@ -1196,6 +1196,62 @@ def _q_minhash_incremental(spark, sf_dir):
     )
 
 
+def _q_dedup_exact_incremental(spark, sf_dir):
+    """The cheapest gate in the incremental-ingest stack (r12): which
+    batch docs are VERBATIM copies of standing-corpus text? The corpus
+    collapses to a persisted (md5, min id) index — bounded by distinct
+    content — and the join ships 128-bit fingerprints, never the text
+    (operators/dedup.exact_dup_probe). Same split as the near-dup
+    probes. Oracle: DuckDB's md5 over the identical concat — the
+    fingerprint pipeline is replicated end-to-end, not approximated."""
+    from parquet_sampler_spark.operators.dedup import exact_dup_probe
+
+    docs = _t(spark, sf_dir, "documents")
+    is_batch = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    corpus = docs.filter(~is_batch)
+    # the gate corpus has no verbatim cross-split copies, so the
+    # re-crawl case is planted deterministically: every 30th batch doc
+    # carries its corpus neighbor's text verbatim (doc_id+1 is always
+    # corpus-side), replayed identically in the oracle — the
+    # dq_quarantine injection pattern
+    donor = corpus.select(
+        F.col("doc_id").alias("__did"), F.col("text").alias("__dtext")
+    )
+    batch = (
+        docs.filter(is_batch)
+        .join(donor, F.col("doc_id") + 1 == F.col("__did"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.pmod(F.col("doc_id"), F.lit(30)) == 0)
+                & F.col("__dtext").isNotNull(),
+                F.col("__dtext"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return exact_dup_probe(
+        corpus, batch, "doc_id", ["text"],
+    ).select(F.col("doc_id").alias("batch_id"), "dup_of")
+
+
+_SQL_DEDUP_EXACT_INCREMENTAL = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+batch AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 30 = 0 AND d.text IS NOT NULL
+              THEN d.text ELSE b.text END AS text
+  FROM documents b LEFT JOIN corpus d ON d.doc_id = b.doc_id + 1
+  WHERE b.doc_id % 10 = 0
+),
+cidx AS (
+  SELECT md5(concat_ws(chr(31), text)) AS fp, MIN(doc_id) AS dup_of
+  FROM corpus GROUP BY 1
+)
+SELECT b.doc_id AS batch_id, cidx.dup_of
+FROM batch b JOIN cidx ON md5(concat_ws(chr(31), b.text)) = cidx.fp
+"""
+
+
 def _q_minhash_admit(spark, sf_dir):
     """The full incremental-ingest decision (the other half of
     minhash_incremental): which batch documents get APPENDED to the
@@ -2676,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "minhash_incremental": _q_minhash_incremental,
         "minhash_admit": _q_minhash_admit,
+        "dedup_exact_incremental": _q_dedup_exact_incremental,
         "minhash_pairs_weighted": _q_minhash_pairs_weighted,
         "minhash_pairs_weighted_win": _q_minhash_pairs_weighted_win,
         "simhash_pairs": _q_simhash_pairs,
@@ -2799,6 +2856,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _SQL_JACCARD_PAIRS,
         "minhash_incremental": _SQL_MINHASH_INCREMENTAL,
         "minhash_admit": _SQL_MINHASH_ADMIT,
+        "dedup_exact_incremental": _SQL_DEDUP_EXACT_INCREMENTAL,
         "minhash_pairs_weighted": _sql_minhash_pairs_weighted(),
         "minhash_pairs_weighted_win": _sql_minhash_pairs_weighted(),
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,

@@ -1123,3 +1123,37 @@ def test_minhash_admit_batch_rules(split_docs, spark):
     # 10 dups corpus 1/2; 11 dups corpus 3; 13 dups senior 12 -> only
     # 12 (the novel senior) is admitted
     assert admitted == [12]
+
+
+def test_exact_dup_probe_semantics(spark):
+    """Verbatim batch copies map to the SMALLEST matching corpus id;
+    multi-column fingerprints cannot alias across the separator."""
+    from parquet_sampler_spark.operators.dedup import exact_dup_probe
+
+    corpus = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "same text"), (11, "novel")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.dup_of)
+        for r in exact_dup_probe(corpus, batch, "doc_id", ["text"])
+        .collect()
+    }
+    assert got == {(10, 1)}  # min corpus id wins; novel emits nothing
+
+    c2 = spark.createDataFrame(
+        [(1, "ab", "c")], "doc_id long, a string, b string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "a", "bc"), (11, "ab", "c")],
+        "doc_id long, a string, b string",
+    )
+    got2 = {
+        (r.doc_id, r.dup_of)
+        for r in exact_dup_probe(c2, b2, "doc_id", ["a", "b"]).collect()
+    }
+    assert got2 == {(11, 1)}  # ("a","bc") must NOT alias ("ab","c")
