@@ -1196,24 +1196,15 @@ def _q_minhash_incremental(spark, sf_dir):
     )
 
 
-def _q_dedup_exact_incremental(spark, sf_dir):
-    """The cheapest gate in the incremental-ingest stack (r12): which
-    batch docs are VERBATIM copies of standing-corpus text? The corpus
-    collapses to a persisted (md5, min id) index — bounded by distinct
-    content — and the join ships 128-bit fingerprints, never the text
-    (operators/dedup.exact_dup_probe). Same split as the near-dup
-    probes. Oracle: DuckDB's md5 over the identical concat — the
-    fingerprint pipeline is replicated end-to-end, not approximated."""
-    from parquet_sampler_spark.operators.dedup import exact_dup_probe
-
+def _incremental_split(spark, sf_dir):
+    """The shared corpus/batch split of the incremental-ingest rows:
+    every 10th doc is the NEW batch, and every 30th batch doc carries
+    its corpus neighbor's text VERBATIM (doc_id+1 is always
+    corpus-side) — the deterministic re-crawl planting the exact gate
+    needs, replayed identically in every oracle."""
     docs = _t(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id"), F.lit(10)) == 0
-    corpus = docs.filter(~is_batch)
-    # the gate corpus has no verbatim cross-split copies, so the
-    # re-crawl case is planted deterministically: every 30th batch doc
-    # carries its corpus neighbor's text verbatim (doc_id+1 is always
-    # corpus-side), replayed identically in the oracle — the
-    # dq_quarantine injection pattern
+    corpus = docs.filter(~is_batch).select("doc_id", "text")
     donor = corpus.select(
         F.col("doc_id").alias("__did"), F.col("text").alias("__dtext")
     )
@@ -1229,6 +1220,20 @@ def _q_dedup_exact_incremental(spark, sf_dir):
             ).otherwise(F.col("text")).alias("text"),
         )
     )
+    return corpus, batch
+
+
+def _q_dedup_exact_incremental(spark, sf_dir):
+    """The cheapest gate in the incremental-ingest stack (r12): which
+    batch docs are VERBATIM copies of standing-corpus text? The corpus
+    collapses to a persisted (md5, min id) index — bounded by distinct
+    content — and the join ships 128-bit fingerprints, never the text
+    (operators/dedup.exact_dup_probe). Same split as the near-dup
+    probes. Oracle: DuckDB's md5 over the identical concat — the
+    fingerprint pipeline is replicated end-to-end, not approximated."""
+    from parquet_sampler_spark.operators.dedup import exact_dup_probe
+
+    corpus, batch = _incremental_split(spark, sf_dir)
     return exact_dup_probe(
         corpus, batch, "doc_id", ["text"],
     ).select(F.col("doc_id").alias("batch_id"), "dup_of")
@@ -1249,6 +1254,123 @@ cidx AS (
 )
 SELECT b.doc_id AS batch_id, cidx.dup_of
 FROM batch b JOIN cidx ON md5(concat_ws(chr(31), b.text)) = cidx.fp
+"""
+
+
+def _q_curation_incremental(spark, sf_dir):
+    """The incremental-ingest journey END TO END as one plan (r12, the
+    session's capstone composite, mirroring curation_pipeline's
+    precedent): a new crawl batch passes (1) the exact verbatim gate
+    (md5 index probe — the planted re-crawls die here), (2) the
+    near-dup admission decision (MinHash index probe + batch-internal
+    senior rule), and (3) CCNet-style rarity scoring against the
+    CORPUS-fitted unigram model (cross-corpus mode: unseen tokens take
+    the OOV rarity), emitting each admitted doc's quality record with
+    its keep verdict. Every stage is standing-state-shaped: the md5
+    and MinHash indexes and the rarity model are all corpus artifacts
+    a deployment persists; per-batch cost is the probes + scoring.
+    The oracle replays all three stages in SQL — exact fingerprints,
+    exact threshold pairs with the admission predicate, exact-integer
+    rarity with OOV coalesce."""
+    from parquet_sampler_spark.operators.dedup import (
+        exact_dup_probe,
+        minhash_admit_batch,
+    )
+    from parquet_sampler_spark.operators.quality import unigram_rarity
+
+    corpus, batch = _incremental_split(spark, sf_dir)
+    losers_e = exact_dup_probe(
+        corpus, batch, "doc_id", ["text"]
+    ).select("doc_id")
+    survivors = batch.join(losers_e, "doc_id", "left_anti")
+    admitted = minhash_admit_batch(
+        corpus, survivors, "doc_id", "text",
+        n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
+    )
+    return unigram_rarity(
+        admitted, "doc_id", "text",
+        scale=_RARITY_SCALE, keep_below=_RARITY_KEEP_BELOW,
+        fit_df=corpus,
+    )
+
+
+def _sql_curation_incremental() -> str:
+    grams = TX.word_ngrams_sql("text", 2, distinct=True)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+),
+bdocs AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 30 = 0 AND d.text IS NOT NULL
+              THEN d.text ELSE b.text END AS text
+  FROM documents b LEFT JOIN corpus d ON d.doc_id = b.doc_id + 1
+  WHERE b.doc_id % 10 = 0
+),
+cidx AS (
+  SELECT DISTINCT md5(concat_ws(chr(31), text)) AS fp FROM corpus
+),
+surv AS (
+  SELECT s.doc_id, s.text FROM bdocs s
+  WHERE md5(concat_ws(chr(31), s.text)) NOT IN (SELECT fp FROM cidx)
+),
+uni AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL SELECT doc_id, text FROM surv
+),
+shingles AS (
+  SELECT doc_id, unnest({grams}) AS shingle FROM uni
+),
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+jp AS (
+  SELECT id_a, id_b,
+         CAST(common AS DOUBLE) /
+         CAST(sa.set_size + sb.set_size - common AS DOUBLE) AS jaccard
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+),
+adm AS (
+  SELECT s.doc_id, s.text FROM surv s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM jp
+    WHERE jaccard >= {_JACCARD_T}
+      AND (id_b = s.doc_id
+           OR (id_a = s.doc_id AND id_b % 10 <> 0))
+  )
+),
+rtoks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM corpus WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+rvocab AS (SELECT tok, count(*) AS cnt FROM rtoks GROUP BY tok),
+rtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM rvocab),
+rrar AS (
+  SELECT tok, CAST((SELECT total FROM rtot) // cnt AS BIGINT) AS rarity
+  FROM rvocab
+),
+htoks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+  FROM adm WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+hscore AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(rrar.rarity,
+                           (SELECT total FROM rtot) // 1)) AS BIGINT)
+           AS sum_rarity
+  FROM htoks LEFT JOIN rrar USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, sum_rarity,
+       CAST(({_RARITY_SCALE} * sum_rarity) // n_tokens AS BIGINT)
+         AS mean_rarity_scaled,
+       ({_RARITY_SCALE} * sum_rarity) // n_tokens
+         <= {_RARITY_KEEP_BELOW} AS kept
+FROM hscore
 """
 
 
@@ -2733,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "minhash_admit": _q_minhash_admit,
         "dedup_exact_incremental": _q_dedup_exact_incremental,
+        "curation_incremental": _q_curation_incremental,
         "minhash_pairs_weighted": _q_minhash_pairs_weighted,
         "minhash_pairs_weighted_win": _q_minhash_pairs_weighted_win,
         "simhash_pairs": _q_simhash_pairs,
@@ -2857,6 +2980,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_incremental": _SQL_MINHASH_INCREMENTAL,
         "minhash_admit": _SQL_MINHASH_ADMIT,
         "dedup_exact_incremental": _SQL_DEDUP_EXACT_INCREMENTAL,
+        "curation_incremental": _sql_curation_incremental(),
         "minhash_pairs_weighted": _sql_minhash_pairs_weighted(),
         "minhash_pairs_weighted_win": _sql_minhash_pairs_weighted(),
         "multimodal_frames": _SQL_MULTIMODAL_FRAMES,

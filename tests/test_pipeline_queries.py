@@ -210,3 +210,41 @@ def test_persist_registry_dedups_semantically_equal_plans(spark):
     assert cache._PERSISTED[-1][1] is pa
     cache.clear()
     assert not cache._PERSISTED
+
+
+def test_curation_incremental_stage_accounting(spark):
+    """Every batch doc is accounted for exactly once across the three
+    stages: exact-gate loser, near-dup loser, or admitted-and-scored."""
+    from parquet_sampler_spark.operators.dedup import (
+        exact_dup_probe,
+        minhash_admit_batch,
+    )
+    from parquet_sampler_spark.queries_ext import (
+        _JACCARD_N,
+        _JACCARD_T,
+        _incremental_split,
+        _q_curation_incremental,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    corpus, batch = _incremental_split(spark, sf)
+    n_batch = batch.count()
+    exact_losers = {
+        r.doc_id
+        for r in exact_dup_probe(corpus, batch, "doc_id", ["text"])
+        .select("doc_id").distinct().collect()
+    }
+    scored = {r.doc_id for r in _q_curation_incremental(spark, sf).collect()}
+    survivors = batch.filter(~batch.doc_id.isin(list(exact_losers)))
+    admitted = {
+        r.doc_id
+        for r in minhash_admit_batch(
+            corpus, survivors, "doc_id", "text",
+            n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
+        ).collect()
+    }
+    assert scored == admitted
+    assert exact_losers and scored
+    assert not (exact_losers & scored)
+    neardup_losers = n_batch - len(exact_losers) - len(scored)
+    assert neardup_losers >= 0

@@ -717,6 +717,28 @@ def main() -> int:
                   "CartesianProduct", "BatchEvalPython"],
     )
 
+    # 42d. exact verbatim gate (r12): probe joins the PERSISTED
+    # (md5, min id) index — fingerprints only, no text shuffle, no
+    # Python anywhere
+    check(
+        "dedup_exact_incremental",
+        R.queries()["dedup_exact_incremental"](spark, sf_dir),
+        must_contain=["InMemoryTableScan"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython", "SortMergeJoin"],
+    )
+
+    # 42e. snapshot drift (r12): both manifests keep star_snapshot's
+    # broadcast semi-join shape; the diff is a 7-row full-outer join —
+    # nothing may degrade to sort-merge/cartesian
+    check(
+        "star_snapshot_drift",
+        R.queries()["star_snapshot_drift"](spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "LeftSemi"],
+        must_not=["CartesianProduct", "BatchEvalPython",
+                  "ArrowEvalPython"],
+    )
+
     # 43. bigram rarity with backoff (r12): both model tables broadcast
     # back onto the per-row bigram stream; no Python, no cartesian
     # beyond the broadcast 1-row totals
