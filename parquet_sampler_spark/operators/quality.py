@@ -453,9 +453,15 @@ def _score_bigram_inline(
             toks = t.str.split(" ")
             ex = toks.explode()
             w = pd.DataFrame({"row": ex.index, "w1": ex.values})
-            # consecutive pairs: shift within document — columnar
-            w["w2"] = w.groupby("row")["w1"].shift(-1)
-            w = w.dropna(subset=["w2"])
+            # consecutive pairs via ONE global shift + boundary mask —
+            # a row pairs with its successor iff both belong to the
+            # same document, so masking on the shifted row label is
+            # exactly the per-doc shift without pandas' groupby.shift
+            # (measured 4.5× slower than the join path at sf10; the
+            # groupby was the hot spot — the global-shift form is
+            # pure vectorized ops)
+            w["w2"] = w["w1"].shift(-1)
+            w = w[w["row"].eq(w["row"].shift(-1)).fillna(False)]
             if w.empty:
                 yield empty
                 continue
