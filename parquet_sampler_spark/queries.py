@@ -488,12 +488,10 @@ def _sql_star_snapshot() -> str:
     )
 
 
-def _star_manifest(
-    spark: SparkSession, sf_dir: str, seed: int
-) -> DataFrame:
-    """The star_snapshot manifest for an arbitrary sample seed (the
-    registered row's seed-:data:`SAMPLE_SEED` path reuses the session
-    cache; other seeds build the sample fresh)."""
+def _star_members(spark: SparkSession, sf_dir: str, seed: int):
+    """The seven snapshot members as ``(tbl, df, key_cols)`` triples —
+    shared by the one-plan manifest, the drift diff, and the sink
+    round-trip row."""
     if seed == SAMPLE_SEED:
         s = lineitem_sample(spark, sf_dir)
     else:
@@ -532,19 +530,56 @@ def _star_manifest(
         F.col("l_suppkey"),
         F.round(F.col("l_quantity") * 100).cast("bigint"),
     ]
+    return [
+        ("lineitem_sample", s, li_keys),
+        ("orders", o, [F.col("o_orderkey")]),
+        ("customer", c, [F.col("c_custkey")]),
+        ("nation", n, [F.col("n_nationkey")]),
+        ("region", r, [F.col("r_regionkey")]),
+        ("part", p, [F.col("p_partkey")]),
+        ("supplier", su, [F.col("s_suppkey")]),
+    ]
+
+
+def _star_manifest(
+    spark: SparkSession, sf_dir: str, seed: int
+) -> DataFrame:
+    """The star_snapshot manifest for an arbitrary sample seed (the
+    registered row's seed-:data:`SAMPLE_SEED` path reuses the session
+    cache; other seeds build the sample fresh)."""
     parts = [
-        _snap_fp(s, "lineitem_sample", li_keys),
-        _snap_fp(o, "orders", [F.col("o_orderkey")]),
-        _snap_fp(c, "customer", [F.col("c_custkey")]),
-        _snap_fp(n, "nation", [F.col("n_nationkey")]),
-        _snap_fp(r, "region", [F.col("r_regionkey")]),
-        _snap_fp(p, "part", [F.col("p_partkey")]),
-        _snap_fp(su, "supplier", [F.col("s_suppkey")]),
+        _snap_fp(df, tbl, keys)
+        for tbl, df, keys in _star_members(spark, sf_dir, seed)
     ]
     out = parts[0]
     for x in parts[1:]:
         out = out.unionAll(x)
     return out
+
+
+def _q_star_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL deliverable is FILES — `sample` writes
+    the sampled fact, each `join` writes a reduced dimension
+    (lib.rs:13-134, single row group). This row completes that
+    parity end to end: every snapshot member is WRITTEN through the
+    schema-preserving single-file sink, read BACK, and the manifest
+    is computed from the read-back relations. Oracle =
+    star_snapshot's SQL verbatim — identical hashes iff every value
+    of every member survived the write→read round trip, turning the
+    whole persisted-snapshot deliverable into one value-hash row
+    (the sink_roundtrip pattern, workflow-wide)."""
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    d = session_tmp_dir(spark, "star_sink")
+    parts = []
+    for tbl, df, keys in _star_members(spark, sf_dir, SAMPLE_SEED):
+        out = f"{d}/{tbl}.parquet"
+        write_parquet(df, out, single_file=True)
+        parts.append(_snap_fp(spark.read.parquet(out), tbl, keys))
+    out_df = parts[0]
+    for x in parts[1:]:
+        out_df = out_df.unionAll(x)
+    return out_df
 
 
 _DRIFT_SEED = 43
@@ -711,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin_orders_shuffle": _q_semijoin_orders_shuffle,
         "star_snapshot": _q_star_snapshot,
         "star_snapshot_drift": _q_star_snapshot_drift,
+        "star_snapshot_sink": _q_star_snapshot_sink,
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
         "sample_order_preserving": _q_sample_order_preserving,
@@ -773,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "star_snapshot": _sql_star_snapshot(),
         "star_snapshot_drift": _sql_star_snapshot_drift(),
+        "star_snapshot_sink": _sql_star_snapshot(),
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
         "sample_order_preserving": _sql_sample_order_preserving(),

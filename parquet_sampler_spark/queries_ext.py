@@ -3764,28 +3764,16 @@ def _stream_shuffle(spark, n: int | None = None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
-def _q_streaming_sample(spark, sf_dir):
-    """Stream/batch parity for the incremental sampler (r12): the
-    hash-threshold predicate is STATELESS — a row's membership depends
-    only on its own key — so the SAME operator call that samples a
-    table samples an unbounded stream with zero state and no
-    watermark. Orders is replayed as a file stream in two chunk files
-    (``maxFilesPerTrigger=1`` forces two microbatches — genuinely
-    incremental delivery), ``sample_threshold`` filters the stream,
-    and the drained output must equal the batch row's relation
-    EXACTLY: the oracle is sample_threshold's SQL verbatim. This is
-    the property the threshold form exists for — the exact-count
-    sampler re-ranks globally and CANNOT stream."""
+def _stream_sample_staging(spark, sf_dir) -> str:
+    """Stage orders as two chunk files for the streaming-sample
+    replay (idempotent per session tmp dir). Split out so the scale
+    harnesses can charge the staging WRITE — data-volume bound — to a
+    setup row and time the stream drain itself."""
     import glob
     import os
     import shutil
 
-    from parquet_sampler_spark.operators.sample import sample_threshold
-    from parquet_sampler_spark.queries import (
-        _OP_RATIO,
-        _OP_SEED,
-        session_tmp_dir,
-    )
+    from parquet_sampler_spark.queries import session_tmp_dir
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     d = session_tmp_dir(spark, f"stream_sample_{tag}")
@@ -3802,6 +3790,25 @@ def _q_streaming_sample(spark, sf_dir):
             part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
             shutil.move(part, os.path.join(data, f"chunk{k}.parquet"))
             shutil.rmtree(stage)
+    return data
+
+
+def _q_streaming_sample(spark, sf_dir):
+    """Stream/batch parity for the incremental sampler (r12): the
+    hash-threshold predicate is STATELESS — a row's membership depends
+    only on its own key — so the SAME operator call that samples a
+    table samples an unbounded stream with zero state and no
+    watermark. Orders is replayed as a file stream in two chunk files
+    (``maxFilesPerTrigger=1`` forces two microbatches — genuinely
+    incremental delivery), ``sample_threshold`` filters the stream,
+    and the drained output must equal the batch row's relation
+    EXACTLY: the oracle is sample_threshold's SQL verbatim. This is
+    the property the threshold form exists for — the exact-count
+    sampler re-ranks globally and CANNOT stream."""
+    from parquet_sampler_spark.operators.sample import sample_threshold
+    from parquet_sampler_spark.queries import _OP_RATIO, _OP_SEED
+
+    data = _stream_sample_staging(spark, sf_dir)
     schema = _t(spark, sf_dir, "orders").schema
     with _stream_shuffle(spark):
         src = (

@@ -90,6 +90,9 @@ FIXTURES: dict[str, str] = {
     # admit reuses the same standing state as the probe row; its
     # timed cost = index probe + batch-internal self-join + anti-joins
     "minhash_admit": "setup_minhash_index",
+    # the two-chunk staging WRITE is data-volume bound; the timed row
+    # should measure the stream drain
+    "streaming_sample": "setup_stream_chunks",
 }
 
 
@@ -148,6 +151,10 @@ def _fixture_builder(name: str):
             queries_ext._q_embedding_neardup_incremental(
                 spark, sf_dir
             ).count()
+        )
+    if name == "streaming_sample":
+        return lambda spark, sf_dir: queries_ext._stream_sample_staging(
+            spark, sf_dir
         )
     if name == "dup_triangles":
         # warm the shared LSH-verified pair graph (persisted per
