@@ -607,6 +607,55 @@ def _q_star_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_diff(fa, fb).withColumnRenamed("bucket", "tbl")
 
 
+def _q_star_snapshot_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Selective snapshot refresh — the anti-entropy loop CLOSED
+    (r12): yesterday's snapshot (seed 42) is fully materialized;
+    today's refresh (seed 43) re-publishes ONLY the members the
+    drift worklist names, overwriting them in place; the merged
+    store is read back and manifested. Oracle: the FULL seed-43
+    manifest — the selective re-publish must reproduce a from-scratch
+    refresh bit-for-bit, which also proves the worklist's negative
+    claims (a member it omits really is content-identical under both
+    versions; if it were not, the read-back manifest would
+    hash-mismatch). At 100 TB this is the difference between
+    re-shipping 7 tables and re-shipping the 4-5 that changed."""
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    d = session_tmp_dir(spark, "star_refresh")
+    v1 = {t: (df, k) for t, df, k in
+          _star_members(spark, sf_dir, SAMPLE_SEED)}
+    v2 = {t: (df, k) for t, df, k in
+          _star_members(spark, sf_dir, _DRIFT_SEED)}
+    # publish v1 in full
+    for tbl, (df, _) in v1.items():
+        write_parquet(df, f"{d}/{tbl}.parquet", single_file=True)
+    # the repair worklist (<= 7 rows, driver-trivial)
+    drifted = [
+        r.tbl for r in _q_star_snapshot_drift(spark, sf_dir).collect()
+    ]
+    # selective re-publish: only drifted members ship
+    for tbl in drifted:
+        df, _ = v2[tbl]
+        write_parquet(df, f"{d}/{tbl}.parquet", single_file=True)
+    parts = [
+        _snap_fp(spark.read.parquet(f"{d}/{tbl}.parquet"), tbl, k)
+        for tbl, (_, k) in v2.items()
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+def _sql_star_snapshot_refresh() -> str:
+    return (
+        f"WITH {_star_ctes('b_', _DRIFT_SEED)} "
+        + _star_fp_union("b_")
+    )
+
+
 def _star_ctes(prefix: str, seed: int) -> str:
     """The full star-reduction CTE chain with every relation name
     prefixed — lets two seeds' chains coexist in one oracle query."""
@@ -747,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_snapshot": _q_star_snapshot,
         "star_snapshot_drift": _q_star_snapshot_drift,
         "star_snapshot_sink": _q_star_snapshot_sink,
+        "star_snapshot_refresh": _q_star_snapshot_refresh,
         "projection_distinct": _q_projection_distinct,
         "metadata_counts": _q_metadata_counts,
         "sample_order_preserving": _q_sample_order_preserving,
@@ -810,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
         "star_snapshot": _sql_star_snapshot(),
         "star_snapshot_drift": _sql_star_snapshot_drift(),
         "star_snapshot_sink": _sql_star_snapshot(),
+        "star_snapshot_refresh": _sql_star_snapshot_refresh(),
         "projection_distinct": "SELECT DISTINCT o_custkey FROM orders",
         "metadata_counts": f"SELECT {counts_cols}",
         "sample_order_preserving": _sql_sample_order_preserving(),

@@ -180,3 +180,26 @@ def test_star_snapshot_drift_worklist(spark):
             "tbl", "bucket"),
     )
     assert same.count() == 0
+
+
+def test_star_snapshot_refresh_selective_equals_full(spark):
+    """The merged store (v1 + only-drifted re-publish) manifests
+    IDENTICALLY to a from-scratch v2 — and the worklist genuinely
+    skipped members (the selective claim is non-vacuous)."""
+    from parquet_sampler_spark.queries import (
+        _DRIFT_SEED,
+        _q_star_snapshot_drift,
+        _q_star_snapshot_refresh,
+        _star_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merged = sorted(
+        tuple(r) for r in _q_star_snapshot_refresh(spark, sf).collect()
+    )
+    full_v2 = sorted(
+        tuple(r) for r in _star_manifest(spark, sf, _DRIFT_SEED).collect()
+    )
+    assert merged == full_v2
+    n_drift = _q_star_snapshot_drift(spark, sf).count()
+    assert 0 < n_drift < 7  # something shipped, something was skipped
