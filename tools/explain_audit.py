@@ -739,6 +739,16 @@ def main() -> int:
                   "ArrowEvalPython"],
     )
 
+    # 42f. selective refresh (r12): reads back the merged store and
+    # fingerprints it — the read-back manifest must stay a pure
+    # scan + partial-agg union, no joins of any kind
+    check(
+        "star_snapshot_refresh",
+        R.queries()["star_snapshot_refresh"](spark, sf_dir),
+        must_not=["CartesianProduct", "SortMergeJoin",
+                  "BatchEvalPython", "ArrowEvalPython", "Window"],
+    )
+
     # 43. bigram rarity with backoff (r12): both model tables broadcast
     # back onto the per-row bigram stream; no Python, no cartesian
     # beyond the broadcast 1-row totals
