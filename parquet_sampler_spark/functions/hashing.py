@@ -66,7 +66,12 @@ def lehmer_hash(key_cols: list[str | Column], seed: int) -> Column:
     for col, mult in zip(key_cols, COLUMN_MULTIPLIERS):
         c = F.col(col) if isinstance(col, str) else col
         acc = acc + c.cast("bigint") * F.lit(mult)
-    inner = acc % F.lit(MODULUS)
+    # pmod, not %: both engines' % keeps the dividend's sign, so a
+    # negative key would yield a negative hash that passes every
+    # `< t` threshold (r12 ADVICE). pmod maps into [0, M) for any
+    # integer key; identical to % for the non-negative case. The
+    # outer combine needs no pmod — inner, sm, sa are all in [0, M).
+    inner = F.pmod(acc, F.lit(MODULUS))
     return (inner * F.lit(sm) + F.lit(sa)) % F.lit(MODULUS)
 
 
@@ -78,7 +83,12 @@ def lehmer_hash_sql(key_cols: list[str], seed: int) -> str:
         f"CAST({col} AS BIGINT) * {mult}"
         for col, mult in zip(key_cols, COLUMN_MULTIPLIERS)
     ]
-    inner = "(" + " + ".join(terms) + f") % {MODULUS}"
+    # portable pmod spelling (DuckDB has no pmod builtin); see the
+    # sign note in lehmer_hash — identical for non-negative keys
+    inner = (
+        "((" + " + ".join(terms) + f") % {MODULUS} + {MODULUS})"
+        f" % {MODULUS}"
+    )
     return f"(({inner}) * {sm} + {sa}) % {MODULUS}"
 
 

@@ -936,10 +936,25 @@ def exact_dup_probe(
     (at 100 TB the text column is the thing you cannot afford to
     shuffle; an md5 collision is ~2^-64 at any realistic corpus).
     """
-    # unit-separator-joined so multi-column values cannot alias
-    # across the boundary (("ab","c") vs ("a","bc")); NULLs are
-    # skipped by concat_ws in both engines
-    fp = F.md5(F.concat_ws(chr(31), *[F.col(c) for c in cols]))
+    # Per-column nullness is encoded explicitly ('v'+value vs 'n')
+    # BEFORE the unit-separator join: concat_ws silently skips NULLs
+    # in both engines, so without the tag ('a',NULL,'c') and
+    # ('a','c',NULL) — and NULL vs '' — would collapse to one
+    # fingerprint (r12 ADVICE). The separator still prevents
+    # cross-boundary aliasing (("ab","c") vs ("a","bc")); every
+    # encoded column is non-null, so all positions survive the join.
+    fp = F.md5(
+        F.concat_ws(
+            chr(31),
+            *[
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")),
+                    F.lit("n"),
+                )
+                for c in cols
+            ],
+        )
+    )
     idx = _persist(
         corpus.select(fp.alias("__fp"), F.col(id_col))
         .groupBy("__fp")

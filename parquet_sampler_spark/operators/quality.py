@@ -26,6 +26,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Driver-safety bound for the inline (model-shipped) scoring paths: a
+# CPython dict costs ~100 bytes/entry, so 2·10^7 entries ≈ 2 GB of
+# driver heap — past that the model no longer "ships everywhere" and
+# the broadcast/shuffle JOIN path is the right plan. The guard exists
+# because the 2^53 asserts bound value MAGNITUDE, not dictionary
+# CARDINALITY (r12 VERDICT): a boilerplate-free web corpus's bigram
+# vocabulary would OOM the driver before any magnitude assert fired.
+INLINE_VOCAB_MAX_ROWS = 20_000_000
+
+
+def _guard_inline_vocab(
+    model: DataFrame, what: str, bound: int | None = None
+) -> None:
+    """Raise before a driver ``.collect()`` of a model table whose row
+    count exceeds the driver-safe bound, naming the join path as the
+    escape. One cheap ``count()`` per (persisted) model table. The
+    bound is read at call time so deployments (and tests) can adjust
+    ``INLINE_VOCAB_MAX_ROWS`` module-wide."""
+    if bound is None:
+        bound = INLINE_VOCAB_MAX_ROWS
+    n = model.count()
+    if n > bound:
+        raise ValueError(
+            f"{what} has {n} rows > inline bound {bound}; collecting "
+            "it would exhaust driver memory — use the join path "
+            "(inline=False), which broadcasts or shuffle-joins the "
+            "model instead of shipping it through the driver"
+        )
+
+
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per token occurrence ``(id_col, tok)``; NULL / empty /
     whitespace-only documents contribute nothing (matching
@@ -113,7 +143,11 @@ def unigram_rarity(
         )
     )
     if inline:
-        scored = _score_inline(df, id_col, text_col, vocab, scale)
+        from parquet_sampler_spark.plans.cache import persist as _persist
+
+        scored = _score_inline(
+            df, id_col, text_col, _persist(vocab), scale
+        )
     else:
         if broadcast_vocab:
             rarity = F.broadcast(rarity)
@@ -191,6 +225,7 @@ def _score_inline(
 
     from pyspark.sql import types as T
 
+    _guard_inline_vocab(vocab, "unigram vocabulary")
     rows = vocab.collect()
     total = sum(r["cnt"] for r in rows)
     # The exactness contract below (rarity values survive the float64
@@ -270,6 +305,7 @@ def bigram_rarity_backoff(
     keep_below: int | None = None,
     fit_df: DataFrame | None = None,
     inline: bool = False,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Order-2 rarity with stupid-backoff: the exact-integer analog of
     a bigram LM quality score (the depth extension of
@@ -310,10 +346,12 @@ def bigram_rarity_backoff(
     (bigram rarity on ``bg``, unigram backoff on the extracted second
     word) over the bigram stream plus one per-document aggregation.
     A web-scale bigram vocabulary is larger than the unigram one
-    (~10⁸ rows can exceed broadcast) — the same AQE shuffle-join
-    escape as ``unigram_rarity(broadcast_vocab=False)`` applies; at
-    that scale ship ``penalty``-folded scores through the CCNet
-    inline shape instead.
+    (~10⁸ rows can exceed broadcast) — pass ``broadcast_vocab=False``
+    to drop the hints and let AQE pick shuffle joins for both model
+    tables, exactly ``unigram_rarity``'s escape. The inline shape is
+    NOT that escape: it collects BOTH model tables to the driver
+    (guarded at ``INLINE_VOCAB_MAX_ROWS``), so past broadcast capacity
+    the shuffle-join path is the only correct plan.
     """
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
@@ -361,9 +399,11 @@ def bigram_rarity_backoff(
     sb = _doc_bigrams(df, id_col, text_col).withColumn(
         "__w2", F.element_at(F.split(F.col("bg"), " "), 2)
     )
+    rar2_side = F.broadcast(rar2) if broadcast_vocab else rar2
+    rar1_side = F.broadcast(rar1) if broadcast_vocab else rar1
     scored = (
-        sb.join(F.broadcast(rar2), "bg", "left")
-        .join(F.broadcast(rar1), "__w2", "left")
+        sb.join(rar2_side, "bg", "left")
+        .join(rar1_side, "__w2", "left")
         .crossJoin(F.broadcast(tot1))
         .select(
             id_col,
@@ -420,6 +460,8 @@ def _score_bigram_inline(
 
     from pyspark.sql import types as T
 
+    _guard_inline_vocab(rar2, "bigram model")
+    _guard_inline_vocab(rar1, "unigram backoff model")
     d2 = {r["bg"]: r["__r2"] for r in rar2.collect()}
     d1 = {r["__w2"]: r["__r1"] for r in rar1.collect()}
     total1 = tot1.collect()[0]["__total1"]

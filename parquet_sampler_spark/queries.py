@@ -658,26 +658,41 @@ def _sql_star_snapshot_refresh() -> str:
 
 def _star_ctes(prefix: str, seed: int) -> str:
     """The full star-reduction CTE chain with every relation name
-    prefixed — lets two seeds' chains coexist in one oracle query."""
-    names = [
-        "lineitem_sample", "orders_red", "customer_red", "nation_red",
-        "region_red", "part_red", "supplier_red",
-    ]
-    chain = (
-        f"{_sample_cte(seed=seed)}, {_ORDERS_RED_CTE}, "
-        f"{_CUSTOMER_RED_CTE}, "
-        "nation_red AS (SELECT n.* FROM nation n WHERE EXISTS "
-        "(SELECT 1 FROM customer_red c WHERE c.c_nationkey = n.n_nationkey)), "
-        "region_red AS (SELECT r.* FROM region r WHERE EXISTS "
-        "(SELECT 1 FROM nation_red n WHERE n.n_regionkey = r.r_regionkey)), "
-        "part_red AS (SELECT p.* FROM part p WHERE EXISTS "
-        "(SELECT 1 FROM lineitem_sample s WHERE s.l_partkey = p.p_partkey)), "
-        "supplier_red AS (SELECT su.* FROM supplier su WHERE EXISTS "
-        "(SELECT 1 FROM lineitem_sample s WHERE s.l_suppkey = su.s_suppkey))"
+    prefixed — lets two seeds' chains coexist in one oracle query.
+
+    Built from a template with an explicit ``{P}`` placeholder at each
+    relation-NAME site, substituted once at the end — never a blind
+    replace of the bare names over the whole SQL text, which would
+    silently rewrite any future CTE body that contained one of the
+    seven names as a substring (column alias, string literal) and
+    corrupt the drift/refresh oracles (r12 ADVICE)."""
+    pr = lehmer_hash_sql(["l_orderkey", "l_linenumber"], seed)
+    tie = ", ".join(_LINEITEM_TIE)
+    tmpl = (
+        "{P}lineitem_sample AS ("
+        + f"SELECT {_LINEITEM_COLS} FROM ("
+        + f"SELECT *, row_number() OVER (ORDER BY {pr}, {tie}) AS psx_rn"
+        + " FROM lineitem) t WHERE psx_rn <= (SELECT CAST(floor("
+        + f"count(*) * {SAMPLE_RATIO}) AS BIGINT) FROM lineitem)), "
+        + "{P}orders_red AS (SELECT o.* FROM orders o WHERE EXISTS "
+        "(SELECT 1 FROM {P}lineitem_sample s "
+        "WHERE s.l_orderkey = o.o_orderkey)), "
+        "{P}customer_red AS (SELECT c.* FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM {P}orders_red o WHERE o.o_custkey = c.c_custkey)), "
+        "{P}nation_red AS (SELECT n.* FROM nation n WHERE EXISTS "
+        "(SELECT 1 FROM {P}customer_red c "
+        "WHERE c.c_nationkey = n.n_nationkey)), "
+        "{P}region_red AS (SELECT r.* FROM region r WHERE EXISTS "
+        "(SELECT 1 FROM {P}nation_red n "
+        "WHERE n.n_regionkey = r.r_regionkey)), "
+        "{P}part_red AS (SELECT p.* FROM part p WHERE EXISTS "
+        "(SELECT 1 FROM {P}lineitem_sample s "
+        "WHERE s.l_partkey = p.p_partkey)), "
+        "{P}supplier_red AS (SELECT su.* FROM supplier su WHERE EXISTS "
+        "(SELECT 1 FROM {P}lineitem_sample s "
+        "WHERE s.l_suppkey = su.s_suppkey))"
     )
-    for n in names:
-        chain = chain.replace(n, f"{prefix}{n}")
-    return chain
+    return tmpl.replace("{P}", prefix)
 
 
 def _star_fp_union(prefix: str) -> str:

@@ -1249,11 +1249,11 @@ batch AS (
   WHERE b.doc_id % 10 = 0
 ),
 cidx AS (
-  SELECT md5(concat_ws(chr(31), text)) AS fp, MIN(doc_id) AS dup_of
+  SELECT md5(concat_ws(chr(31), coalesce('v' || text, 'n'))) AS fp, MIN(doc_id) AS dup_of
   FROM corpus GROUP BY 1
 )
 SELECT b.doc_id AS batch_id, cidx.dup_of
-FROM batch b JOIN cidx ON md5(concat_ws(chr(31), b.text)) = cidx.fp
+FROM batch b JOIN cidx ON md5(concat_ws(chr(31), coalesce('v' || b.text, 'n'))) = cidx.fp
 """
 
 
@@ -1308,11 +1308,11 @@ bdocs AS (
   WHERE b.doc_id % 10 = 0
 ),
 cidx AS (
-  SELECT DISTINCT md5(concat_ws(chr(31), text)) AS fp FROM corpus
+  SELECT DISTINCT md5(concat_ws(chr(31), coalesce('v' || text, 'n'))) AS fp FROM corpus
 ),
 surv AS (
   SELECT s.doc_id, s.text FROM bdocs s
-  WHERE md5(concat_ws(chr(31), s.text)) NOT IN (SELECT fp FROM cidx)
+  WHERE md5(concat_ws(chr(31), coalesce('v' || s.text, 'n'))) NOT IN (SELECT fp FROM cidx)
 ),
 uni AS (
   SELECT doc_id, text FROM corpus
@@ -3779,7 +3779,16 @@ def _stream_sample_staging(spark, sf_dir) -> str:
     d = session_tmp_dir(spark, f"stream_sample_{tag}")
     data = os.path.join(d, "data")
     if not os.path.isdir(data):
-        os.makedirs(data)
+        # Stage BOTH chunks into a temp dir and rename it into place
+        # once complete: `data` existing is the done marker, so a
+        # failure between the two chunk writes must not leave a
+        # half-staged directory a later call would accept (r12
+        # ADVICE — the drain would then cover one chunk and mismatch
+        # its oracle). os.rename is atomic within the tmp filesystem.
+        pend = data + ".staging"
+        if os.path.isdir(pend):
+            shutil.rmtree(pend)
+        os.makedirs(pend)
         o = _t(spark, sf_dir, "orders")
         for k in (0, 1):
             stage = os.path.join(d, f"stage{k}")
@@ -3788,8 +3797,9 @@ def _stream_sample_staging(spark, sf_dir) -> str:
                 .coalesce(1).write.mode("overwrite").parquet(stage)
             )
             part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-            shutil.move(part, os.path.join(data, f"chunk{k}.parquet"))
+            shutil.move(part, os.path.join(pend, f"chunk{k}.parquet"))
             shutil.rmtree(stage)
+        os.rename(pend, data)
     return data
 
 
