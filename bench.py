@@ -51,7 +51,7 @@ SETUP_ROWS = frozenset({
     "setup_ivf_hier_model", "setup_ngram_warm",
     "setup_bpe_model", "setup_bpe_holdout_model",
     "setup_minhash_index", "setup_bigram_model",
-    "setup_embneardup_index",
+    "setup_embneardup_index", "setup_star_v1",
 })
 
 
@@ -184,6 +184,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_embedding_neardup_incremental(spark, sf_dir).count()
     times["setup_embneardup_index"] = round(time.perf_counter() - t0, 4)
+
+    # the v1 star-snapshot store is standing state (yesterday's
+    # snapshot already exists in a deployment): publish it once here
+    # so star_snapshot_refresh times drift-diff + selective
+    # re-publish + read-back, not the full v1 write (r12 VERDICT #4)
+    t0 = time.perf_counter()
+    registry._star_v1_store(spark, sf_dir)
+    times["setup_star_v1"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
     queries_ext._q_zorder_scan(spark, sf_dir).count()

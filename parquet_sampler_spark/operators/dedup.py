@@ -1727,6 +1727,108 @@ def bloom_decontaminate(
     return corpus.join(F.broadcast(confirmed), id_col, "left_anti")
 
 
+def _winnow_fps(
+    df: DataFrame, id_col: str, text_col: str, k: int, w: int
+) -> DataFrame:
+    """The winnowed-fingerprint relation ``(id_col, f)`` shared by
+    :func:`winnow_pairs` and :func:`winnow_fp_census`: hash every
+    ``k``-token gram, keep each ``w``-window's minimum, dedup per doc.
+    One per-row expression chain fused into the scan — no shuffle."""
+    from parquet_sampler_spark.functions.hashing import (
+        MODULUS,
+        mixed_string_hash,
+    )
+    from parquet_sampler_spark.plans.layout import spread
+
+    tk = F.split(F.trim(F.col(text_col)), " ")
+    th = F.transform(tk, lambda t: mixed_string_hash(t))
+    gh = (
+        f"transform(sequence(1, size(__th) - {k - 1}), "
+        f"i -> aggregate(slice(__th, i, {k}), 0L, "
+        f"(acc, x) -> (acc * 31 + x) % {MODULUS}L))"
+    )
+    wins = (
+        f"transform(sequence(1, size(__gh) - {w - 1}), "
+        f"i -> array_min(slice(__gh, i, {w})))"
+    )
+    return (
+        spread(df).select(F.col(id_col), th.alias("__th"))
+        .filter(F.size("__th") >= k + w - 1)
+        .select(F.col(id_col), F.expr(gh).alias("__gh"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(f"array_distinct({wins})")).alias("f"),
+        )
+    )
+
+
+def winnow_fp_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+    p: float = 0.999,
+    _fp: DataFrame | None = None,
+) -> dict:
+    """Cheap document-frequency census of the winnowed fingerprint
+    stream — the "calibrate, don't default" tool for
+    :func:`winnow_pairs`'s ``max_fp_df`` (r12 measured the need: the
+    uncapped hot-fp head grew 195 → 1,812 across the Heaps decade and
+    drove pair output to α 1.07; the right cap is a corpus property,
+    not a constant).
+
+    Cost: ONE df aggregation over the fingerprint stream plus the df
+    HISTOGRAM collapse (``groupBy(df).count()`` — bounded by distinct
+    df VALUES, a few thousand rows at any corpus size), from which the
+    exact tail quantile is derived driver-side. No sort of the
+    fingerprint table, nothing corpus-sized collected.
+
+    Returns ``{"n_fps", "max_df", "p_df", "recommended_cap"}`` where
+    ``p_df`` is the EXACT p-quantile of fingerprint dfs (value at rank
+    ``ceil(p·n)`` of the ascending df list — deterministic, and
+    replicated verbatim by the SQL oracle of the censused query) and
+    ``recommended_cap = max(p_df, 2)``: everything above the p99.9 df
+    is head-of-distribution boilerplate whose pairs grow Σdf²; the
+    floor keeps a degenerate all-singleton census from capping below
+    any shareable fingerprint.
+    """
+    import math
+
+    if not (0 < p < 1):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    fp = _fp if _fp is not None else _winnow_fps(
+        df, id_col, text_col, k, w
+    )
+    hist = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .groupBy("__df")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    items = sorted((r["__df"], r["__n"]) for r in hist)
+    if not items:
+        return {
+            "n_fps": 0, "max_df": 0, "p_df": 0, "recommended_cap": 2,
+        }
+    n = sum(c for _, c in items)
+    target = math.ceil(p * n)
+    cum = 0
+    p_df = items[-1][0]
+    for v, c in items:
+        cum += c
+        if cum >= target:
+            p_df = v
+            break
+    return {
+        "n_fps": n,
+        "max_df": items[-1][0],
+        "p_df": p_df,
+        "recommended_cap": max(p_df, 2),
+    }
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str,
@@ -1734,7 +1836,7 @@ def winnow_pairs(
     k: int = 4,
     w: int = 4,
     min_shared: int = 2,
-    max_fp_df: int | None = None,
+    max_fp_df: int | str | None = None,
 ) -> DataFrame:
     """Winnowing-fingerprint candidate pairs (Schleimer, Wilkerson &
     Aiken 2003 — the MOSS algorithm): document pairs sharing at least
@@ -1765,7 +1867,10 @@ def winnow_pairs(
     ``jaccard_pairs_capped`` contract, replicated in the oracle via
     GROUP BY…HAVING). A boilerplate run shared by d docs is d·(d−1)/2
     pairs BY DEFINITION — cap or pre-dedup when that is not the
-    question being asked.
+    question being asked. ``max_fp_df="census"`` calibrates the cap
+    from the corpus itself (:func:`winnow_fp_census`: the exact p99.9
+    of the fingerprint df distribution, one extra aggregate) — the
+    right default when the corpus's boilerplate head is unknown.
 
     Ties inside a window keep one value (minima compare VALUES; equal
     minima in overlapping windows dedup away) — both engines take
@@ -1777,32 +1882,20 @@ def winnow_pairs(
         raise ValueError(f"w must be >= 1, got {w}")
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    from parquet_sampler_spark.functions.hashing import (
-        MODULUS,
-        mixed_string_hash,
-    )
-    from parquet_sampler_spark.plans.layout import spread
-
-    tk = F.split(F.trim(F.col(text_col)), " ")
-    th = F.transform(tk, lambda t: mixed_string_hash(t))
-    gh = (
-        f"transform(sequence(1, size(__th) - {k - 1}), "
-        f"i -> aggregate(slice(__th, i, {k}), 0L, "
-        f"(acc, x) -> (acc * 31 + x) % {MODULUS}L))"
-    )
-    wins = (
-        f"transform(sequence(1, size(__gh) - {w - 1}), "
-        f"i -> array_min(slice(__gh, i, {w})))"
-    )
-    fp = (
-        spread(df).select(F.col(id_col), th.alias("__th"))
-        .filter(F.size("__th") >= k + w - 1)
-        .select(F.col(id_col), F.expr(gh).alias("__gh"))
-        .select(
-            F.col(id_col),
-            F.explode(F.expr(f"array_distinct({wins})")).alias("f"),
+    if isinstance(max_fp_df, str) and max_fp_df != "census":
+        raise ValueError(
+            f"max_fp_df must be an int, None, or 'census'; "
+            f"got {max_fp_df!r}"
         )
-    )
+
+    fp = _winnow_fps(df, id_col, text_col, k, w)
+    if max_fp_df == "census":
+        from parquet_sampler_spark.plans.cache import persist as _persist
+
+        fp = _persist(fp)  # census + pair join share one computation
+        max_fp_df = winnow_fp_census(
+            df, id_col, text_col, k=k, w=w, _fp=fp
+        )["recommended_cap"]
     join_fp = fp
     if max_fp_df is not None:
         # broadcast the HOT set as an anti-join, never the keep set:

@@ -607,30 +607,62 @@ def _q_star_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_diff(fa, fb).withColumnRenamed("bucket", "tbl")
 
 
+def _star_v1_store(spark: SparkSession, sf_dir: str) -> str:
+    """Publish the v1 (seed 42) snapshot store once per session — the
+    STANDING STATE of the refresh row: in a deployment yesterday's
+    snapshot already exists, so its full publish is a setup fixture
+    (bench `setup_star_v1`), not per-refresh work (r12 VERDICT #4).
+    Idempotent via atomic rename (the `store` dir existing is the
+    done marker, same contract as the stream-sample staging); keyed
+    by sf_dir so two scale factors in one session cannot share a
+    store."""
+    import os
+    import shutil
+
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = session_tmp_dir(spark, f"star_refresh_{tag}")
+    store = os.path.join(d, "store")
+    if not os.path.isdir(store):
+        pend = store + ".staging"
+        if os.path.isdir(pend):
+            shutil.rmtree(pend)
+        os.makedirs(pend)
+        for tbl, df, _ in _star_members(spark, sf_dir, SAMPLE_SEED):
+            write_parquet(
+                df, os.path.join(pend, f"{tbl}.parquet"),
+                single_file=True,
+            )
+        os.rename(pend, store)
+    return store
+
+
 def _q_star_snapshot_refresh(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Selective snapshot refresh — the anti-entropy loop CLOSED
-    (r12): yesterday's snapshot (seed 42) is fully materialized;
-    today's refresh (seed 43) re-publishes ONLY the members the
-    drift worklist names, overwriting them in place; the merged
-    store is read back and manifested. Oracle: the FULL seed-43
-    manifest — the selective re-publish must reproduce a from-scratch
-    refresh bit-for-bit, which also proves the worklist's negative
-    claims (a member it omits really is content-identical under both
-    versions; if it were not, the read-back manifest would
-    hash-mismatch). At 100 TB this is the difference between
-    re-shipping 7 tables and re-shipping the 4-5 that changed."""
+    (r12): yesterday's snapshot (seed 42) is standing state
+    (:func:`_star_v1_store`, charged to the `setup_star_v1` bench
+    fixture since r13); today's refresh (seed 43) re-publishes ONLY
+    the members the drift worklist names, overwriting them in place;
+    the merged store is read back and manifested — so the timed row
+    is drift-diff + selective re-publish + read-back manifest, the
+    per-refresh cost a deployment actually pays. Oracle: the FULL
+    seed-43 manifest — the selective re-publish must reproduce a
+    from-scratch refresh bit-for-bit, which also proves the
+    worklist's negative claims (a member it omits really is
+    content-identical under both versions; if it were not, the
+    read-back manifest would hash-mismatch). Re-running the row
+    against an already-refreshed store is idempotent: the same
+    drifted members are overwritten with the same bytes. At 100 TB
+    this is the difference between re-shipping 7 tables and
+    re-shipping the 4-5 that changed."""
     from parquet_sampler_spark.sources.io import write_parquet
 
-    d = session_tmp_dir(spark, "star_refresh")
-    v1 = {t: (df, k) for t, df, k in
-          _star_members(spark, sf_dir, SAMPLE_SEED)}
+    store = _star_v1_store(spark, sf_dir)
     v2 = {t: (df, k) for t, df, k in
           _star_members(spark, sf_dir, _DRIFT_SEED)}
-    # publish v1 in full
-    for tbl, (df, _) in v1.items():
-        write_parquet(df, f"{d}/{tbl}.parquet", single_file=True)
     # the repair worklist (<= 7 rows, driver-trivial)
     drifted = [
         r.tbl for r in _q_star_snapshot_drift(spark, sf_dir).collect()
@@ -638,9 +670,9 @@ def _q_star_snapshot_refresh(
     # selective re-publish: only drifted members ship
     for tbl in drifted:
         df, _ = v2[tbl]
-        write_parquet(df, f"{d}/{tbl}.parquet", single_file=True)
+        write_parquet(df, f"{store}/{tbl}.parquet", single_file=True)
     parts = [
-        _snap_fp(spark.read.parquet(f"{d}/{tbl}.parquet"), tbl, k)
+        _snap_fp(spark.read.parquet(f"{store}/{tbl}.parquet"), tbl, k)
         for tbl, (_, k) in v2.items()
     ]
     out = parts[0]

@@ -972,9 +972,54 @@ def test_winnow_short_docs_and_validation(spark):
     rows = [(1, "a b c d e f"), (2, "a b c d e f")]  # < k+w-1 tokens
     assert _winnow(spark, rows, min_shared=1) == []
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    for bad in (dict(k=0), dict(w=0), dict(min_shared=0)):
+    for bad in (dict(k=0), dict(w=0), dict(min_shared=0),
+                dict(max_fp_df="p99")):
         with pytest.raises(ValueError):
             winnow_pairs(df, "doc_id", "text", **bad)
+
+
+def test_winnow_census_cap_equals_explicit_cap(spark):
+    """r13 (VERDICT r12 #2): max_fp_df='census' must equal the
+    explicit cap at the census's own recommendation on a planted
+    corpus — a boilerplate run shared by ALL docs (the df head the
+    census exists to cut) over a base of docs with a single genuine
+    near-dup pair."""
+    from parquet_sampler_spark.operators.dedup import (
+        winnow_fp_census,
+        winnow_pairs,
+    )
+
+    # 1000 docs so the fp population is large enough that the p99.9
+    # rank sits BELOW the boilerplate head (a p99.9 census needs
+    # ~1000+ observations before the top 0.1% is a real tail)
+    boiler = "cookie banner accept terms privacy policy footer nav"
+    pair_run = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = []
+    for i in range(1, 1001):
+        rows.append(
+            (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g")
+        )
+    rows.append((2000, f"{pair_run} x1 x2 x3"))
+    rows.append((2001, f"{pair_run} y1 y2 y3"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    census = winnow_fp_census(df, "doc_id", "text")
+    # the boilerplate prints sit at df=1000 — strictly above the
+    # p99.9 of the (mostly df=1) distribution, so the cap excludes
+    # them from pair formation
+    assert census["recommended_cap"] < census["max_df"] == 1000
+
+    censused = _winnow(spark, rows, min_shared=1, max_fp_df="census")
+    explicit = _winnow(
+        spark, rows, min_shared=1,
+        max_fp_df=census["recommended_cap"],
+    )
+    assert censused == explicit
+    ids = {(a, b) for a, b, _ in censused}
+    assert (2000, 2001) in ids         # the genuine pair survives
+    assert not any(a <= 1000 and b <= 1000 for a, b in ids), (
+        "boilerplate-only pairs must be cut by the censused cap"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,9 @@ FIXTURES: dict[str, str] = {
     # the two-chunk staging WRITE is data-volume bound; the timed row
     # should measure the stream drain
     "streaming_sample": "setup_stream_chunks",
+    # yesterday's snapshot store is standing state; the timed row is
+    # drift-diff + selective re-publish + read-back (r12 VERDICT #4)
+    "star_snapshot_refresh": "setup_star_v1",
 }
 
 
@@ -156,6 +159,10 @@ def _fixture_builder(name: str):
         return lambda spark, sf_dir: queries_ext._stream_sample_staging(
             spark, sf_dir
         )
+    if name == "star_snapshot_refresh":
+        from parquet_sampler_spark import queries as _q
+
+        return lambda spark, sf_dir: _q._star_v1_store(spark, sf_dir)
     if name == "dup_triangles":
         # warm the shared LSH-verified pair graph (persisted per
         # session): the triangle row should time the wedge joins,
