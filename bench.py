@@ -51,6 +51,7 @@ SETUP_ROWS = frozenset({
     "setup_ivf_hier_model", "setup_ngram_warm",
     "setup_bpe_model", "setup_bpe_holdout_model",
     "setup_minhash_index", "setup_bigram_model",
+    "setup_trigram_model",
     "setup_embneardup_index", "setup_star_v1",
 })
 
@@ -178,6 +179,12 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_quality_rarity_bigram(spark, sf_dir).count()
     times["setup_bigram_model"] = round(time.perf_counter() - t0, 4)
+
+    # ... and the order-3 model stack (trigram + bigram + unigram
+    # tables, all operator-persisted fit-once state)
+    t0 = time.perf_counter()
+    queries_ext._q_quality_rarity_trigram(spark, sf_dir).count()
+    times["setup_trigram_model"] = round(time.perf_counter() - t0, 4)
 
     # ... and the embedding-space standing state (sign-bit bucket
     # index + normalized corpus vectors) for the SemDeDup ingest gate

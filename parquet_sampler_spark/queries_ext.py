@@ -2975,6 +2975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rarity_holdout": _q_quality_rarity_holdout,
         "quality_rarity_bigram": _q_quality_rarity_bigram,
         "quality_rarity_bigram_inline": _q_quality_rarity_bigram_inline,
+        "quality_rarity_trigram": _q_quality_rarity_trigram,
+        "quality_rarity_trigram_inline": _q_quality_rarity_trigram_inline,
         "tfidf_topk": _q_tfidf_topk,
         "quality_gopher": _q_quality_gopher,
         "bm25_topk": _q_bm25_topk,
@@ -3113,6 +3115,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_rarity_holdout": _sql_quality_rarity_holdout(),
         "quality_rarity_bigram": _sql_quality_rarity_bigram(),
         "quality_rarity_bigram_inline": _sql_quality_rarity_bigram(),
+        "quality_rarity_trigram": _sql_quality_rarity_trigram(),
+        "quality_rarity_trigram_inline": _sql_quality_rarity_trigram(),
         "tfidf_topk": _sql_tfidf_topk(),
         "quality_gopher": _sql_quality_gopher(),
         "bm25_topk": _sql_bm25_topk(),
@@ -8258,20 +8262,7 @@ def _q_quality_rarity_bigram(spark, sf_dir):
         bigram_rarity_backoff,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    is_train = F.col("source").isin(_BPE_TRAIN_SRC)
-    fit = d.filter(is_train)
-    hold = d.filter(~is_train).select(
-        "doc_id",
-        F.when(
-            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" unk"),
-                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
-            ),
-        ).otherwise(F.col("text")).alias("text"),
-    )
+    fit, hold = _rarity_holdout_split(spark, sf_dir)
     return bigram_rarity_backoff(
         hold, "doc_id", "text",
         scale=_RARITY_SCALE, penalty=_BIGRAM_PENALTY, fit_df=fit,
@@ -8289,20 +8280,7 @@ def _q_quality_rarity_bigram_inline(spark, sf_dir):
         bigram_rarity_backoff,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    is_train = F.col("source").isin(_BPE_TRAIN_SRC)
-    fit = d.filter(is_train)
-    hold = d.filter(~is_train).select(
-        "doc_id",
-        F.when(
-            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" unk"),
-                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
-            ),
-        ).otherwise(F.col("text")).alias("text"),
-    )
+    fit, hold = _rarity_holdout_split(spark, sf_dir)
     return bigram_rarity_backoff(
         hold, "doc_id", "text",
         scale=_RARITY_SCALE, penalty=_BIGRAM_PENALTY, fit_df=fit,
@@ -8361,6 +8339,142 @@ hscore AS (
 )
 SELECT doc_id, n_bigrams, sum_rarity,
        CAST(({_RARITY_SCALE} * sum_rarity) // n_bigrams AS BIGINT)
+         AS mean_rarity_scaled
+FROM hscore
+"""
+
+
+def _rarity_holdout_split(spark, sf_dir):
+    """The shared fit/holdout split of the order-2/order-3 rarity
+    rows: fit on the TRAIN sources, score the rest with the
+    deterministic ``unk<k>`` perturbation (so the OOV branch is
+    value-hash-exercised at gate sf)."""
+    d = _t(spark, sf_dir, "documents")
+    is_train = F.col("source").isin(_BPE_TRAIN_SRC)
+    fit = d.filter(is_train)
+    hold = d.filter(~is_train).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" unk"),
+                F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return fit, hold
+
+
+def _q_quality_rarity_trigram(spark, sf_dir):
+    """Order-3 rarity with the FULL stupid-backoff chain (r13,
+    VERDICT r12 #6 — the order CCNet-style filters actually ship):
+    seen trigram → total3 DIV cnt3; unseen trigram, seen trailing
+    bigram → penalty · bigram rarity; unseen bigram, seen word →
+    penalty² · unigram rarity; unseen word → penalty² · total1. The
+    word-salad corpus makes trigrams VERY sparse, so all four
+    branches fire at gate sf (trigram hits come from repeated
+    phrases; the unk perturbation forces the OOV tail). Same split
+    and exact-integer contract as the order-2 row; one more
+    vocabulary-sized broadcast join on the same exploded trigram
+    stream — no extra corpus pass."""
+    from parquet_sampler_spark.operators.quality import (
+        trigram_rarity_backoff,
+    )
+
+    fit, hold = _rarity_holdout_split(spark, sf_dir)
+    return trigram_rarity_backoff(
+        hold, "doc_id", "text",
+        scale=_RARITY_SCALE, penalty=_BIGRAM_PENALTY, fit_df=fit,
+    )
+
+
+def _q_quality_rarity_trigram_inline(spark, sf_dir):
+    """The zero-Exchange inline shape of the order-3 scorer (r13):
+    all THREE model tables collected (each cardinality-guarded
+    against INLINE_VOCAB_MAX_ROWS) and shipped into one Arrow-batched
+    mapInPandas pass; consecutive triples via two global shifts + a
+    same-document mask (the r12 groupby-free pairing extended one
+    position). Bit-identical integer output: the oracle is
+    quality_rarity_trigram's verbatim."""
+    from parquet_sampler_spark.operators.quality import (
+        trigram_rarity_backoff,
+    )
+
+    fit, hold = _rarity_holdout_split(spark, sf_dir)
+    return trigram_rarity_backoff(
+        hold, "doc_id", "text",
+        scale=_RARITY_SCALE, penalty=_BIGRAM_PENALTY, fit_df=fit,
+        inline=True,
+    )
+
+
+def _sql_quality_rarity_trigram() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _BPE_TRAIN_SRC)
+    g3 = TX.word_ngrams_sql("text", 3, distinct=False)
+    g2 = TX.word_ngrams_sql("text", 2, distinct=False)
+    p = _BIGRAM_PENALTY
+    return f"""
+WITH fdocs AS (SELECT * FROM documents WHERE source IN ({srcs})),
+ft AS (
+  SELECT doc_id, unnest({g3}) AS tg
+  FROM fdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+v3 AS (SELECT tg, count(*) AS cnt3 FROM ft GROUP BY tg),
+t3 AS (SELECT CAST(sum(cnt3) AS BIGINT) AS total3 FROM v3),
+r3 AS (
+  SELECT tg, CAST((SELECT total3 FROM t3) // cnt3 AS BIGINT) AS rar3
+  FROM v3
+),
+fb AS (
+  SELECT doc_id, unnest({g2}) AS bg
+  FROM fdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+v2 AS (SELECT bg, count(*) AS cnt2 FROM fb GROUP BY bg),
+t2 AS (SELECT CAST(sum(cnt2) AS BIGINT) AS total2 FROM v2),
+r2 AS (
+  SELECT bg, CAST((SELECT total2 FROM t2) // cnt2 AS BIGINT) AS rar2
+  FROM v2
+),
+fu AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS tok
+  FROM fdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+v1 AS (SELECT tok, count(*) AS cnt1 FROM fu GROUP BY tok),
+t1 AS (SELECT CAST(sum(cnt1) AS BIGINT) AS total1 FROM v1),
+r1 AS (
+  SELECT tok, CAST((SELECT total1 FROM t1) // cnt1 AS BIGINT) AS rar1
+  FROM v1
+),
+hdocs AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id % 4) + 4) % 4 = 0
+              THEN text || ' unk' ||
+                   CAST(((doc_id % 3) + 3) % 3 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE source NOT IN ({srcs})
+),
+ht AS (
+  SELECT doc_id, unnest({g3}) AS tg
+  FROM hdocs WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+hscore AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(sum(coalesce(r3.rar3,
+                           {p} * r2.rar2,
+                           {p * p} * r1.rar1,
+                           {p * p} * (SELECT total1 FROM t1)))
+              AS BIGINT) AS sum_rarity
+  FROM ht
+  LEFT JOIN r3 USING (tg)
+  LEFT JOIN r2
+    ON r2.bg = string_split(ht.tg, ' ')[2] || ' ' ||
+               string_split(ht.tg, ' ')[3]
+  LEFT JOIN r1 ON r1.tok = string_split(ht.tg, ' ')[3]
+  GROUP BY doc_id
+)
+SELECT doc_id, n_trigrams, sum_rarity,
+       CAST(({_RARITY_SCALE} * sum_rarity) // n_trigrams AS BIGINT)
          AS mean_rarity_scaled
 FROM hscore
 """

@@ -733,3 +733,107 @@ def test_bigram_inline_matches_join_path(spark):
         ).collect()
     )
     assert join_rows == inline_rows and join_rows
+
+
+# ---------------------------------------------------------------------------
+# trigram_rarity_backoff (r13): the order-3 stupid-backoff chain
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_rarity_hand_trace_all_four_branches(spark):
+    """Fit: 'a b c a b c' + 'a b d'.
+    Trigrams: (a b c)x2, (b c a)x1, (c a b)x1, (a b d)x1 → total3=5.
+    Bigrams: (a b)x3, (b c)x2, (c a)x1, (b d)x1 → total2=7.
+    Unigrams: a:3 b:3 c:2 d:1 → total1=9. penalty=3.
+    Score 'a b c d x':
+      (a b c) seen        → 5 DIV 2 = 2
+      (b c d) unseen, bigram (c d) unseen, word d seen
+                          → 9 · (9 DIV 1) = 81
+      (c d x) unseen, (d x) unseen, x unseen → 9 · 9 = 81
+    Score 'x b c q':
+      (x b c) unseen, trailing bigram (b c) SEEN
+                          → 3 · (7 DIV 2) = 9
+      (b c q) unseen, (c q) unseen, q unseen → 81
+    """
+    from parquet_sampler_spark.operators.quality import (
+        trigram_rarity_backoff,
+    )
+
+    fit = _docs(spark, ["a b c a b c", "a b d"])
+    score = spark.createDataFrame(
+        [(10, "a b c d x"), (11, "x b c q")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in trigram_rarity_backoff(
+            score, "doc_id", "text", scale=100, penalty=3, fit_df=fit
+        ).collect()
+    }
+    assert out[10].n_trigrams == 3
+    assert out[10].sum_rarity == 2 + 81 + 81
+    assert out[10].mean_rarity_scaled == (100 * 164) // 3
+    assert out[11].n_trigrams == 2
+    assert out[11].sum_rarity == 9 + 81
+
+
+def test_trigram_rarity_excludes_short_docs_and_validates(spark):
+    from parquet_sampler_spark.operators.quality import (
+        trigram_rarity_backoff,
+    )
+
+    docs = _docs(spark, ["a b c d", "two toks", "one", "", None])
+    out = trigram_rarity_backoff(docs, "doc_id", "text").collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].n_trigrams == 2
+    with pytest.raises(ValueError, match="scale"):
+        trigram_rarity_backoff(docs, "doc_id", "text", scale=0)
+    with pytest.raises(ValueError, match="penalty"):
+        trigram_rarity_backoff(docs, "doc_id", "text", penalty=0)
+
+
+def test_trigram_inline_matches_join_path(spark):
+    """inline=True is bit-identical to the join path across all four
+    backoff branches, multi-space tokens, and degenerate docs; the
+    keep_below flag survives both paths."""
+    from parquet_sampler_spark.operators.quality import (
+        trigram_rarity_backoff,
+    )
+
+    fit = _docs(spark, ["a b c a b c", "a b d", "c  a b"])
+    score = spark.createDataFrame(
+        [(10, "a b c d x"), (11, "x b c q"), (12, "b  c a"),
+         (13, "just two"), (14, None), (15, "  "), (16, "a b c")],
+        "doc_id bigint, text string",
+    )
+    kw = dict(scale=100, penalty=3, fit_df=fit, keep_below=5000)
+    join_rows = sorted(
+        tuple(r) for r in trigram_rarity_backoff(
+            score, "doc_id", "text", **kw
+        ).collect()
+    )
+    inline_rows = sorted(
+        tuple(r) for r in trigram_rarity_backoff(
+            score, "doc_id", "text", inline=True, **kw
+        ).collect()
+    )
+    assert join_rows == inline_rows and join_rows
+
+
+def test_trigram_shuffle_join_escape_equal(spark):
+    from parquet_sampler_spark.operators.quality import (
+        trigram_rarity_backoff,
+    )
+
+    fit = _docs(spark, ["a b c a b c", "a b d"])
+    score = spark.createDataFrame(
+        [(10, "a b c d x"), (11, "x b c q")],
+        "doc_id bigint, text string",
+    )
+    a = trigram_rarity_backoff(
+        score, "doc_id", "text", fit_df=fit, broadcast_vocab=True
+    ).orderBy("doc_id").collect()
+    b = trigram_rarity_backoff(
+        score, "doc_id", "text", fit_df=fit, broadcast_vocab=False
+    ).orderBy("doc_id").collect()
+    assert a == b

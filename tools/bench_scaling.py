@@ -86,6 +86,7 @@ FIXTURES: dict[str, str] = {
     "dup_triangles": "setup_dup_graph",
     "minhash_incremental": "setup_minhash_index",
     "quality_rarity_bigram": "setup_bigram_model",
+    "quality_rarity_trigram": "setup_trigram_model",
     "embedding_neardup_incremental": "setup_embneardup_index",
     # admit reuses the same standing state as the probe row; its
     # timed cost = index probe + batch-internal self-join + anti-joins
@@ -145,6 +146,11 @@ def _fixture_builder(name: str):
         return lambda spark, sf_dir: queries_ext._q_quality_rarity_bigram(
             spark, sf_dir
         ).count()
+    if name == "quality_rarity_trigram":
+        return (
+            lambda spark, sf_dir:
+            queries_ext._q_quality_rarity_trigram(spark, sf_dir).count()
+        )
     if name == "embedding_neardup_incremental":
         # one full run builds + persists the sign-bit bucket index and
         # the normalized corpus vectors; the timed row measures the
