@@ -52,7 +52,8 @@ SETUP_ROWS = frozenset({
     "setup_bpe_model", "setup_bpe_holdout_model",
     "setup_minhash_index", "setup_bigram_model",
     "setup_trigram_model",
-    "setup_embneardup_index", "setup_star_v1",
+    "setup_embneardup_index", "setup_embneardup_ivf_index",
+    "setup_star_v1",
 })
 
 
@@ -191,6 +192,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_embedding_neardup_incremental(spark, sf_dir).count()
     times["setup_embneardup_index"] = round(time.perf_counter() - t0, 4)
+
+    # ... and the IVF-routed gate's standing state (coarse quantizer
+    # fit + cell assignment + normalized corpus, all operator- or
+    # cache-persisted)
+    t0 = time.perf_counter()
+    queries_ext._q_embedding_neardup_incremental_ivf(spark, sf_dir).count()
+    times["setup_embneardup_ivf_index"] = round(
+        time.perf_counter() - t0, 4)
 
     # the v1 star-snapshot store is standing state (yesterday's
     # snapshot already exists in a deployment): publish it once here

@@ -229,21 +229,52 @@ def _route_probe(
     probe-side twin of :func:`_route_assign`'s assignment routing. A
     cell owned by an unselected super is never probed even if it is
     globally among the nprobe nearest — the standard coarse-routing
-    recall trade, identical in the oracle. The per-row loop is bounded
-    by the QUERY batch (queries ≪ corpus in the ANN shape)."""
+    recall trade, identical in the oracle.
+
+    The hierarchical path batches PER SUPER-CELL (k1 vectorized
+    passes), not per row: the r12 loop version was Θ(rows) Python
+    iterations, fine for ann_topk's handful of queries but the hot
+    spot once a large INGEST BATCH routes (the r13 IVF gate probes
+    every batch row). Semantics are bit-identical — the candidate set
+    is the selected supers' cells and the top-``nprobe`` pick orders
+    by (distance, cell id), exactly the loop's ascending-cell stable
+    argsort (pytest-pinned equality on random data)."""
     if sq is None:
         d = _int_sqdist(m, cq)
         order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return order.astype(np.int32).tolist()
     ds = _int_sqdist(m, sq)
     sup_order = np.argsort(ds, axis=1, kind="stable")[:, :nprobe_super]
-    out: list[list[int]] = []
-    for i in range(len(m)):
-        cells = np.flatnonzero(np.isin(owner, sup_order[i]))
-        d = _int_sqdist(m[i:i + 1], cq[cells])[0]
-        loc = np.argsort(d, kind="stable")[:nprobe]
-        out.append(cells[loc].astype(np.int32).tolist())
-    return out
+    n, k1 = len(m), len(sq)
+    sel = np.zeros((n, k1), dtype=bool)
+    sel[np.arange(n)[:, None], sup_order] = True
+    rows_parts, cells_parts, dist_parts = [], [], []
+    for s in range(k1):
+        rows_s = np.flatnonzero(sel[:, s])
+        if not len(rows_s):
+            continue
+        cells_s = np.flatnonzero(owner == s)
+        d = _int_sqdist(m[rows_s], cq[cells_s])
+        rows_parts.append(np.repeat(rows_s, len(cells_s)))
+        cells_parts.append(np.tile(cells_s, len(rows_s)))
+        dist_parts.append(d.ravel())
+    rows = np.concatenate(rows_parts)
+    cells = np.concatenate(cells_parts)
+    dists = np.concatenate(dist_parts)
+    # ORDER BY row, dist, cell — then rank-within-row < nprobe
+    order = np.lexsort((cells, dists, rows))
+    rows, cells = rows[order], cells[order]
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    rank = np.arange(len(rows)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(rows)])
+    )
+    keep = rank < nprobe
+    rows, cells = rows[keep], cells[keep]
+    # every row has >= 1 candidate (each kept super owns >= 1 cell),
+    # so the row-change boundaries partition 0..n-1 in input order
+    bounds = np.flatnonzero(np.r_[False, rows[1:] != rows[:-1]])
+    return [c.astype(np.int32).tolist()
+            for c in np.split(cells, bounds)]
 
 
 def _fit_coarse_centroids(
@@ -574,6 +605,129 @@ def embedding_neardup_incremental(
     # state, same rationale as minhash_probe_pairs' shingle relation)
     a = _cache_persist(_normalized(corpus, id_col, vec_col, "id_a", "__va"))
     b = _normalized(batch, id_col, vec_col, "id_b", "__vb")
+    cand_side = F.broadcast(cand) if verify_broadcast else cand
+    return (
+        cand_side.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", _unit_dot("__va", "__vb"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_neardup_incremental_ivf(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    train_per_cell: int = 256,
+    train_max_iter: int = 20,
+    nprobe_super: int = 4,
+    verify_broadcast: bool = True,
+    model_cache: dict | None = None,
+    cache_key=None,
+) -> DataFrame:
+    """IVF-routed form of :func:`embedding_neardup_incremental` — the
+    SemDeDup ingest gate for corpora past comfortable sign-bit widths
+    (r12 VERDICT #5).
+
+    Why a second routing: the sign-bit gate's bucket space is
+    ``2^lsh_bits`` PER TABLE and must be re-sized as the corpus grows
+    (``lsh_bits ≳ log2(corpus) + 4`` — the measured sf10 saturation
+    rule), and every widening lowers per-table recall at a fixed
+    angle. Here the bucket space is the coarse quantizer's ``nlist``
+    cells, which scales by ADDING CELLS (nlist ∝ corpus, the
+    semantic_dedup rule) with recall governed by ``nprobe`` alone —
+    candidates per batch row stay ~``corpus · nprobe / nlist``
+    regardless of corpus size, and the quantizer follows the data's
+    density instead of random hyperplanes (real embedding corpora
+    cluster; isotropic testdata is the worst case — see
+    :func:`ivf_topk`'s note).
+
+    Standing state (the persisted INDEX, all corpus-only): the coarse
+    centroids (fitted once on a bounded Lehmer-hash sketch of the
+    corpus's UNIT vectors — :func:`ivf_topk`'s recipe, but on the
+    sphere: cosine gating must route scale-invariantly, so a
+    re-ingested vector times any positive scalar lands in its
+    original's cell bit-for-bit), the ``(id, cell)`` assignment, and
+    the normalized corpus vectors. Per-batch cost: Θ(batch) routing
+    (``nlist`` distances each, hierarchical above
+    ``_TWO_LEVEL_NLIST``) + the candidate equi-join on cell id +
+    exact verifies — never Θ(corpus).
+
+    Recall contract: with FLAT routing (nlist ≤ the two-level
+    threshold) a batch vector whose unit vector equals a corpus
+    row's EXACTLY is always found at any ``nprobe ≥ 1`` — its probe
+    list starts at the argmin cell, which is by definition the cell
+    the corpus twin was assigned to (same quantized distances, same
+    lowest-cell tie-break). Near-identical (not exact) pairs can
+    straddle a cell boundary; ``nprobe`` widens the probe ring the
+    same way more tables widen the sign-bit gate's. Above the
+    two-level threshold the coarse-routing miss class applies
+    (ivf_topk's trade). Precision is exact either way — every
+    candidate is re-verified with the JVM unit-dot at ``threshold``.
+
+    ``verify_broadcast=False`` is the same shuffle escape as the
+    sign-bit form; ``model_cache``/``cache_key`` amortize the
+    quantizer fit across batches against the same corpus.
+
+    Emits ``(id_a = corpus id, id_b = batch id, cos_sim)``; ids must
+    be unique across ``corpus ∪ batch``.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be positive")
+    a = _cache_persist(_normalized(corpus, id_col, vec_col, "id_a", "__va"))
+    if model_cache is not None and cache_key in model_cache:
+        supers, centroids, owner = model_cache[cache_key]
+    else:
+        from parquet_sampler_spark.functions.hashing import lehmer_hash
+
+        sketch = (
+            a.select("id_a", "__va",
+                     lehmer_hash(["id_a"], seed).alias("__h"))
+            .orderBy("__h", "id_a")
+            .limit(train_per_cell * nlist)
+            .collect()
+        )
+        X = np.array([r["__va"] for r in sketch], dtype=np.float64)
+        supers, centroids, owner = _fit_coarse_hierarchy(
+            X, nlist, seed, train_max_iter
+        )
+        if model_cache is not None:
+            model_cache[cache_key] = (supers, centroids, owner)
+
+    cq = _ivf_quantize(centroids)
+    sq = None if supers is None else _ivf_quantize(supers)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        return pd.Series(_route_assign(m, cq, sq, owner))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
+        return pd.Series(
+            _route_probe(m, cq, sq, owner, nprobe, nprobe_super)
+        )
+
+    idx = _cache_persist(
+        a.select("id_a", cell_of(F.col("__va")).alias("__cell"))
+    )
+    b = _normalized(batch, id_col, vec_col, "id_b", "__vb")
+    probe = b.select(
+        "id_b", F.explode(probe_cells(F.col("__vb"))).alias("__cell")
+    )
+    # no dropDuplicates: a corpus row lives in exactly one cell and a
+    # probe row's cell list is distinct, so each (id_a, id_b) pair can
+    # arise from at most one cell match — the dedup shuffle the
+    # sign-bit form needs (a pair can collide in several LSH tables)
+    # is structurally unnecessary here
+    cand = idx.join(probe, "__cell").select("id_a", "id_b")
     cand_side = F.broadcast(cand) if verify_broadcast else cand
     return (
         cand_side.join(a, "id_a")

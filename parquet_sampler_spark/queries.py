@@ -113,6 +113,7 @@ def clear_caches() -> None:
         cache.clear()
     _sample_mod.clear_candidate_cache()
     queries_ext._IVF_MODEL_CACHE.clear()
+    queries_ext._EMBIVF_MODEL_CACHE.clear()
     queries_ext._SEM_MODEL_CACHE.clear()
     # the data-fitted oracle SQL caches (keyed by sf_dir) hold INLINED
     # centroid/codebook literals — stale if an sf_dir's

@@ -1654,6 +1654,46 @@ def _sql_embedding_neardup_incremental():
     )
 
 
+_EMBIVF_MODEL_CACHE: dict = {}
+_EMBIVF_NLIST, _EMBIVF_NPROBE = 16, 2
+
+
+def _q_embedding_neardup_incremental_ivf(spark, sf_dir):
+    """IVF-routed form of the SemDeDup ingest gate (r13, VERDICT r12
+    #5): same twins-as-batch construction, but the standing index is
+    the coarse-quantizer cell assignment over the corpus's UNIT
+    vectors instead of sign-bit buckets — the scale path once the
+    corpus outgrows comfortable ``lsh_bits`` widths (buckets grow by
+    ADDING CELLS, nlist ∝ corpus, not by widening signatures). A
+    twin's unit vector is bit-identical to its original's (×2 is
+    IEEE-exact), so flat routing finds every qualifying pair at any
+    nprobe ≥ 1 (probe list starts at the argmin cell = the twin's
+    assigned cell) and recall for the oracle's qualifying set is
+    exactly 1; all cross pairs sit below 0.52 and can never leak past
+    the 0.92 exact verify. Oracle: shared verbatim with
+    embedding_neardup_incremental — the exact cosine cross-join."""
+    from parquet_sampler_spark.operators.similarity import (
+        embedding_neardup_incremental_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(
+        F.col("vec_id") % _NEARDUP_DUP_MOD == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_DUP_OFF).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return embedding_neardup_incremental_ivf(
+        emb, twins, "vec_id", "embedding", threshold=_NEARDUP_HI,
+        nlist=_EMBIVF_NLIST, nprobe=_EMBIVF_NPROBE,
+        model_cache=_EMBIVF_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir,
+                   _EMBIVF_NLIST),
+    )
+
+
 def _q_embedding_neardup_block(spark, sf_dir):
     """Loose-threshold (exploratory) near-dup sweep via the EXACT
     block-GEMM plan. Below ~0.9 the pair angle is wide enough that any
@@ -2880,6 +2920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_incremental": _q_embedding_neardup_incremental,
+        "embedding_neardup_incremental_ivf":
+            _q_embedding_neardup_incremental_ivf,
         "embedding_neardup_block": _q_embedding_neardup_block,
         "ann_topk": _q_ann_topk,
         "ann_range": _q_ann_range,
@@ -3025,6 +3067,11 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_dedup": _SQL_JACCARD_DEDUP,
         "embedding_neardup": _sql_embedding_neardup(),
         "embedding_neardup_incremental":
+            _sql_embedding_neardup_incremental(),
+        # the IVF-routed gate reproduces the sign-bit gate's exact
+        # output on this corpus (recall 1 for the planted twins, exact
+        # verify) — the oracle is shared verbatim
+        "embedding_neardup_incremental_ivf":
             _sql_embedding_neardup_incremental(),
         "embedding_neardup_block": _sql_embedding_neardup_block(),
         "ann_topk": _sql_ann_topk(),

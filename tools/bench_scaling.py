@@ -88,6 +88,7 @@ FIXTURES: dict[str, str] = {
     "quality_rarity_bigram": "setup_bigram_model",
     "quality_rarity_trigram": "setup_trigram_model",
     "embedding_neardup_incremental": "setup_embneardup_index",
+    "embedding_neardup_incremental_ivf": "setup_embneardup_ivf_index",
     # admit reuses the same standing state as the probe row; its
     # timed cost = index probe + batch-internal self-join + anti-joins
     "minhash_admit": "setup_minhash_index",
@@ -158,6 +159,16 @@ def _fixture_builder(name: str):
         return (
             lambda spark, sf_dir:
             queries_ext._q_embedding_neardup_incremental(
+                spark, sf_dir
+            ).count()
+        )
+    if name == "embedding_neardup_incremental_ivf":
+        # one full run fits the coarse quantizer and persists the
+        # cell-assignment index + normalized corpus; the timed row
+        # measures the batch probe (routing + cell join + verify)
+        return (
+            lambda spark, sf_dir:
+            queries_ext._q_embedding_neardup_incremental_ivf(
                 spark, sf_dir
             ).count()
         )

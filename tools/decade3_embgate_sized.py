@@ -1,0 +1,151 @@
+"""Decade-3 cells for the embedding ingest gates at CORPUS-SIZED
+index settings (r13, VERDICT r12 #1 + #5).
+
+The registered rows run the gates at gate-sf defaults (16 bits,
+nlist 16). At scale the operators' own sizing rules apply —
+sign-bit: ``lsh_bits ≳ log2(corpus) + 4`` (the r12 saturation rule,
+found when 8-bit signatures blew past maxResultSize at a 1.14M-vector
+corpus); IVF-routed: ``nlist ∝ corpus`` (cell population stays
+constant, so candidates per batch row stay constant across decades —
+the gate's Θ(batch) claim). This harness measures both gates across
+sf10 (200k vectors) → sf100 (2M vectors) of the jittered-copies
+embeddings slice at those sized settings, with the standing-state
+build (quantizer fit / hyperplane signing of the corpus, cell
+assignment, normalized-vector persist) charged to a SETUP cell and
+the warm per-batch probe timed separately — the quantity a standing
+deployment pays per ingest batch.
+
+Batch construction mirrors the registered rows: every 7th corpus
+vector, scaled ×2 (unit vector bit-identical -> its original is
+always found), id-offset by 2^40 so ids never collide with the
+amplified corpus ids. Batch grows with the corpus (a fixed corpus
+fraction), so the honest per-batch exponent target is α ≈ 1 — the
+linear-in-batch floor — NOT sub-linearity; what the cells must show
+is that warm-probe cost tracks the BATCH, never the corpus² (the
+saturation failure mode this family had at fixed widths).
+
+Usage: SPARK_DRIVER_MEMORY=32g python tools/decade3_embgate_sized.py
+       [signbit] [ivf]          (default: both)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+THRESHOLD = 0.92   # the registered rows' near-identical threshold
+DUP_MOD = 7
+ID_OFF = 1 << 40
+TABLES = 8
+NPROBE = 1         # exact-direction re-ingest: argmin cell suffices
+TRAIN_PER_CELL = 32  # nlist ∝ corpus: full 256/cell would sketch the
+                     # whole corpus into the driver at sf100
+
+
+def _sized_bits(n: int) -> int:
+    return int(math.ceil(math.log2(n))) + 4
+
+
+def _sized_nlist(n: int) -> int:
+    return max(16, n // 256)
+
+
+def main() -> int:
+    which = set(sys.argv[1:]) or {"signbit", "ivf"}
+    from parquet_sampler_spark import queries as registry
+    from parquet_sampler_spark.operators.similarity import (
+        embedding_neardup_incremental,
+        embedding_neardup_incremental_ivf,
+    )
+    from parquet_sampler_spark.session import get_spark
+
+    spark = get_spark("decade3-embgate")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def corpus_and_batch(sf_dir: str):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        twins = emb.filter(F.col("vec_id") % DUP_MOD == 0).select(
+            (F.col("vec_id") + ID_OFF).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+            ).alias("embedding"),
+        )
+        return emb, twins
+
+    def gate(kind: str, sf_dir: str, n: int, cache: dict):
+        emb, twins = corpus_and_batch(sf_dir)
+        if kind == "signbit":
+            return embedding_neardup_incremental(
+                emb, twins, "vec_id", "embedding",
+                threshold=THRESHOLD, lsh_bits=_sized_bits(n),
+                lsh_tables=TABLES,
+            )
+        return embedding_neardup_incremental_ivf(
+            emb, twins, "vec_id", "embedding", threshold=THRESHOLD,
+            nlist=_sized_nlist(n), nprobe=NPROBE,
+            train_per_cell=TRAIN_PER_CELL,
+            model_cache=cache, cache_key=(sf_dir, _sized_nlist(n)),
+        )
+
+    tiers = []
+    for sf in ("1", "10", "100"):
+        d = REPO / ".scratch" / f"sf{sf}"
+        if not (d / "embeddings.parquet").is_file():
+            raise SystemExit(f"{d}/embeddings.parquet missing — run "
+                             "tools/make_sf1/10/100.py first")
+        n = spark.read.parquet(str(d / "embeddings.parquet")).count()
+        tiers.append((sf, str(d), n))
+
+    times: dict[str, dict[str, float]] = {}
+    rows: dict[str, dict[str, int]] = {}
+    for kind in ("signbit", "ivf"):
+        if kind not in which:
+            continue
+        times[f"{kind}_setup"] = {}
+        times[f"{kind}_probe"] = {}
+        rows[kind] = {}
+        for sf, sf_dir, n in tiers:
+            registry.clear_caches()
+            cache: dict = {}
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            gate(kind, sf_dir, n, cache).count()   # standing-state build
+            setup = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            cnt = gate(kind, sf_dir, n, cache).count()  # warm probe
+            probe = round(time.perf_counter() - t0, 3)
+            if sf == "1":   # plan warmup tier, untimed
+                continue
+            times[f"{kind}_setup"][sf] = setup
+            times[f"{kind}_probe"][sf] = probe
+            rows[kind][sf] = cnt
+            extra = (f"bits={_sized_bits(n)}" if kind == "signbit"
+                     else f"nlist={_sized_nlist(n)}")
+            print(f"[cell] embgate_{kind} sf{sf} n={n} {extra} "
+                  f"setup={setup}s probe={probe}s pairs={cnt}",
+                  flush=True)
+
+    print("| cell | sf10 s | sf100 s | α(10→100) |")
+    print("|---|---|---|---|")
+    alphas = {}
+    for name, t in times.items():
+        a = round(math.log(t["100"] / t["10"]) / math.log(10.0), 2)
+        alphas[name] = a
+        print(f"| {name} | {t['10']} | {t['100']} | {a} |")
+    print(json.dumps({"metric": "decade3_embgate_sized",
+                      "times": times, "rows": rows, "alpha": alphas}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -707,6 +707,18 @@ def main() -> int:
                   "FlatMapGroupsInPandas", "BatchEvalPython"],
     )
 
+    # 42c-ivf. IVF-routed ingest gate (r13): cell-equality candidates
+    # + exact verify — Arrow-batched routing UDFs are the only
+    # Python; never a nested-loop/cartesian all-pairs shape, and no
+    # dedup Exchange after the candidate join (a corpus row lives in
+    # exactly one cell, so pairs are unique by construction)
+    check(
+        "embedding_neardup_incremental_ivf",
+        R.queries()["embedding_neardup_incremental_ivf"](spark, sf_dir),
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin",
+                  "FlatMapGroupsInPandas", "BatchEvalPython"],
+    )
+
     # 43b. inline order-2 scorer (r12): the model collects at
     # plan-build time; the executed scoring plan must be the
     # zero-Exchange shape (scan -> project -> Arrow scorer)
