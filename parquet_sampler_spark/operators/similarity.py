@@ -738,6 +738,59 @@ def embedding_neardup_incremental_ivf(
     )
 
 
+def embedding_admit_batch(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    routing: str = "signbit",
+    internal_method: str = "block",
+    **kwargs,
+) -> DataFrame:
+    """Admission filter for a new embedding batch against a standing
+    corpus — the embedding-space twin of
+    ``dedup.minhash_admit_batch`` and the decision half of the
+    SemDeDup ingest gate: a batch vector is REJECTED iff it
+    near-duplicates (cosine ≥ ``threshold``) something already in the
+    corpus, or a SENIOR (smaller-id) vector within the batch itself;
+    everything else returns as full rows, ready to append.
+
+    Keeper rule is the repo-wide greedy min-id survivor (same
+    documented rule as ``jaccard_dedup`` / ``minhash_admit_batch``).
+
+    ``routing`` picks the corpus-probe index: ``"signbit"``
+    (:func:`embedding_neardup_incremental`) or ``"ivf"``
+    (:func:`embedding_neardup_incremental_ivf` — the sized-at-scale
+    path); extra ``kwargs`` flow to the chosen gate. The
+    batch-internal sweep is the whole-corpus problem at batch size —
+    batches are small, so ``internal_method="block"`` (EXACT block
+    GEMM, zero recall caveat) is the default; pass ``"lsh"`` for
+    enormous batches.
+
+    Scale: probe Θ(batch) against the standing index + verifies;
+    two id-only anti-joins (broadcastable at any realistic batch
+    size) — the batch vectors never shuffle beyond the block grid.
+    """
+    gate = (embedding_neardup_incremental_ivf if routing == "ivf"
+            else embedding_neardup_incremental)
+    if routing not in ("signbit", "ivf"):
+        raise ValueError(f"unknown routing {routing!r} "
+                         "(expected 'signbit' or 'ivf')")
+    cross = gate(corpus, batch, id_col, vec_col,
+                 threshold=threshold, **kwargs)
+    internal = embedding_neardup_pairs(
+        batch, id_col, vec_col, threshold=threshold,
+        method=internal_method,
+    )
+    losers = (
+        cross.select(F.col("id_b").alias(id_col))
+        .unionAll(internal.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return batch.join(losers, id_col, "left_anti")
+
+
 def _block_candidates(
     normed: DataFrame, threshold: float, nblocks: int
 ) -> DataFrame:

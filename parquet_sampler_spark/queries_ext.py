@@ -1694,6 +1694,81 @@ def _q_embedding_neardup_incremental_ivf(spark, sf_dir):
     )
 
 
+def _q_embedding_admit(spark, sf_dir):
+    """The embedding ingest DECISION (r13): which batch vectors get
+    APPENDED to the standing corpus? Batch = the scaled twins (every
+    7th vector ×2 — rejected: their unit vectors equal their
+    originals') ∪ REVERSED copies of the vec_id%7==3 vectors (novel
+    directions on this corpus — admitted; reversal is element
+    reordering, so the admitted rows' float bits replay exactly in
+    SQL). Both the corpus probe and the batch-internal sweep are
+    exact-verified, so the admit/reject decision is value-identical
+    in both engines regardless of where the cosines fall. Greedy
+    min-id keeper rule (repo-wide)."""
+    from parquet_sampler_spark.operators.similarity import (
+        embedding_admit_batch,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(
+        F.col("vec_id") % _NEARDUP_DUP_MOD == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_DUP_OFF).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    rev = emb.filter(
+        F.col("vec_id") % _NEARDUP_DUP_MOD == 3
+    ).select(
+        (F.col("vec_id") + 2 * _NEARDUP_DUP_OFF).alias("vec_id"),
+        F.reverse("embedding").alias("embedding"),
+    )
+    return embedding_admit_batch(
+        emb, twins.unionByName(rev), "vec_id", "embedding",
+        threshold=_NEARDUP_HI,
+    )
+
+
+def _sql_embedding_admit():
+    from parquet_sampler_spark.functions.vectors import dot_sql
+
+    def ncte(prefix: str, table: str) -> str:
+        d = dot_sql("embedding", "embedding")
+        return (
+            f"{prefix}nrm AS (SELECT vec_id, sqrt({d}) AS nrm "
+            f"FROM {table}), "
+            f"{prefix}ed AS (SELECT e.vec_id, "
+            f"list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nrm)"
+            f" AS v FROM {table} e JOIN {prefix}nrm n USING (vec_id) "
+            f"WHERE n.nrm > 0)"
+        )
+
+    tw = (
+        f"tw AS (SELECT vec_id + {_NEARDUP_DUP_OFF} AS vec_id, "
+        f"list_transform(embedding, x -> "
+        f"CAST(CAST(x AS DOUBLE) * 2.0 AS REAL)) AS embedding "
+        f"FROM embeddings WHERE vec_id % {_NEARDUP_DUP_MOD} = 0)"
+    )
+    rv = (
+        f"rv AS (SELECT vec_id + {2 * _NEARDUP_DUP_OFF} AS vec_id, "
+        f"list_reverse(embedding) AS embedding "
+        f"FROM embeddings WHERE vec_id % {_NEARDUP_DUP_MOD} = 3)"
+    )
+    cos = unit_dot_sql("a.v", "x.v")
+    return (
+        f"WITH {tw}, {rv}, "
+        f"bat AS (SELECT * FROM tw UNION ALL SELECT * FROM rv), "
+        f"{ncte('c', 'embeddings')}, {ncte('b', 'bat')} "
+        f"SELECT b.vec_id, b.embedding FROM bat b "
+        f"WHERE NOT EXISTS (SELECT 1 FROM ced a, bed x "
+        f"  WHERE x.vec_id = b.vec_id AND {cos} >= {_NEARDUP_HI}) "
+        f"AND NOT EXISTS (SELECT 1 FROM bed a, bed x "
+        f"  WHERE x.vec_id = b.vec_id AND a.vec_id < x.vec_id "
+        f"  AND {cos} >= {_NEARDUP_HI})"
+    )
+
+
 def _q_embedding_neardup_block(spark, sf_dir):
     """Loose-threshold (exploratory) near-dup sweep via the EXACT
     block-GEMM plan. Below ~0.9 the pair angle is wide enough that any
@@ -2922,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_incremental": _q_embedding_neardup_incremental,
         "embedding_neardup_incremental_ivf":
             _q_embedding_neardup_incremental_ivf,
+        "embedding_admit": _q_embedding_admit,
         "embedding_neardup_block": _q_embedding_neardup_block,
         "ann_topk": _q_ann_topk,
         "ann_range": _q_ann_range,
@@ -3073,6 +3149,7 @@ def oracle_sql() -> dict[str, str]:
         # verify) — the oracle is shared verbatim
         "embedding_neardup_incremental_ivf":
             _sql_embedding_neardup_incremental(),
+        "embedding_admit": _sql_embedding_admit(),
         "embedding_neardup_block": _sql_embedding_neardup_block(),
         "ann_topk": _sql_ann_topk(),
         "ann_range": _sql_ann_range(),

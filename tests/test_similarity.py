@@ -945,3 +945,39 @@ def test_route_probe_vectorized_equals_loop_reference():
         got = _route_probe(m, cq, sq, owner, nprobe, nsup)
         want = loop_reference(m, cq, sq, owner, nprobe, nsup)
         assert got == want, (nprobe, nsup)
+
+
+def test_embedding_admit_batch_contract(spark):
+    """Admission decision: a batch vector near-dup of the corpus is
+    rejected; a junior batch vector near-dup of a senior batch vector
+    is rejected (greedy min-id, even though the senior is itself
+    rejected for duplicating the corpus — the documented one-pass
+    rule); novel directions are admitted with their rows intact.
+    Both routings must agree (everything is exact-verified)."""
+    import pytest
+
+    from parquet_sampler_spark.operators.similarity import (
+        embedding_admit_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(10, [2.0, 0.0, 0.0, 0.0]),   # dup of corpus 1 -> rejected
+         (11, [3.0, 0.0, 0.0, 0.0]),   # dup of corpus 1 AND senior 10
+         (12, [0.0, 0.0, 1.0, 0.0]),   # novel -> admitted
+         (13, [0.0, 0.0, 5.0, 0.0])],  # dup of SENIOR 12 -> rejected
+        "vec_id long, embedding array<float>",
+    )
+    for routing in ("signbit", "ivf"):
+        got = embedding_admit_batch(
+            corpus, batch, "vec_id", "embedding", threshold=0.95,
+            routing=routing,
+        ).collect()
+        assert {r.vec_id for r in got} == {12}, routing
+        assert got[0].embedding == [0.0, 0.0, 1.0, 0.0]
+    with pytest.raises(ValueError):
+        embedding_admit_batch(corpus, batch, "vec_id", "embedding",
+                              routing="nope")

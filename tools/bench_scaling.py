@@ -89,6 +89,9 @@ FIXTURES: dict[str, str] = {
     "quality_rarity_trigram": "setup_trigram_model",
     "embedding_neardup_incremental": "setup_embneardup_index",
     "embedding_neardup_incremental_ivf": "setup_embneardup_ivf_index",
+    # admit's corpus probe reuses the sign-bit gate's standing state
+    # (identical plan semantics -> shared persisted relations)
+    "embedding_admit": "setup_embneardup_index",
     # admit reuses the same standing state as the probe row; its
     # timed cost = index probe + batch-internal self-join + anti-joins
     "minhash_admit": "setup_minhash_index",
@@ -152,7 +155,7 @@ def _fixture_builder(name: str):
             lambda spark, sf_dir:
             queries_ext._q_quality_rarity_trigram(spark, sf_dir).count()
         )
-    if name == "embedding_neardup_incremental":
+    if name in ("embedding_neardup_incremental", "embedding_admit"):
         # one full run builds + persists the sign-bit bucket index and
         # the normalized corpus vectors; the timed row measures the
         # batch probe

@@ -24,8 +24,17 @@ linear-in-batch floor — NOT sub-linearity; what the cells must show
 is that warm-probe cost tracks the BATCH, never the corpus² (the
 saturation failure mode this family had at fixed widths).
 
+``selfjoin`` additionally measures the SELF-JOIN form
+(embedding_neardup, the corpus-wide near-dup sweep) at sized bits:
+its default 8-bit banding saturates exactly like the r12 incremental
+finding once the corpus outgrows 2^bits — at a 2.28M-vector corpus
+the per-table bucket population would be ~8.9k rows and collision
+candidates ~10^10 pairs. One cold cell per tier (there is no
+standing/batch split in a self-sweep; the banded index of the whole
+corpus IS the work).
+
 Usage: SPARK_DRIVER_MEMORY=32g python tools/decade3_embgate_sized.py
-       [signbit] [ivf]          (default: both)
+       [signbit] [ivf] [selfjoin]          (default: all three)
 """
 
 from __future__ import annotations
@@ -59,11 +68,12 @@ def _sized_nlist(n: int) -> int:
 
 
 def main() -> int:
-    which = set(sys.argv[1:]) or {"signbit", "ivf"}
+    which = set(sys.argv[1:]) or {"signbit", "ivf", "selfjoin"}
     from parquet_sampler_spark import queries as registry
     from parquet_sampler_spark.operators.similarity import (
         embedding_neardup_incremental,
         embedding_neardup_incremental_ivf,
+        embedding_neardup_pairs,
     )
     from parquet_sampler_spark.session import get_spark
 
@@ -108,6 +118,26 @@ def main() -> int:
 
     times: dict[str, dict[str, float]] = {}
     rows: dict[str, dict[str, int]] = {}
+    if "selfjoin" in which:
+        times["selfjoin"] = {}
+        rows["selfjoin"] = {}
+        for sf, sf_dir, n in tiers:
+            registry.clear_caches()
+            spark.sparkContext._jvm.System.gc()
+            emb, twins = corpus_and_batch(sf_dir)
+            aug = emb.unionByName(twins)
+            t0 = time.perf_counter()
+            cnt = embedding_neardup_pairs(
+                aug, "vec_id", "embedding", threshold=THRESHOLD,
+                method="lsh", lsh_bits=_sized_bits(n), lsh_tables=TABLES,
+            ).count()
+            dt = round(time.perf_counter() - t0, 3)
+            if sf == "1":
+                continue
+            times["selfjoin"][sf] = dt
+            rows["selfjoin"][sf] = cnt
+            print(f"[cell] embgate_selfjoin sf{sf} n={n} "
+                  f"bits={_sized_bits(n)} {dt}s pairs={cnt}", flush=True)
     for kind in ("signbit", "ivf"):
         if kind not in which:
             continue
