@@ -866,9 +866,16 @@ def minhash_probe_pairs(
     """
     from parquet_sampler_spark.plans.layout import spread
 
+    # pre-partitioned on the band-join keys (r13): a warm probe whose
+    # band list exceeds the broadcast threshold otherwise drags the
+    # corpus-sized index through an Exchange per batch (see
+    # similarity.embedding_neardup_incremental's identical note) —
+    # the in-memory analog of the bucketed-by-(band, bh) layout the
+    # docstring's deployment stores.
     idx = _persist(
         minhash_index(corpus, id_col, text_col, n=n,
                       num_hashes=num_hashes, bands=bands, seed=seed)
+        .repartition("band", "bh")
     )
     probe = minhash_index(batch, id_col, text_col, n=n,
                           num_hashes=num_hashes, bands=bands, seed=seed)
@@ -955,6 +962,10 @@ def exact_dup_probe(
             ],
         )
     )
+    # the fingerprint aggregate already leaves the index hash-
+    # partitioned on __fp (the groupBy key = the probe join key), so
+    # a warm probe only shuffles the batch side — no explicit
+    # repartition needed (unlike the banded indexes, r13)
     idx = _persist(
         corpus.select(fp.alias("__fp"), F.col(id_col))
         .groupBy("__fp")

@@ -588,7 +588,16 @@ def embedding_neardup_incremental(
             .select("__id", F.posexplode("__sigs").alias("tbl", "sig"))
         )
 
-    idx = _cache_persist(banded(corpus))
+    # The standing index persists PRE-PARTITIONED on the join keys
+    # (r13, found by the sized decade cells): unpartitioned, every
+    # warm probe whose band list outgrows the broadcast threshold
+    # sort-merges and drags the CORPUS-sized index through an
+    # Exchange per batch — Θ(corpus) per probe, measured α 1.43 at
+    # the sf100 planted tier (82.2 s for a ×10 batch). With the
+    # cached partitioning matching the join's ClusteredDistribution,
+    # only the Θ(batch) probe side shuffles — the in-memory analog of
+    # the bucketed-by-(band,bucket) storage layout a deployment uses.
+    idx = _cache_persist(banded(corpus).repartition("tbl", "sig"))
     probe = banded(batch)
     cand = (
         idx.alias("a")
@@ -715,8 +724,11 @@ def embedding_neardup_incremental_ivf(
             _route_probe(m, cq, sq, owner, nprobe, nprobe_super)
         )
 
+    # pre-partitioned on the cell id for the same reason as the
+    # sign-bit index (only the batch side shuffles on a warm probe)
     idx = _cache_persist(
         a.select("id_a", cell_of(F.col("__va")).alias("__cell"))
+        .repartition("__cell")
     )
     b = _normalized(batch, id_col, vec_col, "id_b", "__vb")
     probe = b.select(

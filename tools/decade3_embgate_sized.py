@@ -8,12 +8,26 @@ found when 8-bit signatures blew past maxResultSize at a 1.14M-vector
 corpus); IVF-routed: ``nlist ∝ corpus`` (cell population stays
 constant, so candidates per batch row stay constant across decades —
 the gate's Θ(batch) claim). This harness measures both gates across
-sf10 (200k vectors) → sf100 (2M vectors) of the jittered-copies
-embeddings slice at those sized settings, with the standing-state
-build (quantizer fit / hyperplane signing of the corpus, cell
-assignment, normalized-vector persist) charged to a SETUP cell and
-the warm per-batch probe timed separately — the quantity a standing
-deployment pays per ingest batch.
+sf10 (200k vectors) → sf100 (2M vectors) of the PLANTED-PAIR
+embeddings fixture (tools/make_emb_planted.py) at those sized
+settings, with the standing-state build (quantizer fit / hyperplane
+signing of the corpus, cell assignment, normalized-vector persist)
+charged to a SETUP cell and the warm per-batch probe timed
+separately — the quantity a standing deployment pays per ingest
+batch.
+
+FIXTURE NOTE (this harness's own r13 finding): the first run pointed
+at the standard .scratch/sfN jittered-copies embeddings slice and
+measured 8,446,173 pairs at sf10 — every sf0.1 base vector's ~100
+jittered descendants form a 0.92-threshold CLIQUE (cos of two
+independent σ=0.02 jitters of one vector ≈ 0.995), so pair volume
+grows ~copies² per base (~10⁹ extrapolated at sf100) and a decade
+cell there measures the fixture's densification, not the operator —
+the embedding-space analog of the r11 fixed-vocabulary census
+finding that moved banded TEXT dedup onto the Heaps corpus. The
+jittered slice remains right for ANN top-k/range (output k-bounded);
+all NEAR-DUP decade cells use the planted fixture (Θ(rows) true
+pairs by construction).
 
 Batch construction mirrors the registered rows: every 7th corpus
 vector, scaled ×2 (unit vector bit-identical -> its original is
@@ -100,19 +114,24 @@ def main() -> int:
                 threshold=THRESHOLD, lsh_bits=_sized_bits(n),
                 lsh_tables=TABLES,
             )
+        # verify_broadcast=False: IVF candidates are population-sized
+        # (~256 per batch row at nlist = n/256) — ~73M pairs at sf100,
+        # far past broadcast range; the verify joins shuffle instead
+        # (the operator's documented escape, same as the sign-bit
+        # form's)
         return embedding_neardup_incremental_ivf(
             emb, twins, "vec_id", "embedding", threshold=THRESHOLD,
             nlist=_sized_nlist(n), nprobe=NPROBE,
-            train_per_cell=TRAIN_PER_CELL,
+            train_per_cell=TRAIN_PER_CELL, verify_broadcast=False,
             model_cache=cache, cache_key=(sf_dir, _sized_nlist(n)),
         )
 
     tiers = []
     for sf in ("1", "10", "100"):
-        d = REPO / ".scratch" / f"sf{sf}"
+        d = REPO / ".scratch" / "emb_planted" / f"sf{sf}"
         if not (d / "embeddings.parquet").is_file():
             raise SystemExit(f"{d}/embeddings.parquet missing — run "
-                             "tools/make_sf1/10/100.py first")
+                             "tools/make_emb_planted.py first")
         n = spark.read.parquet(str(d / "embeddings.parquet")).count()
         tiers.append((sf, str(d), n))
 
