@@ -70,6 +70,47 @@ def _unit_dot(a: str, b: str) -> Column:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def _unit_dot_arrow(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """BIT-IDENTICAL Arrow-batched form of :func:`_unit_dot` (r13).
+
+    Catalyst evaluates higher-order functions INTERPRETED — no
+    whole-stage codegen, one lambda invocation per element — which
+    made the exact verify the measured bottleneck of the warm ingest
+    probe (77.7 of 91 s at the sf100 planted tier, vs 8 s candidate
+    generation). This computes the same value: elementwise float64
+    products (one IEEE op each, identical), then ``np.add.accumulate``
+    along the row — numpy's accumulate is STRICTLY SEQUENTIAL
+    (cumsum), not pairwise like ``np.sum``, so every intermediate is
+    the same correctly-rounded double the JVM fold produces and the
+    result matches the HOF fold and the DuckDB oracle's list fold to
+    the last bit (pytest-pinned on random + adversarial-magnitude
+    vectors; gate oracles re-verified). The first accumulate step
+    equals ``0.0 + prod[0]`` exactly, matching the fold's zero init.
+    """
+    al = va.tolist()
+    bl = vb.tolist()
+    if not al:
+        return pd.Series([], dtype=np.float64)
+    lens = {len(x) for x in al}
+    out = np.empty(len(al), dtype=np.float64)
+    if len(lens) == 1:
+        a = np.array(al, dtype=np.float64)
+        b = np.array(bl, dtype=np.float64)
+        out[:] = np.add.accumulate(a * b, axis=1)[:, -1]
+        return pd.Series(out)
+    # ragged rows (not the embedding-column shape, but keep the
+    # general contract): group by length, same sequential fold
+    by_len: dict[int, list[int]] = {}
+    for i, x in enumerate(al):
+        by_len.setdefault(len(x), []).append(i)
+    for d, idxs in by_len.items():
+        a = np.array([al[i] for i in idxs], dtype=np.float64)
+        b = np.array([bl[i] for i in idxs], dtype=np.float64)
+        out[idxs] = np.add.accumulate(a * b, axis=1)[:, -1]
+    return pd.Series(out)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -618,7 +659,12 @@ def embedding_neardup_incremental(
     return (
         cand_side.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cos_sim", _unit_dot("__va", "__vb"))
+        # Arrow-batched exact verify (bit-identical to the HOF fold —
+        # see _unit_dot_arrow): the verify volume dominates the warm
+        # probe (77.7 of 91 s at the sf100 planted tier) and the
+        # interpreted fold was 10x the rest of the probe combined
+        .withColumn("cos_sim", _unit_dot_arrow(F.col("__va"),
+                                               F.col("__vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -744,7 +790,12 @@ def embedding_neardup_incremental_ivf(
     return (
         cand_side.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cos_sim", _unit_dot("__va", "__vb"))
+        # Arrow-batched exact verify (bit-identical to the HOF fold —
+        # see _unit_dot_arrow): the verify volume dominates the warm
+        # probe (77.7 of 91 s at the sf100 planted tier) and the
+        # interpreted fold was 10x the rest of the probe combined
+        .withColumn("cos_sim", _unit_dot_arrow(F.col("__va"),
+                                               F.col("__vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -981,3 +981,38 @@ def test_embedding_admit_batch_contract(spark):
     with pytest.raises(ValueError):
         embedding_admit_batch(corpus, batch, "vec_id", "embedding",
                               routing="nope")
+
+
+def test_unit_dot_arrow_bit_identical_to_hof_fold(spark):
+    """_unit_dot_arrow must reproduce the Catalyst HOF fold to the
+    last bit: same elementwise IEEE products, same strictly-
+    sequential left-to-right summation (np.add.accumulate is cumsum,
+    not np.sum's pairwise tree). Adversarial magnitudes included —
+    mixed exponents are where a different reduction order shows."""
+    import numpy as np
+
+    from parquet_sampler_spark.operators.similarity import (
+        _unit_dot,
+        _unit_dot_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        d = int(rng.integers(1, 80))
+        a = rng.normal(0, 1, d)
+        b = rng.normal(0, 1, d)
+        if i % 3 == 0:  # adversarial: spread exponents over ~1e12
+            a *= 10.0 ** rng.integers(-6, 7, d)
+            b *= 10.0 ** rng.integers(-6, 7, d)
+        rows.append((i, a.tolist(), b.tolist()))
+    df = spark.createDataFrame(
+        rows, "id long, va array<double>, vb array<double>"
+    )
+    got = df.select(
+        "id",
+        _unit_dot("va", "vb").alias("fold"),
+        _unit_dot_arrow(F.col("va"), F.col("vb")).alias("arrow"),
+    ).collect()
+    for r in got:
+        assert r.fold == r.arrow, (r.id, r.fold, r.arrow)

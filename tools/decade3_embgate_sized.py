@@ -69,8 +69,18 @@ DUP_MOD = 7
 ID_OFF = 1 << 40
 TABLES = 8
 NPROBE = 1         # exact-direction re-ingest: argmin cell suffices
-TRAIN_PER_CELL = 32  # nlist ∝ corpus: full 256/cell would sketch the
-                     # whole corpus into the driver at sf100
+TRAIN_PER_CELL = 8   # nlist ∝ corpus: bigger per-cell sketches would
+                     # collect the whole corpus into the driver
+
+# Cell POPULATION (corpus/nlist) sets the gate's verify budget:
+# candidates per batch row = population × nprobe, and each verified
+# pair ships two dim-64 unit vectors through the verify shuffle
+# (~1 KB/pair with verify_broadcast=False). The first sized run used
+# population 256 → ~73M candidates → ~73 GB of verify scratch at the
+# sf100 tier, which filled the disk (the measured abort that set this
+# constant). Population 32 keeps the verify ~9 GB while routing cost
+# only grows ~3× (hierarchical routing is ~2·√nlist distances/row).
+POPULATION = 32
 
 
 def _sized_bits(n: int) -> int:
@@ -78,7 +88,7 @@ def _sized_bits(n: int) -> int:
 
 
 def _sized_nlist(n: int) -> int:
-    return max(16, n // 256)
+    return max(16, n // POPULATION)
 
 
 def main() -> int:
