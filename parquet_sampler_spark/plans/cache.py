@@ -46,7 +46,19 @@ def _evict_overflow() -> None:
 def _semantic_hit(df: DataFrame) -> DataFrame | None:
     """Return the registered frame semantically equal to ``df`` (and
     refresh its LRU position), or None. Hash first, then the exact
-    ``sameSemantics`` check — equal hashes can collide."""
+    ``sameSemantics`` check — equal hashes can collide.
+
+    A hit additionally requires IDENTICAL OUTPUT COLUMN NAMES (r13):
+    Spark's plan canonicalization normalizes aliases away, so two
+    relations differing only in a final ``.alias(...)`` are
+    "semantically equal" — but swapping one in for the other breaks
+    downstream name resolution. Measured: the order-2 and order-3
+    rarity models both persist ``vocab1 ⨯ total1`` with the token
+    column aliased ``__w2`` vs ``__w3``; after the trigram row ran,
+    the bigram row's score join failed with
+    UNRESOLVED_USING_COLUMN_FOR_JOIN on ``__w2`` (full-sweep find).
+    Name-checked, the two register as distinct entries — same
+    correctness, one extra vocabulary-sized cache entry."""
     try:
         h = df.semanticHash()
     except Exception:
@@ -54,7 +66,7 @@ def _semantic_hit(df: DataFrame) -> DataFrame | None:
     for i, (hh, old) in enumerate(_PERSISTED):
         if hh == h:
             try:
-                if old.sameSemantics(df):
+                if old.columns == df.columns and old.sameSemantics(df):
                     _PERSISTED.append(_PERSISTED.pop(i))
                     return old
             except Exception:

@@ -208,6 +208,15 @@ def test_persist_registry_dedups_semantically_equal_plans(spark):
     # LRU refresh: re-registering the first plan moves it to the tail
     cache.persist(spark.range(50).selectExpr("id * 7 AS x"))
     assert cache._PERSISTED[-1][1] is pa
+    # r13: plans differing ONLY in a final alias canonicalize equal
+    # (sameSemantics ignores names) but must NOT be interchanged —
+    # the full-sweep find: the order-3 rarity model's __w3 backoff
+    # table was handed to the order-2 scorer expecting __w2, and its
+    # USING join failed to resolve. A hit requires identical columns.
+    d = spark.range(50).selectExpr("id * 7 AS y")
+    pd_ = cache.persist(d)
+    assert pd_ is not pa
+    assert pd_.columns == ["y"]
     cache.clear()
     assert not cache._PERSISTED
 
