@@ -7,20 +7,28 @@ Each query is forced with .count() (full plan execution, no driver-side
 collect overhead). A warmup query first absorbs JVM/codegen startup so
 per-query times reflect steady-state execution.
 
-Median protocol (round 7): the whole suite runs
+Median protocol (round 7, revised round 14): the whole suite runs
 ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) in one session and each
 query's recorded time is the MEDIAN across suite passes — the r5→r6
 cross-round comparison showed a +14% drift on identical code that sat
 inside the measured ±30% single-shot host-noise band, so single-shot
-numbers can't tell a real regression from a noisy neighbor. Session
-caches (pair graphs, IVF model, bucketed tables) persist across
-passes, so pass 2+ measures the same warm state pass 1's queries
-already enjoyed — per-query semantics match the old single-shot
-protocol; the median just suppresses scheduler noise. The setup_*
-rows are the exception: their build happens ONCE per session (later
-passes hit the cache at ~0 s), so they record the PASS-1 cost — the
-real price of the build — not the median. Raw per-pass times land in
-BENCH_LOCAL.json (``raw`` key) for mover attribution.
+numbers can't tell a real regression from a noisy neighbor.
+
+Setup rows (r14, VERDICT r13 "What's wrong #3"): session caches are
+now CLEARED between passes (``clear_caches()``), so every pass re-pays
+the one-time builds inside its ``setup_*`` rows and those rows take
+the median like everything else — under the old "setup rows keep
+pass-1" rule a noisy first pass (r13: calibration_cpu 4.67 s vs
+2.51/2.71 in passes 2-3) inflated every setup row by protocol
+accident. Non-setup rows still measure the same warm state as before:
+the builds happen first within each pass, so registry rows always run
+against a fully-warmed session. The two SESSION_WARM_ROWS
+(setup_streaming, setup_ngram_warm) are the exception — they absorb
+once-per-SESSION costs (state-store/listener init, whole-stage-codegen
+JIT) that no cache reset can bring back, so pass 2+ would measure ~0
+of what they exist to capture; they keep the pass-1 cost. Raw
+per-pass times land in BENCH_LOCAL.json (``raw`` key) for mover
+attribution.
 """
 
 from __future__ import annotations
@@ -41,14 +49,22 @@ sys.path.insert(0, str(REPO))
 # fold instead so the bench measures what a user materializes
 FULL_EVAL_ROWS = frozenset({"decontaminate_scrub", "dup_triangles"})
 
-# rows whose cost is a one-time session build: record pass-1 time
+# rows that absorb once-per-SESSION warmup (not cache builds): a cache
+# reset cannot bring the cost back, so the median would record ~0 of
+# what they exist to capture — they keep the pass-1 time
+SESSION_WARM_ROWS = frozenset({"setup_streaming", "setup_ngram_warm"})
+
+# rows whose cost is a per-pass build under the r14 cache-reset
+# protocol (kept as an explicit set so ab_compare and the scaling
+# harnesses can keep attributing them separately from query rows)
 SETUP_ROWS = frozenset({
     "setup_pairs_graph", "setup_dup_graph", "setup_bucketed_tables",
     "setup_merge_batch", "setup_ivf_model", "setup_streaming",
     "setup_pq_model", "setup_ivfpq_model", "setup_sem_model",
     "setup_zorder", "setup_compaction", "setup_dpp",
     "setup_ivfpqr_model", "setup_ivfpqr8_model",
-    "setup_ivf_hier_model", "setup_ngram_warm",
+    "setup_ivf_hier_model", "setup_ivf_sized_model",
+    "setup_ngram_warm",
     "setup_bpe_model", "setup_bpe_holdout_model",
     "setup_minhash_index", "setup_bigram_model",
     "setup_trigram_model",
@@ -137,6 +153,10 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_ann_ivf_hier(spark, sf_dir).count()
     times["setup_ivf_hier_model"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    queries_ext._q_ann_ivf_sized(spark, sf_dir).count()
+    times["setup_ivf_sized_model"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
     queries_ext._q_semantic_dedup(spark, sf_dir).count()
@@ -313,17 +333,25 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    from parquet_sampler_spark.queries import clear_caches
+
     passes: list[dict[str, float]] = []
-    for _ in range(reps):
+    for i in range(reps):
+        if i:
+            # r14 protocol: reset session caches so every pass re-pays
+            # the one-time builds inside its setup rows — setup rows
+            # then take the median like everything else instead of
+            # inheriting whatever noise pass 1 had
+            clear_caches()
         passes.append(run_suite(spark, sf_dir))
 
     names = list(passes[0])
     times: dict[str, float] = {}
     for name in names:
         vals = [p[name] for p in passes]
-        if name in SETUP_ROWS:
-            # the build happens once per session; later passes hit the
-            # cache at ~0 s — the honest cost is the first pass's
+        if name in SESSION_WARM_ROWS:
+            # once-per-session costs (streaming machinery init, JIT):
+            # no cache reset brings them back — pass 1 is the honest cost
             times[name] = vals[0]
         else:
             times[name] = round(statistics.median(vals), 4)
@@ -340,7 +368,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf),
         "reps": reps,
-        "protocol": "median-of-reps (setup rows: first pass)",
+        "protocol": ("median-of-reps, cache reset per pass "
+                     "(session-warm rows: first pass)"),
     }
     print(json.dumps(payload))
     # the driver's tail capture truncates the front of the 100+-entry

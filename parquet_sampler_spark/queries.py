@@ -115,6 +115,14 @@ def clear_caches() -> None:
     queries_ext._IVF_MODEL_CACHE.clear()
     queries_ext._EMBIVF_MODEL_CACHE.clear()
     queries_ext._SEM_MODEL_CACHE.clear()
+    queries_ext._PQ_MODEL_CACHE.clear()
+    queries_ext._IVFPQ_MODEL_CACHE.clear()
+    # catalog-table cache: the build path drops + rewrites the
+    # warehouse tables when the entry is absent, so clearing makes the
+    # next _q_bucketed_join pay the full write (bench r14: the median
+    # protocol resets caches between passes so setup rows re-pay their
+    # builds every pass instead of inheriting pass-1's noise)
+    queries_ext._BUCKETED_CACHE.clear()
     # the data-fitted oracle SQL caches (keyed by sf_dir) hold INLINED
     # centroid/codebook literals — stale if an sf_dir's
     # embeddings.parquet is regenerated within one process
@@ -123,6 +131,7 @@ def clear_caches() -> None:
     queries_ext._IVFPQ_SQL_CACHE.clear()
     queries_ext._IVFPQR_SQL_CACHE.clear()
     queries_ext._IVF_HIER_SQL_CACHE.clear()
+    queries_ext._ANN_SIZED_SQL_CACHE.clear()
     queries_ext._SEM_SQL_CACHE.clear()
     # plain-value caches (no DataFrames to unpersist)
     queries_ext._BPE_MERGES_CACHE.clear()

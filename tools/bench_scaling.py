@@ -79,6 +79,7 @@ FIXTURES: dict[str, str] = {
     "ann_ivfpq_residual": "setup_ivfpqr_model",
     "ann_ivfpq_residual8": "setup_ivfpqr8_model",
     "ann_ivf_hier": "setup_ivf_hier_model",
+    "ann_ivf_sized": "setup_ivf_sized_model",
     "bpe_merges": "setup_bpe_model",
     "bpe_encode": "setup_bpe_model",
     "pack_sequences_bpe": "setup_bpe_model",
@@ -127,6 +128,10 @@ def _fixture_builder(name: str):
         ).count()
     if name == "ann_ivf_hier":
         return lambda spark, sf_dir: queries_ext._q_ann_ivf_hier(
+            spark, sf_dir
+        ).count()
+    if name == "ann_ivf_sized":
+        return lambda spark, sf_dir: queries_ext._q_ann_ivf_sized(
             spark, sf_dir
         ).count()
     if name in ("bpe_merges", "bpe_encode", "pack_sequences_bpe"):

@@ -48,7 +48,18 @@ standing/batch split in a self-sweep; the banded index of the whole
 corpus IS the work).
 
 Usage: SPARK_DRIVER_MEMORY=32g python tools/decade3_embgate_sized.py
-       [signbit] [ivf] [selfjoin]          (default: all three)
+       [signbit] [ivf] [selfjoin] [--scaled-partitions]
+       (default: all three, fixed session partitions)
+
+``--scaled-partitions`` (r14, VERDICT r13 #4): sets
+``spark.sql.shuffle.partitions`` ∝ corpus per tier (32 at the 200k
+tier, 320 at 2M — constant ~6.3k rows/partition) before each tier's
+build + probe, modeling a cluster that sizes partitions with the
+data. The r13 fixed-32 cells measured warm-probe α 1.26-1.41 against
+a ×10 batch and attributed the residual above the 1.0 batch floor to
+per-partition volume growing ×10 (GC/spill pressure), candidates/row
+being constant by exact pair counts — this mode is the cell that
+confirms or refutes that attribution.
 """
 
 from __future__ import annotations
@@ -92,7 +103,10 @@ def _sized_nlist(n: int) -> int:
 
 
 def main() -> int:
-    which = set(sys.argv[1:]) or {"signbit", "ivf", "selfjoin"}
+    args = set(sys.argv[1:])
+    scaled_parts = "--scaled-partitions" in args
+    args.discard("--scaled-partitions")
+    which = args or {"signbit", "ivf", "selfjoin"}
     from parquet_sampler_spark import queries as registry
     from parquet_sampler_spark.operators.similarity import (
         embedding_neardup_incremental,
@@ -125,10 +139,10 @@ def main() -> int:
                 lsh_tables=TABLES,
             )
         # verify_broadcast=False: IVF candidates are population-sized
-        # (~256 per batch row at nlist = n/256) — ~73M pairs at sf100,
-        # far past broadcast range; the verify joins shuffle instead
-        # (the operator's documented escape, same as the sign-bit
-        # form's)
+        # (~POPULATION per batch row at nlist = n/POPULATION; see the
+        # constant above) — millions of pairs at sf100, far past
+        # broadcast range; the verify joins shuffle instead (the
+        # operator's documented escape, same as the sign-bit form's)
         return embedding_neardup_incremental_ivf(
             emb, twins, "vec_id", "embedding", threshold=THRESHOLD,
             nlist=_sized_nlist(n), nprobe=NPROBE,
@@ -167,15 +181,26 @@ def main() -> int:
             rows["selfjoin"][sf] = cnt
             print(f"[cell] embgate_selfjoin sf{sf} n={n} "
                   f"bits={_sized_bits(n)} {dt}s pairs={cnt}", flush=True)
+    sfx = "_scaledpart" if scaled_parts else ""
     for kind in ("signbit", "ivf"):
         if kind not in which:
             continue
-        times[f"{kind}_setup"] = {}
-        times[f"{kind}_probe"] = {}
+        times[f"{kind}_setup{sfx}"] = {}
+        times[f"{kind}_probe{sfx}"] = {}
         rows[kind] = {}
         for sf, sf_dir, n in tiers:
             registry.clear_caches()
             cache: dict = {}
+            if scaled_parts:
+                # partitions ∝ data: ~6.3k corpus rows per partition
+                # (32 at the 200k tier), floor 32 — the persisted
+                # index inherits this width at its repartition-before-
+                # persist, so warm probes see constant rows/partition
+                nparts = max(32, n // 6250)
+                spark.conf.set("spark.sql.shuffle.partitions",
+                               str(nparts))
+                print(f"[conf] sf{sf}: shuffle.partitions={nparts}",
+                      flush=True)
             spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             gate(kind, sf_dir, n, cache).count()   # standing-state build
@@ -185,12 +210,12 @@ def main() -> int:
             probe = round(time.perf_counter() - t0, 3)
             if sf == "1":   # plan warmup tier, untimed
                 continue
-            times[f"{kind}_setup"][sf] = setup
-            times[f"{kind}_probe"][sf] = probe
+            times[f"{kind}_setup{sfx}"][sf] = setup
+            times[f"{kind}_probe{sfx}"][sf] = probe
             rows[kind][sf] = cnt
             extra = (f"bits={_sized_bits(n)}" if kind == "signbit"
                      else f"nlist={_sized_nlist(n)}")
-            print(f"[cell] embgate_{kind} sf{sf} n={n} {extra} "
+            print(f"[cell] embgate_{kind}{sfx} sf{sf} n={n} {extra} "
                   f"setup={setup}s probe={probe}s pairs={cnt}",
                   flush=True)
 
