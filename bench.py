@@ -69,6 +69,7 @@ SETUP_ROWS = frozenset({
     "setup_minhash_index", "setup_bigram_model",
     "setup_trigram_model",
     "setup_embneardup_index", "setup_embneardup_ivf_index",
+    "setup_embneardup_ivf_sized_index",
     "setup_star_v1",
 })
 
@@ -219,6 +220,15 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     queries_ext._q_embedding_neardup_incremental_ivf(spark, sf_dir).count()
     times["setup_embneardup_ivf_index"] = round(
+        time.perf_counter() - t0, 4)
+
+    # ... and the sized-nlist gate's standing state (its own quantizer
+    # fit + cell index — keyed separately from the fixed-nlist row's)
+    t0 = time.perf_counter()
+    queries_ext._q_embedding_neardup_incremental_ivf_sized(
+        spark, sf_dir
+    ).count()
+    times["setup_embneardup_ivf_sized_index"] = round(
         time.perf_counter() - t0, 4)
 
     # the v1 star-snapshot store is standing state (yesterday's

@@ -1694,6 +1694,44 @@ def _q_embedding_neardup_incremental_ivf(spark, sf_dir):
     )
 
 
+def _q_embedding_neardup_incremental_ivf_sized(spark, sf_dir):
+    """The IVF ingest gate at the SIZED operating point (r14): nlist
+    derived from the parquet footer count by the same
+    ``_ann_sized_nlist`` rule as ann_ivf_sized (one cell per 32 corpus
+    rows, floor 16; training sketch capped at 2^18 rows) — the
+    settings ``tools/decade3_embgate_sized.py`` measures are now a
+    registered, copyable row. Recall for the oracle's qualifying set
+    stays exactly 1 at ANY nlist: a scaled twin's unit vector is
+    bit-identical to its original's, so both land in the same argmin
+    cell and flat routing finds the pair at nprobe ≥ 1 — the same
+    argument the fixed-nlist row pins, independent of cell count.
+    Oracle: shared verbatim with embedding_neardup_incremental."""
+    from parquet_sampler_spark.operators.similarity import (
+        embedding_neardup_incremental_ivf,
+    )
+    from parquet_sampler_spark.sources.io import metadata_row_count
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(
+        F.col("vec_id") % _NEARDUP_DUP_MOD == 0
+    ).select(
+        (F.col("vec_id") + _NEARDUP_DUP_OFF).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    n = metadata_row_count(f"{sf_dir}/embeddings.parquet")
+    nlist = _ann_sized_nlist(n)
+    return embedding_neardup_incremental_ivf(
+        emb, twins, "vec_id", "embedding", threshold=_NEARDUP_HI,
+        nlist=nlist, nprobe=_EMBIVF_NPROBE,
+        train_per_cell=_ann_sized_tpc(nlist),
+        model_cache=_EMBIVF_MODEL_CACHE,
+        cache_key=(spark.sparkContext.applicationId, sf_dir,
+                   "sized", nlist),
+    )
+
+
 def _q_embedding_admit(spark, sf_dir):
     """The embedding ingest DECISION (r13): which batch vectors get
     APPENDED to the standing corpus? Batch = the scaled twins (every
@@ -3139,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_incremental": _q_embedding_neardup_incremental,
         "embedding_neardup_incremental_ivf":
             _q_embedding_neardup_incremental_ivf,
+        "embedding_neardup_incremental_ivf_sized":
+            _q_embedding_neardup_incremental_ivf_sized,
         "embedding_admit": _q_embedding_admit,
         "embedding_neardup_block": _q_embedding_neardup_block,
         "ann_topk": _q_ann_topk,
@@ -3291,6 +3331,11 @@ def oracle_sql() -> dict[str, str]:
         # output on this corpus (recall 1 for the planted twins, exact
         # verify) — the oracle is shared verbatim
         "embedding_neardup_incremental_ivf":
+            _sql_embedding_neardup_incremental(),
+        # ... and the sized form keeps recall 1 for the qualifying set
+        # at any nlist (unit twins share the argmin cell), so it shares
+        # the same exact-cosine oracle too
+        "embedding_neardup_incremental_ivf_sized":
             _sql_embedding_neardup_incremental(),
         "embedding_admit": _sql_embedding_admit(),
         "embedding_neardup_block": _sql_embedding_neardup_block(),

@@ -90,6 +90,8 @@ FIXTURES: dict[str, str] = {
     "quality_rarity_trigram": "setup_trigram_model",
     "embedding_neardup_incremental": "setup_embneardup_index",
     "embedding_neardup_incremental_ivf": "setup_embneardup_ivf_index",
+    "embedding_neardup_incremental_ivf_sized":
+        "setup_embneardup_ivf_sized_index",
     # admit's corpus probe reuses the sign-bit gate's standing state
     # (identical plan semantics -> shared persisted relations)
     "embedding_admit": "setup_embneardup_index",
@@ -177,6 +179,13 @@ def _fixture_builder(name: str):
         return (
             lambda spark, sf_dir:
             queries_ext._q_embedding_neardup_incremental_ivf(
+                spark, sf_dir
+            ).count()
+        )
+    if name == "embedding_neardup_incremental_ivf_sized":
+        return (
+            lambda spark, sf_dir:
+            queries_ext._q_embedding_neardup_incremental_ivf_sized(
                 spark, sf_dir
             ).count()
         )
