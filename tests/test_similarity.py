@@ -160,6 +160,28 @@ def test_ivf_model_cache_reused(embeddings, queries):
     assert cache["k"] is model
 
 
+def test_ivf_index_is_standing_state(embeddings, queries):
+    """r14 (found by the ann_ivf_sized decade cell, warm α 1.82): the
+    IVF INDEX — corpus cell assignments + normalized vectors — must be
+    standing state, not recomputed per query. A second call over the
+    same corpus must (a) semantically hit the persist registry instead
+    of growing it, (b) read the index from cache (InMemoryRelation in
+    the plan), and (c) return the identical result set."""
+    from parquet_sampler_spark.operators.similarity import ivf_topk
+    from parquet_sampler_spark.plans import cache as plan_cache
+
+    cache: dict = {}
+    kw = dict(k=5, nlist=8, nprobe=4, model_cache=cache,
+              cache_key="standing")
+    first = ivf_topk(embeddings, queries, "vec_id", "embedding", **kw)
+    a = sorted(map(tuple, first.collect()))
+    n_persisted = len(plan_cache._PERSISTED)
+    second = ivf_topk(embeddings, queries, "vec_id", "embedding", **kw)
+    assert len(plan_cache._PERSISTED) == n_persisted
+    assert "InMemoryRelation" in second._jdf.queryExecution().toString()
+    assert sorted(map(tuple, second.collect())) == a
+
+
 def test_neardup_block_empty_blocks_no_duplicates(spark):
     """Regression: a grid cell whose right-side block is empty must
     yield nothing — with nblocks >> n most blocks are empty, and the
