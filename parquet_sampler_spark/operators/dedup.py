@@ -900,10 +900,14 @@ def minhash_probe_pairs(
     # (or storage-prunes to candidate ids on a bucketed layout), so a
     # warm-index probe costs Θ(batch) + candidates, never a corpus
     # text re-scan.
+    # ... and pre-partitioned on the verify-join key (r14: the
+    # verify_broadcast=False path otherwise drags this corpus-sized
+    # relation through an Exchange per batch — the embedding gates'
+    # scaled-partitions decade cell measured the identical class)
     sh_a = _persist(spread(corpus).select(
         F.col(id_col).alias("id_a"),
         _word_ngrams(text_col, n).alias("sh_a"),
-    ))
+    ).repartition("id_a"))
     sh_b = spread(batch).select(
         F.col(id_col).alias("id_b"),
         _word_ngrams(text_col, n).alias("sh_b"),

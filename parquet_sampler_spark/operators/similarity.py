@@ -672,8 +672,15 @@ def embedding_neardup_incremental(
         .dropDuplicates(["id_a", "id_b"])
     )
     # normalized corpus vectors persist beside the index (standing
-    # state, same rationale as minhash_probe_pairs' shingle relation)
-    a = _cache_persist(_normalized(corpus, id_col, vec_col, "id_a", "__va"))
+    # state, same rationale as minhash_probe_pairs' shingle relation),
+    # PRE-PARTITIONED on the verify-join key (r14: the scaled-
+    # partitions decade cell showed the verify_broadcast=False path
+    # dragging this corpus-sized relation through an Exchange per
+    # batch — the same r13 bug class the band index already had fixed)
+    a = _cache_persist(
+        _normalized(corpus, id_col, vec_col, "id_a", "__va")
+        .repartition("id_a")
+    )
     b = _normalized(batch, id_col, vec_col, "id_b", "__vb")
     cand_side = F.broadcast(cand) if verify_broadcast else cand
     return (
@@ -755,7 +762,12 @@ def embedding_neardup_incremental_ivf(
     """
     if threshold <= 0:
         raise ValueError("threshold must be positive")
-    a = _cache_persist(_normalized(corpus, id_col, vec_col, "id_a", "__va"))
+    # pre-partitioned on the verify-join key (r14, same rationale as
+    # the sign-bit gate's relation — see that note)
+    a = _cache_persist(
+        _normalized(corpus, id_col, vec_col, "id_a", "__va")
+        .repartition("id_a")
+    )
     if model_cache is not None and cache_key in model_cache:
         supers, centroids, owner = model_cache[cache_key]
     else:
@@ -1649,22 +1661,39 @@ def ivfpq_topk(
         if model_cache is not None:
             model_cache[ck] = (supers, centroids, owner, codebooks)
 
-    cq = _ivf_quantize(centroids)       # (ncells, dim)
-    sq = None if supers is None else _ivf_quantize(supers)
-    cbq = _ivf_quantize(codebooks)      # (m_sub, ncodes, dsub)
-    n_codes_eff = cbq.shape[1]
-    dsub = cbq.shape[2]
+    cbq0 = _ivf_quantize(codebooks)     # (m_sub, ncodes, dsub)
+    n_codes_eff = cbq0.shape[1]
+    dsub = cbq0.shape[2]
+    # broadcast the Θ(nlist) coarse tables + codebooks instead of
+    # closure-capturing them (see ivf_topk's r14 note); handles
+    # cached under the model key so repeat calls reuse the same ids
+    sc = corpus.sparkSession.sparkContext
+    bkey = (ck, "__bc")
+    if model_cache is not None and bkey in model_cache:
+        b_cq, b_sq, b_owner, b_cbq = model_cache[bkey]
+    else:
+        b_cq = sc.broadcast(_ivf_quantize(centroids))
+        b_sq = sc.broadcast(
+            None if supers is None else _ivf_quantize(supers)
+        )
+        b_owner = sc.broadcast(owner)
+        b_cbq = sc.broadcast(cbq0)
+        if model_cache is not None:
+            model_cache[bkey] = (b_cq, b_sq, b_owner, b_cbq)
 
     @F.pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        return pd.Series(_route_assign(m, cq, sq, owner))
+        return pd.Series(
+            _route_assign(m, b_cq.value, b_sq.value, b_owner.value)
+        )
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def codes_of(vs: pd.Series) -> pd.Series:
+        cq, cbq = b_cq.value, b_cbq.value
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
         if residual:
-            x = x - cq[_route_assign(x, cq, sq, owner)]
+            x = x - cq[_route_assign(x, cq, b_sq.value, b_owner.value)]
         xs = x.reshape(len(vs), m_sub, dsub)
         d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
         return pd.Series(d.argmin(axis=2).astype("int32").tolist())
@@ -1673,11 +1702,13 @@ def ivfpq_topk(
     def probe_cells(vs: pd.Series) -> pd.Series:
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
         return pd.Series(
-            _route_probe(m, cq, sq, owner, nprobe, nprobe_super)
+            _route_probe(m, b_cq.value, b_sq.value, b_owner.value,
+                         nprobe, nprobe_super)
         )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def lut_of(vs: pd.Series) -> pd.Series:
+        cbq = b_cbq.value
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
         xs = x.reshape(len(vs), m_sub, dsub)
         d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
@@ -1687,8 +1718,9 @@ def ivfpq_topk(
     def lut_res(vs: pd.Series, cells: pd.Series) -> pd.Series:
         # residual ADC: the query's LUT is cell-specific (q − that
         # cell's centroid), so this runs AFTER the probe-cell explode
+        cbq = b_cbq.value
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        x = x - cq[cells.to_numpy(dtype=np.int64)]
+        x = x - b_cq.value[cells.to_numpy(dtype=np.int64)]
         xs = x.reshape(len(vs), m_sub, dsub)
         d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
         return pd.Series(d.reshape(len(vs), -1).tolist())
@@ -1862,8 +1894,21 @@ def semantic_dedup(
         if model_cache is not None:
             model_cache[cache_key] = (supers, centroids, owner)
 
-    cq = _ivf_quantize(centroids)  # (ncells, dim) int64
-    sq = None if supers is None else _ivf_quantize(supers)
+    # broadcast, not closure-capture: Θ(nlist) tables re-ship per
+    # task otherwise (see ivf_topk's r14 note); handles cached so a
+    # cached-model call reuses the same broadcast ids
+    sc = corpus.sparkSession.sparkContext
+    bkey = (cache_key, "__bc")
+    if model_cache is not None and bkey in model_cache:
+        b_cq, b_sq, b_owner = model_cache[bkey]
+    else:
+        b_cq = sc.broadcast(_ivf_quantize(centroids))
+        b_sq = sc.broadcast(
+            None if supers is None else _ivf_quantize(supers)
+        )
+        b_owner = sc.broadcast(owner)
+        if model_cache is not None:
+            model_cache[bkey] = (b_cq, b_sq, b_owner)
 
     @F.pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
@@ -1873,7 +1918,9 @@ def semantic_dedup(
         # SemDeDup trade: a boundary vector may land one cell off flat
         # argmin; identically in both engines, oracle-replicated)
         m = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        return pd.Series(_route_assign(m, cq, sq, owner))
+        return pd.Series(
+            _route_assign(m, b_cq.value, b_sq.value, b_owner.value)
+        )
 
     assigned = spread(corpus).select(
         F.col(id_col).alias("__sid"),
@@ -1999,13 +2046,27 @@ def ivf_coreset(
         if model_cache is not None:
             model_cache[cache_key] = (supers, centroids, owner)
 
-    cq = _ivf_quantize(centroids)
-    sq = None if supers is None else _ivf_quantize(supers)
+    # broadcast, not closure-capture (see ivf_topk's r14 note)
+    sc = corpus.sparkSession.sparkContext
+    bkey = (cache_key, "__bc")
+    if model_cache is not None and bkey in model_cache:
+        b_cq, b_sq, b_owner = model_cache[bkey]
+    else:
+        b_cq = sc.broadcast(_ivf_quantize(centroids))
+        b_sq = sc.broadcast(
+            None if supers is None else _ivf_quantize(supers)
+        )
+        b_owner = sc.broadcast(owner)
+        if model_cache is not None:
+            model_cache[bkey] = (b_cq, b_sq, b_owner)
 
     @F.pandas_udf("cell int, d bigint")
     def cell_dist(vs: pd.Series) -> pd.DataFrame:
+        cq = b_cq.value
         mtx = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        cells = np.asarray(_route_assign(mtx, cq, sq, owner))
+        cells = np.asarray(
+            _route_assign(mtx, cq, b_sq.value, b_owner.value)
+        )
         diff = mtx - cq[cells]
         return pd.DataFrame({
             "cell": cells.astype(np.int32),
