@@ -61,6 +61,47 @@ def _normalized(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def _sketch_topk(rel: DataFrame, id_name: str, k: int) -> list:
+    """Collect the ``k`` rows of ``rel`` with the smallest
+    ``(__h, id)`` — exactly ``rel.orderBy("__h", id).limit(k)
+    .collect()`` — WITHOUT TakeOrderedAndProject's Θ(k × partitions)
+    driver partials (r14: the 250k-row sized-quantizer sketch over the
+    320-partition sf100 tier returned a local top-k per task and blew
+    ``spark.driver.maxResultSize`` at 1 GB; the un-partitioned runs
+    had merely been squeaking under it). Instead, the sampler's
+    distributed k-th-rank histogram selection finds the boundary hash
+    in 2-3 KB-sized aggregations over the hash column alone, a filter
+    reduces the scan to the ~k selected rows, and only those collect.
+    Boundary ties resolve by ascending id, matching the orderBy's tie
+    column; the returned rows are driver-sorted by ``(__h, id)`` so
+    training sees the identical row order (kmeans++ init is
+    order-sensitive, and the DuckDB oracle builders replay the same
+    selection + order on raw parquet)."""
+    from parquet_sampler_spark.functions.hashing import MODULUS
+    from parquet_sampler_spark.operators.sample import (
+        _PR,
+        _kth_rank_value,
+    )
+
+    total = rel.count()
+    if total <= k:
+        # collect-all is itself ≤ k rows; partials sum to total
+        return sorted(rel.collect(),
+                      key=lambda r: (r["__h"], r[id_name]))
+    t_star, c_lt = _kth_rank_value(
+        rel.select(F.col("__h").alias(_PR)), k, MODULUS
+    )
+    rows = rel.filter(F.col("__h") < t_star).collect()
+    need = k - c_lt
+    if need > 0:
+        rows += (
+            rel.filter(F.col("__h") == t_star)
+            .orderBy(id_name).limit(need).collect()
+        )
+    rows.sort(key=lambda r: (r["__h"], r[id_name]))
+    return rows
+
+
 def _unit_dot(a: str, b: str) -> Column:
     """Left-to-right double dot product of two unit vectors = cosine."""
     return F.aggregate(
@@ -773,12 +814,10 @@ def embedding_neardup_incremental_ivf(
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
-        sketch = (
+        sketch = _sketch_topk(
             a.select("id_a", "__va",
-                     lehmer_hash(["id_a"], seed).alias("__h"))
-            .orderBy("__h", "id_a")
-            .limit(train_per_cell * nlist)
-            .collect()
+                     lehmer_hash(["id_a"], seed).alias("__h")),
+            "id_a", train_per_cell * nlist,
         )
         X = np.array([r["__va"] for r in sketch], dtype=np.float64)
         supers, centroids, owner = _fit_coarse_hierarchy(
@@ -1185,14 +1224,12 @@ def ivf_topk(
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
-        sketch = (
+        sketch = _sketch_topk(
             spread(corpus)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"),
-                    lehmer_hash([id_col], seed).alias("__h"))
-            .orderBy("__h", "__id")
-            .limit(train_per_cell * nlist)
-            .collect()
+                    lehmer_hash([id_col], seed).alias("__h")),
+            "__id", train_per_cell * nlist,
         )
         X = np.array([r["__v"] for r in sketch], dtype=np.float64)
         supers, centroids, owner = _fit_coarse_hierarchy(
@@ -1406,14 +1443,12 @@ def pq_topk(
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
-        sketch = (
+        sketch = _sketch_topk(
             spread(corpus)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"),
-                    lehmer_hash([id_col], seed).alias("__h"))
-            .orderBy("__h", "__id")
-            .limit(train_rows)
-            .collect()
+                    lehmer_hash([id_col], seed).alias("__h")),
+            "__id", train_rows,
         )
         codebooks = pq_train_codebooks_numpy(
             np.array([r["__id"] for r in sketch], dtype=np.int64),
@@ -1639,14 +1674,12 @@ def ivfpq_topk(
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
-        sketch = (
+        sketch = _sketch_topk(
             spread(corpus)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"),
-                    lehmer_hash([id_col], seed).alias("__h"))
-            .orderBy("__h", "__id")
-            .limit(max(train_rows, 256 * nlist))
-            .collect()
+                    lehmer_hash([id_col], seed).alias("__h")),
+            "__id", max(train_rows, 256 * nlist),
         )
         # the shared numpy trainer (size-aware coarse fit + residual
         # codebook grid) is the SAME code the oracle builders run on
@@ -1878,14 +1911,12 @@ def semantic_dedup(
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
-        sketch = (
+        sketch = _sketch_topk(
             spread(corpus)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"),
-                    lehmer_hash([id_col], seed).alias("__h"))
-            .orderBy("__h", "__id")
-            .limit(train_per_cell * nlist)
-            .collect()
+                    lehmer_hash([id_col], seed).alias("__h")),
+            "__id", train_per_cell * nlist,
         )
         X = np.array([r["__v"] for r in sketch], dtype=np.float64)
         supers, centroids, owner = _fit_coarse_hierarchy(
@@ -2030,14 +2061,12 @@ def ivf_coreset(
     else:
         from parquet_sampler_spark.functions.hashing import lehmer_hash
 
-        sketch = (
+        sketch = _sketch_topk(
             spread(corpus)
             .select(F.col(id_col).alias("__id"),
                     F.col(vec_col).alias("__v"),
-                    lehmer_hash([id_col], seed).alias("__h"))
-            .orderBy("__h", "__id")
-            .limit(train_per_cell * nlist)
-            .collect()
+                    lehmer_hash([id_col], seed).alias("__h")),
+            "__id", train_per_cell * nlist,
         )
         X = np.array([r["__v"] for r in sketch], dtype=np.float64)
         supers, centroids, owner = _fit_coarse_hierarchy(
