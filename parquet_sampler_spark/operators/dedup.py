@@ -564,24 +564,41 @@ def minhash_lsh_pairs(
         if weighted:
             from parquet_sampler_spark.functions.text import word_ngrams
 
-            grams = word_ngrams(text_col, n, distinct=False)
+            # The gram array is BOUND TO A COLUMN before the
+            # occurrence-index transform runs over it (r14
+            # optimization round, guide §1.2 "per-task work"): with
+            # the ngram expression inlined, every lambda element
+            # re-evaluated the whole split→ngram tree — O(L)
+            # tokenize work × L elements = O(L²) tokenizations per
+            # document, measured 7.5 s for the sf0.1 expansion build
+            # vs 0.4 s with the array staged as a column (the lambda
+            # then references a materialized value). The encoding
+            # itself is unchanged — identical output arrays, element
+            # for element.
+            staged = spread(df).select(
+                F.col(id_col),
+                word_ngrams(text_col, n, distinct=False).alias("__g"),
+            )
+            g = F.col("__g")
             sh_expr = F.transform(
-                grams,
+                g,
                 lambda x, i: F.concat(
                     x,
                     F.lit("#"),
                     F.size(
                         F.filter(
-                            F.slice(grams, F.lit(1), i), lambda y: y == x
+                            F.slice(g, F.lit(1), i), lambda y: y == x
                         )
                     ).cast("string"),
                 ),
             )
+            shingled = _persist(staged.select(
+                F.col(id_col), sh_expr.alias("__sh")
+            ))
         else:
-            sh_expr = _word_ngrams(text_col, n)
-        shingled = _persist(spread(df).select(
-            F.col(id_col), sh_expr.alias("__sh")
-        ))
+            shingled = _persist(spread(df).select(
+                F.col(id_col), _word_ngrams(text_col, n).alias("__sh")
+            ))
 
     # h < 2^31 and a < 2^31 keep a·h + b < 2^62: exact in BIGINT under
     # ANSI overflow checking, no wraparound anywhere.
