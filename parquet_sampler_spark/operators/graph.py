@@ -65,7 +65,16 @@ def pagerank(
         raise ValueError("damping_pct must be in (0, 100)")
     if num_iterations < 1:
         raise ValueError("num_iterations must be >= 1")
-    e = edges.select(F.col("src"), F.col("dst"))
+    from parquet_sampler_spark.plans.cache import persist as _plan_persist
+
+    # edges and the out-degree table are read by EVERY iteration's
+    # contribution join; unpersisted, each of the num_iterations
+    # sweeps re-derives both from the source relation (at 100 TB:
+    # num_iterations extra scans of the edge table plus one degree
+    # aggregate per sweep). Persist once — the standard iterative-
+    # graph shape (guide §2.4 / §5: cache exactly the relations every
+    # iteration re-reads). Registered for eviction via plans.cache.
+    e = _plan_persist(edges.select(F.col("src"), F.col("dst")))
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("id"))
@@ -74,7 +83,9 @@ def pagerank(
         )
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("id"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = _plan_persist(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    )
     base = (100 - damping_pct) * scale // 100
 
     pr = nodes.select("id", F.lit(scale).cast("bigint").alias("pr"))

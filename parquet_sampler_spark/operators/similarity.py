@@ -255,10 +255,23 @@ def _lloyd_kmeans(
     for _ in range(max_iter):
         dist = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         lab = dist.argmin(axis=1)
-        new = np.array([
-            X[lab == j].mean(axis=0) if (lab == j).any() else centroids[j]
-            for j in range(k)
-        ])
+        # group rows by label via one stable argsort instead of k
+        # boolean scans of lab (the r13 listcomp evaluated `lab == j`
+        # twice per centroid — O(n·k) comparisons per iteration, the
+        # measured hot spot of the PQ codebook fits; r14 optimization
+        # round, guide §1.2 "per-task work"). Bit-identical: stable
+        # sort keeps ascending row order within a label, so X[grp] is
+        # the same rows in the same order as X[lab == j] and the
+        # pairwise mean reduces identically; empty clusters keep their
+        # old centroid exactly as before.
+        new = centroids.copy()
+        order = np.argsort(lab, kind="stable")
+        sorted_lab = lab[order]
+        starts = np.flatnonzero(
+            np.r_[True, sorted_lab[1:] != sorted_lab[:-1]]
+        )
+        for grp in np.split(order, starts[1:]):
+            new[lab[grp[0]]] = X[grp].mean(axis=0)
         if np.allclose(new, centroids):
             break
         centroids = new

@@ -517,12 +517,23 @@ def _star_members(spark: SparkSession, sf_dir: str, seed: int):
             tie_cols=_LINEITEM_TIE,
             total_rows=metadata_row_count(f"{sf_dir}/lineitem.parquet"),
         ))
-    o = semi_join_reduce(
+    from parquet_sampler_spark.plans.cache import persist as _plan_persist
+
+    # orders_red feeds FOUR manifest branches (its own fingerprint +
+    # the customer/nation/region build chains) and customer_red three;
+    # unpersisted, every branch re-runs the broadcast semi-join — at
+    # 100 TB that is four full scans of the orders table per manifest
+    # (r14 optimization round, guide §2.4 "remove shuffles/passes
+    # outright"). Both reductions are ratio-bounded (≤ the sampled
+    # fact's key count), so persisting them is the same bargain as the
+    # session-persisted sample itself. Semantic dedup in plans.cache
+    # shares one entry across the snapshot/drift/sink/refresh rows.
+    o = _plan_persist(semi_join_reduce(
         table(spark, sf_dir, "orders"), "o_orderkey", s, "l_orderkey"
-    )
-    c = semi_join_reduce(
+    ))
+    c = _plan_persist(semi_join_reduce(
         table(spark, sf_dir, "customer"), "c_custkey", o, "o_custkey"
-    )
+    ))
     n = semi_join_reduce(
         table(spark, sf_dir, "nation"), "n_nationkey", c, "c_nationkey"
     )
@@ -578,14 +589,17 @@ def _q_star_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     of every member survived the write→read round trip, turning the
     whole persisted-snapshot deliverable into one value-hash row
     (the sink_roundtrip pattern, workflow-wide)."""
-    from parquet_sampler_spark.sources.io import write_parquet
-
     d = session_tmp_dir(spark, "star_sink")
-    parts = []
-    for tbl, df, keys in _star_members(spark, sf_dir, SAMPLE_SEED):
-        out = f"{d}/{tbl}.parquet"
-        write_parquet(df, out, single_file=True)
-        parts.append(_snap_fp(spark.read.parquet(out), tbl, keys))
+    members = _star_members(spark, sf_dir, SAMPLE_SEED)
+    # independent publishes overlap (guide §2.6, see _parallel_writes);
+    # the read-back manifests are built only after every write landed
+    _parallel_writes([
+        (df, f"{d}/{tbl}.parquet") for tbl, df, _ in members
+    ])
+    parts = [
+        _snap_fp(spark.read.parquet(f"{d}/{tbl}.parquet"), tbl, keys)
+        for tbl, _, keys in members
+    ]
     out_df = parts[0]
     for x in parts[1:]:
         out_df = out_df.unionAll(x)
@@ -629,8 +643,6 @@ def _star_v1_store(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
 
-    from parquet_sampler_spark.sources.io import write_parquet
-
     tag = os.path.basename(os.path.normpath(sf_dir))
     d = session_tmp_dir(spark, f"star_refresh_{tag}")
     store = os.path.join(d, "store")
@@ -639,13 +651,37 @@ def _star_v1_store(spark: SparkSession, sf_dir: str) -> str:
         if os.path.isdir(pend):
             shutil.rmtree(pend)
         os.makedirs(pend)
-        for tbl, df, _ in _star_members(spark, sf_dir, SAMPLE_SEED):
-            write_parquet(
-                df, os.path.join(pend, f"{tbl}.parquet"),
-                single_file=True,
-            )
+        # the seven member publishes are independent single-file write
+        # jobs; submitting them from a small thread pool lets the next
+        # job's tasks back-fill executors freed by the current job's
+        # tail instead of serializing seven job latencies (guide §2.6
+        # "overlap independent jobs"; same bytes, same files)
+        _parallel_writes([
+            (df, os.path.join(pend, f"{tbl}.parquet"))
+            for tbl, df, _ in _star_members(spark, sf_dir, SAMPLE_SEED)
+        ])
         os.rename(pend, store)
     return store
+
+
+def _parallel_writes(jobs: list[tuple[DataFrame, str]],
+                     max_workers: int = 3) -> None:
+    """Run independent single-file parquet publishes concurrently
+    (guide §2.6): 2-3 jobs in flight fills stage tails without
+    fighting for executors. Output is byte-identical to the
+    sequential loop — each write is its own overwrite-mode job on a
+    distinct path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from parquet_sampler_spark.sources.io import write_parquet
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futs = [
+            pool.submit(write_parquet, df, path, single_file=True)
+            for df, path in jobs
+        ]
+        for f in futs:
+            f.result()  # surface the first failure, if any
 
 
 def _q_star_snapshot_refresh(
@@ -668,8 +704,6 @@ def _q_star_snapshot_refresh(
     drifted members are overwritten with the same bytes. At 100 TB
     this is the difference between re-shipping 7 tables and
     re-shipping the 4-5 that changed."""
-    from parquet_sampler_spark.sources.io import write_parquet
-
     store = _star_v1_store(spark, sf_dir)
     v2 = {t: (df, k) for t, df, k in
           _star_members(spark, sf_dir, _DRIFT_SEED)}
@@ -677,10 +711,11 @@ def _q_star_snapshot_refresh(
     drifted = [
         r.tbl for r in _q_star_snapshot_drift(spark, sf_dir).collect()
     ]
-    # selective re-publish: only drifted members ship
-    for tbl in drifted:
-        df, _ = v2[tbl]
-        write_parquet(df, f"{store}/{tbl}.parquet", single_file=True)
+    # selective re-publish: only drifted members ship — the
+    # independent writes overlap (guide §2.6, see _parallel_writes)
+    _parallel_writes([
+        (v2[tbl][0], f"{store}/{tbl}.parquet") for tbl in drifted
+    ])
     parts = [
         _snap_fp(spark.read.parquet(f"{store}/{tbl}.parquet"), tbl, k)
         for tbl, (_, k) in v2.items()
