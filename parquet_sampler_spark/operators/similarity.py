@@ -271,7 +271,11 @@ def _lloyd_kmeans(
             np.r_[True, sorted_lab[1:] != sorted_lab[:-1]]
         )
         for grp in np.split(order, starts[1:]):
-            new[lab[grp[0]]] = X[grp].mean(axis=0)
+            # np.add.reduce/len is ndarray.mean minus the _methods
+            # wrapper — same pairwise sum, bit-identical quotient;
+            # groups are tiny (~train_per_cell rows) so the wrapper
+            # overhead across 10^4+ group-means per fit is measurable
+            new[lab[grp[0]]] = np.add.reduce(X[grp], axis=0) / len(grp)
         if np.allclose(new, centroids):
             break
         centroids = new

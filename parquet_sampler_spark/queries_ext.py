@@ -1204,8 +1204,15 @@ def _q_minhash_incremental(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    # corpus projected EXACTLY like _incremental_split's (r14
+    # optimization round): the persisted standing state (banded index
+    # + corpus shingles) is deduped by plan semantics, and an
+    # un-projected corpus here forked a second, semantically-distinct
+    # copy of both relations that curation_incremental then rebuilt
+    # per bench pass (sameSemantics=False purely from the projection)
     return minhash_probe_pairs(
-        docs.filter(~is_batch), docs.filter(is_batch),
+        docs.filter(~is_batch).select("doc_id", "text"),
+        docs.filter(is_batch),
         "doc_id", "text",
         n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
     ).select(
@@ -1406,8 +1413,13 @@ def _q_minhash_admit(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     is_batch = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    # corpus projection matches _incremental_split / minhash_incremental
+    # so all three ingest rows probe ONE persisted standing index (see
+    # _q_minhash_incremental's note); the batch keeps full rows — the
+    # admitted survivors return every column
     return minhash_admit_batch(
-        docs.filter(~is_batch), docs.filter(is_batch),
+        docs.filter(~is_batch).select("doc_id", "text"),
+        docs.filter(is_batch),
         "doc_id", "text",
         n=_JACCARD_N, threshold=_JACCARD_T, num_hashes=32, bands=8,
     )
