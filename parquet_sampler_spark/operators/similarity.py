@@ -43,6 +43,31 @@ _RN = "__psx_rank"
 from parquet_sampler_spark.plans.cache import persist as _cache_persist  # noqa: E402
 
 
+# embedding width per (session, plan): every LSH/gate operator needs
+# the vector dim at plan-build time to seed its hyperplanes, and each
+# invocation paid a one-row scan JOB for it (r14 optimization round:
+# 4 probe jobs per admit-row build at ~0.1 s driver latency each —
+# pure overhead at any scale). Keyed on the canonicalized plan hash,
+# so re-invocations over the same relation skip the job; wrong only
+# if a plan-identical relation changes width within one session,
+# which no supported flow does (same caveat class as the model
+# caches, cleared alongside them).
+_DIM_CACHE: dict = {}
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.select(vec_col).semanticHash(),
+        )
+    except Exception:
+        return df.select(F.size(vec_col)).first()[0]
+    if key not in _DIM_CACHE:
+        _DIM_CACHE[key] = df.select(F.size(vec_col)).first()[0]
+    return _DIM_CACHE[key]
+
+
 def _normalized(df: DataFrame, id_col: str, vec_col: str,
                 out_id: str, out_vec: str) -> DataFrame:
     """(id, unit-vector) relation; zero-norm vectors are dropped (their
@@ -493,7 +518,7 @@ def lsh_topk(
     first-row probe).
     """
     if dim is None:
-        dim = corpus.select(F.size(vec_col)).first()[0]
+        dim = _vec_dim(corpus, vec_col)
     # All tables' hyperplanes as one (tables*bits, dim) matrix: the
     # per-row signature set is then a single GEMM in an Arrow-batched
     # Pandas UDF — dense linear algebra is the one place where BLAS
@@ -685,7 +710,7 @@ def embedding_neardup_incremental(
     """
     if threshold <= 0:
         raise ValueError("threshold must be positive")
-    dim = corpus.select(F.size(vec_col)).first()[0]
+    dim = _vec_dim(corpus, vec_col)
     planes = np.concatenate([
         np.array(_hyperplanes(dim, lsh_bits, seed + 1000 * t))
         for t in range(lsh_tables)
@@ -1050,7 +1075,7 @@ def _signbit_candidates(
     ``tables`` hash tables (the :func:`lsh_topk` banding, self-join
     form). Hyperplane dimension is inferred from the data (one
     footer-cheap first-row probe) so any embedding width works."""
-    dim = df.select(F.size(vec_col)).first()[0]
+    dim = _vec_dim(df, vec_col)
     planes = np.concatenate([
         np.array(_hyperplanes(dim, bits, seed + 1000 * t))
         for t in range(tables)
@@ -2189,7 +2214,7 @@ def jl_topk(
     from parquet_sampler_spark.functions.vectors import dot
 
     if dim is None:
-        dim = corpus.select(F.size(vec_col)).first()[0]
+        dim = _vec_dim(corpus, vec_col)
     planes = _hyperplanes(dim, proj_dim, seed)
     proj = F.array(*[
         dot(vec_col, F.array(*[F.lit(float(w)) for w in plane]))

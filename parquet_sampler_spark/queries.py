@@ -135,6 +135,9 @@ def clear_caches() -> None:
     queries_ext._SEM_SQL_CACHE.clear()
     # plain-value caches (no DataFrames to unpersist)
     queries_ext._BPE_MERGES_CACHE.clear()
+    from parquet_sampler_spark.operators import similarity as _sim_mod
+
+    _sim_mod._DIM_CACHE.clear()
     # path caches (written trees under the tmp roots wiped below)
     queries_ext._DPP_CACHE.clear()
     from parquet_sampler_spark.plans import cache as _plan_cache
@@ -534,18 +537,26 @@ def _star_members(spark: SparkSession, sf_dir: str, seed: int):
     c = _plan_persist(semi_join_reduce(
         table(spark, sf_dir, "customer"), "c_custkey", o, "o_custkey"
     ))
-    n = semi_join_reduce(
+    # ... and the four leaf members: each is read by its manifest
+    # branch AND (snapshot_sink / v1-store / refresh) publishes, and
+    # the drift+refresh composites walk the member list up to three
+    # times per row — with AQE every exchange in every re-derived
+    # chain materializes as its own query-stage job (measured: the
+    # refresh row launched 70 jobs at sf0.01 before this, mostly
+    # 1-task broadcast stages). All are sample-ratio-bounded, same
+    # bargain as o/c above.
+    n = _plan_persist(semi_join_reduce(
         table(spark, sf_dir, "nation"), "n_nationkey", c, "c_nationkey"
-    )
-    r = semi_join_reduce(
+    ))
+    r = _plan_persist(semi_join_reduce(
         table(spark, sf_dir, "region"), "r_regionkey", n, "n_regionkey"
-    )
-    p = semi_join_reduce(
+    ))
+    p = _plan_persist(semi_join_reduce(
         table(spark, sf_dir, "part"), "p_partkey", s, "l_partkey"
-    )
-    su = semi_join_reduce(
+    ))
+    su = _plan_persist(semi_join_reduce(
         table(spark, sf_dir, "supplier"), "s_suppkey", s, "l_suppkey"
-    )
+    ))
     li_keys = [
         F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"),
         F.col("l_suppkey"),
