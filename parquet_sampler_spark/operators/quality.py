@@ -584,8 +584,48 @@ def trigram_rarity_backoff(
     from parquet_sampler_spark.plans.cache import persist as _persist
 
     fit = df if fit_df is None else fit_df
-    ft3 = _doc_grams(fit, id_col, text_col, 3, "tg")
-    vocab3 = ft3.groupBy("tg").agg(F.count(F.lit(1)).alias("cnt3"))
+    # ONE tokenize pass fits all three model orders (r14 optimization
+    # round, guide §2.3 "aggregate before you shuffle" / §1.2): the
+    # r13 form derived trigram, bigram and unigram vocabularies with
+    # three separate scan→explode→aggregate pipelines — three full
+    # corpus scans per fit. Here every order's grams explode from one
+    # scan as (order, gram) rows into ONE hash aggregate; the three
+    # per-order reductions below share that aggregate's exchange via
+    # ReuseExchange, so the corpus is read once and shuffled once.
+    # Counts per (order, gram) are identical to the per-order
+    # pipelines', so the fitted model — and every scored row — is
+    # value-identical (oracle unchanged).
+    from parquet_sampler_spark.functions.text import word_ngrams
+
+    t = F.trim(F.col(text_col))
+    tagged = F.concat(
+        F.transform(
+            word_ngrams(text_col, 3),
+            lambda g: F.struct(F.lit(3).alias("o"), g.alias("g")),
+        ),
+        F.transform(
+            word_ngrams(text_col, 2),
+            lambda g: F.struct(F.lit(2).alias("o"), g.alias("g")),
+        ),
+        F.transform(
+            F.split(t, " "),
+            lambda g: F.struct(F.lit(1).alias("o"), g.alias("g")),
+        ),
+    )
+    # persisted: the per-order filters below would otherwise push
+    # through the aggregate and fork three scan pipelines again —
+    # and the (order, gram) count table IS the fitted model, the
+    # same vocabulary-bounded state the rar tables persist
+    counts = _persist(
+        fit.filter(t.isNotNull() & (F.length(t) > 0))
+        .select(F.explode(tagged).alias("og"))
+        .select(F.col("og.o").alias("__o"), F.col("og.g").alias("__g"))
+        .groupBy("__o", "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    vocab3 = counts.filter(F.col("__o") == 3).select(
+        F.col("__g").alias("tg"), F.col("__cnt").alias("cnt3")
+    )
     tot3 = vocab3.agg(F.sum("cnt3").cast("bigint").alias("__total3"))
     rar3 = _persist(
         vocab3.crossJoin(F.broadcast(tot3))
@@ -594,8 +634,9 @@ def trigram_rarity_backoff(
             F.expr("__total3 DIV cnt3").cast("bigint").alias("__r3"),
         )
     )
-    fb = _doc_grams(fit, id_col, text_col, 2, "bg")
-    vocab2 = fb.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    vocab2 = counts.filter(F.col("__o") == 2).select(
+        F.col("__g").alias("bg"), F.col("__cnt").alias("cnt2")
+    )
     tot2 = vocab2.agg(F.sum("cnt2").cast("bigint").alias("__total2"))
     rar2 = _persist(
         vocab2.crossJoin(F.broadcast(tot2))
@@ -604,8 +645,9 @@ def trigram_rarity_backoff(
             F.expr("__total2 DIV cnt2").cast("bigint").alias("__r2"),
         )
     )
-    ft = _doc_tokens(fit, id_col, text_col)
-    vocab1 = ft.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt1"))
+    vocab1 = counts.filter(F.col("__o") == 1).select(
+        F.col("__g").alias("tok"), F.col("__cnt").alias("cnt1")
+    )
     tot1 = _persist(
         vocab1.agg(F.sum("cnt1").cast("bigint").alias("__total1"))
     )
