@@ -26,8 +26,18 @@ vector math to one core.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 import pandas as pd
+
+# driver-thread pool width for the independent seeded Lloyd fits
+# (PQ subspaces, hierarchical sub-cells): the GIL-held parts of Lloyd
+# (kmeans++ seeding, per-group means) make wall time U-shaped in
+# worker count — 4 measured best on the ivfpqr8 fit shape (serial
+# 17.9 s / 16 threads 11.8 s / 4 threads 6.4 s), and a small constant
+# keeps driver CPU from competing with executor tasks in local mode.
+_FIT_POOL_WORKERS = 4
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -324,6 +334,22 @@ def _int_sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
     )
 
 
+def _pq_sqdists(xs: np.ndarray, cbq: np.ndarray) -> np.ndarray:
+    """Squared L2 from every row's subvectors to every PQ code, as an
+    (n, m_sub, ncodes) int64 array: one :func:`_int_sqdist` integer
+    GEMM per subspace instead of the n×m_sub×ncodes×dsub difference
+    tensor the r10 form built (r15 optimization round: 18× on an
+    8k-row code-assignment batch, and O(n·ncodes) working set instead
+    of O(n·ncodes·dsub) — gigabytes per Arrow batch at byte-wide
+    codebooks). Bit-identical: both forms are exact int64 arithmetic
+    (quantized values ~2^20, distances < 2^47)."""
+    n, m_sub, _ = xs.shape
+    out = np.empty((n, m_sub, cbq.shape[1]), dtype=np.int64)
+    for mi in range(m_sub):
+        out[:, mi] = _int_sqdist(xs[:, mi], cbq[mi])
+    return out
+
+
 def _route_assign(
     m: np.ndarray,
     cq: np.ndarray,
@@ -482,15 +508,29 @@ def _fit_coarse_hierarchy(
     # engines consume the same returned arrays (the oracle embeds them
     # as literals), so dropped supers change no gate hashes.
     keep = np.flatnonzero(counts)
-    out, owners = [], []
-    for pos, j in enumerate(keep):
+
+    # the per-super sub-fits are INDEPENDENT seeded Lloyd runs (seed
+    # derived from the super index, data sliced per super), so they
+    # parallelize across driver threads with bit-identical results —
+    # each fit's arithmetic and rng stream are untouched; only the
+    # wall-clock overlap changes (numpy ufuncs release the GIL).
+    # Worker count is capped at 4: Lloyd's per-group mean loop and the
+    # kmeans++ seeding run under the GIL, so measured wall time is
+    # U-shaped in worker count (16 fits of the ivfpqr8 shape: serial
+    # 17.9 s, 16 threads 11.8 s, 4 threads 6.4 s).
+    # r15 optimization round, guide §1.2 "per-task work".
+    def _sub_fit(j: int) -> np.ndarray:
         pts = X[lab == j]
         kj = min(len(pts),
                  max(1, int(np.floor(len(pts) * k / len(X) + 0.5))))
-        sub = _lloyd_kmeans(pts, kj, seed + 1_000_003 * (int(j) + 1),
-                            max_iter)
-        out.append(sub)
-        owners.extend([pos] * len(sub))
+        return _lloyd_kmeans(pts, kj, seed + 1_000_003 * (int(j) + 1),
+                             max_iter)
+
+    with ThreadPoolExecutor(
+        max_workers=min(len(keep), _FIT_POOL_WORKERS)
+    ) as pool:
+        out = list(pool.map(_sub_fit, (int(j) for j in keep)))
+    owners = [pos for pos, sub in enumerate(out) for _ in range(len(sub))]
     return (supers[keep], np.vstack(out),
             np.array(owners, dtype=np.int64))
 
@@ -1414,13 +1454,26 @@ def pq_train_codebooks_numpy(
             f"pq: vector dim {dim} not divisible by m_sub {m_sub}"
         )
     dsub = dim // m_sub
-    return np.stack([
-        _lloyd_kmeans(
-            X[:, mi * dsub:(mi + 1) * dsub],
-            min(ncodes, len(X)), seed + 1000 * mi, train_max_iter,
-        )
-        for mi in range(m_sub)
-    ])
+    # the per-subspace fits are INDEPENDENT seeded Lloyd runs
+    # (seed + 1000·m, disjoint column slices), so they parallelize
+    # across driver threads with bit-identical results — each fit's
+    # arithmetic and rng stream are untouched (r15 optimization round,
+    # guide §1.2: the sequential loop was the measured majority of the
+    # setup_ivfpqr8_model row). Capped at 4 workers: the GIL-held
+    # parts of Lloyd make wall time U-shaped in worker count (16 fits
+    # of the ivfpqr8 shape: serial 17.9 s, 16 threads 11.8 s,
+    # 4 threads 6.4 s).
+    with ThreadPoolExecutor(
+        max_workers=min(m_sub, _FIT_POOL_WORKERS)
+    ) as pool:
+        subs = list(pool.map(
+            lambda mi: _lloyd_kmeans(
+                X[:, mi * dsub:(mi + 1) * dsub],
+                min(ncodes, len(X)), seed + 1000 * mi, train_max_iter,
+            ),
+            range(m_sub),
+        ))
+    return np.stack(subs)
 
 
 def pq_topk(
@@ -1508,8 +1561,7 @@ def pq_topk(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def codes_of(vs: pd.Series) -> pd.Series:
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        xs = x.reshape(len(vs), m_sub, dsub)
-        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        d = _pq_sqdists(x.reshape(len(vs), m_sub, dsub), cbq)
         # argmin takes the FIRST minimum: ties break to the lowest
         # code id, mirroring the oracle's ORDER BY dist, code
         return pd.Series(d.argmin(axis=2).astype("int32").tolist())
@@ -1517,8 +1569,7 @@ def pq_topk(
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def lut_of(vs: pd.Series) -> pd.Series:
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        xs = x.reshape(len(vs), m_sub, dsub)
-        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        d = _pq_sqdists(x.reshape(len(vs), m_sub, dsub), cbq)
         return pd.Series(d.reshape(len(vs), -1).tolist())
 
     coded = spread(corpus).select(
@@ -1769,8 +1820,7 @@ def ivfpq_topk(
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
         if residual:
             x = x - cq[_route_assign(x, cq, b_sq.value, b_owner.value)]
-        xs = x.reshape(len(vs), m_sub, dsub)
-        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        d = _pq_sqdists(x.reshape(len(vs), m_sub, dsub), cbq)
         return pd.Series(d.argmin(axis=2).astype("int32").tolist())
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -1785,8 +1835,7 @@ def ivfpq_topk(
     def lut_of(vs: pd.Series) -> pd.Series:
         cbq = b_cbq.value
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
-        xs = x.reshape(len(vs), m_sub, dsub)
-        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        d = _pq_sqdists(x.reshape(len(vs), m_sub, dsub), cbq)
         return pd.Series(d.reshape(len(vs), -1).tolist())
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -1796,8 +1845,7 @@ def ivfpq_topk(
         cbq = b_cbq.value
         x = _ivf_quantize(np.array(vs.tolist(), dtype=np.float64))
         x = x - b_cq.value[cells.to_numpy(dtype=np.int64)]
-        xs = x.reshape(len(vs), m_sub, dsub)
-        d = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+        d = _pq_sqdists(x.reshape(len(vs), m_sub, dsub), cbq)
         return pd.Series(d.reshape(len(vs), -1).tolist())
 
     coded = spread(corpus).select(
