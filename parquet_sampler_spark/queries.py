@@ -579,6 +579,8 @@ def _star_manifest(
     """The star_snapshot manifest for an arbitrary sample seed (the
     registered row's seed-:data:`SAMPLE_SEED` path reuses the session
     cache; other seeds build the sample fresh)."""
+    from parquet_sampler_spark.plans.cache import persist as _plan_persist
+
     parts = [
         _snap_fp(df, tbl, keys)
         for tbl, df, keys in _star_members(spark, sf_dir, seed)
@@ -586,7 +588,16 @@ def _star_manifest(
     out = parts[0]
     for x in parts[1:]:
         out = out.unionAll(x)
-    return out
+    # the manifest is <= 7 rows and is re-derived by every consumer —
+    # star_snapshot returns it, the drift row fingerprints BOTH seeds'
+    # manifests, and refresh re-runs the whole drift diff for its
+    # worklist: unpersisted, each consumer re-executes all seven
+    # fingerprint-aggregate chains (measured: refresh launched 54
+    # jobs / drift 46 at sf0.01 warm). A deployment stores yesterday's
+    # manifest next to the snapshot; persisting the 7-row result is
+    # that standing state (r15 optimization round, guide §2.4 "remove
+    # passes outright" — same bargain as the member persists above).
+    return _plan_persist(out)
 
 
 def _q_star_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
