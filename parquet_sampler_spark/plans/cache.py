@@ -30,7 +30,11 @@ from pyspark.sql import DataFrame
 # referencing it silently recomputes, so eviction is always safe (if
 # slow); semantic dedup above keeps steady-state workloads far below
 # the bound.
-MAX_PERSISTED = 64
+MAX_PERSISTED = 96  # one full bench pass registers 57 entries (r15
+# probe) — the old 64 left a 7-entry margin before mid-pass FIFO
+# eviction would re-trigger the measured r12 recompute bug; cached
+# relations here are vocabulary/sample-bounded, so the wider bound
+# costs no meaningful memory
 _PERSISTED: list[tuple[int | None, DataFrame]] = []
 
 
