@@ -269,6 +269,48 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
+def _seq_unroll_ok() -> bool:
+    """Import-time probe: does THIS numpy build reduce axes shorter
+    than 8 strictly sequentially (the documented pairwise-summation
+    cutover)? If so, the per-dimension accumulation in
+    :func:`_sqdist_f64` reproduces the tensor form bit-for-bit."""
+    rng = np.random.default_rng(12345)
+    for d in range(2, 8):
+        X = rng.standard_normal((37, d)) * 3.7e5
+        C = rng.standard_normal((11, d)) * 2.9e5
+        t = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        acc = (X[:, 0, None] - C[None, :, 0]) ** 2
+        for i in range(1, d):
+            acc = acc + (X[:, i, None] - C[None, :, i]) ** 2
+        if not np.array_equal(t, acc):
+            return False
+    return True
+
+
+_SEQ_UNROLL_OK = _seq_unroll_ok()
+
+
+def _sqdist_f64(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """``((X[:,None,:]-C[None,:,:])**2).sum(axis=2)`` without the
+    n×k×d intermediate when the vector width sits below numpy's
+    pairwise-summation cutover (8): reductions over < 8 elements are
+    strictly sequential, so accumulating per-dimension squared
+    differences left-to-right is the SAME float additions in the SAME
+    order — bit-identical (probed at import for this numpy build,
+    plus pytest-pinned), and 16× faster on the PQ dsub=4 fit shape
+    (258 → 16 ms per Lloyd iteration at n=4096, k=256; r15
+    optimization round, guide §1.2 "per-task work"). Wider vectors
+    (the d=64 coarse fits) keep the tensor form — their axis
+    reduction is pairwise, so the unroll would NOT replay it."""
+    d = X.shape[1]
+    if _SEQ_UNROLL_OK and 0 < d < 8:
+        acc = (X[:, 0, None] - C[None, :, 0]) ** 2
+        for i in range(1, d):
+            acc = acc + (X[:, i, None] - C[None, :, i]) ** 2
+        return acc
+    return ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+
+
 def _lloyd_kmeans(
     X: np.ndarray, k: int, seed: int, max_iter: int
 ) -> np.ndarray:
@@ -288,7 +330,7 @@ def _lloyd_kmeans(
         centroids[j] = X[rng.choice(n, p=d2 / total)]
         d2 = np.minimum(d2, ((X - centroids[j]) ** 2).sum(axis=1))
     for _ in range(max_iter):
-        dist = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        dist = _sqdist_f64(X, centroids)
         lab = dist.argmin(axis=1)
         # group rows by label via one stable argsort instead of k
         # boolean scans of lab (the r13 listcomp evaluated `lab == j`

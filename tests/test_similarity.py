@@ -1038,3 +1038,41 @@ def test_unit_dot_arrow_bit_identical_to_hof_fold(spark):
     ).collect()
     for r in got:
         assert r.fold == r.arrow, (r.id, r.fold, r.arrow)
+
+
+def test_sqdist_f64_bit_identical_to_tensor_form():
+    """_lloyd_kmeans's unrolled small-width squared-distance path
+    (r15) must replay the n×k×d tensor form bit-for-bit — including
+    quantized-int-scale magnitudes and degenerate widths — and the
+    wide path must BE the tensor form."""
+    import numpy as np
+
+    from parquet_sampler_spark.operators.similarity import _sqdist_f64
+
+    rng = np.random.default_rng(99)
+    for n, k, d in [(4096, 256, 4), (1000, 7, 3), (64, 2, 1),
+                    (512, 16, 7), (128, 8, 8), (256, 16, 64)]:
+        X = rng.standard_normal((n, d)) * 2.0 ** 20
+        C = rng.standard_normal((k, d)) * 2.0 ** 20
+        ref = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assert np.array_equal(_sqdist_f64(X, C), ref), (n, k, d)
+
+
+def test_pq_sqdists_bit_identical_to_difference_tensor():
+    """The int64-GEMM PQ code-assignment distances (r15) must equal
+    the r10 difference-tensor form exactly (both are exact int64
+    arithmetic at quantized magnitudes)."""
+    import numpy as np
+
+    from parquet_sampler_spark.operators.similarity import _pq_sqdists
+
+    rng = np.random.default_rng(17)
+    n, m_sub, ncodes, dsub = 257, 8, 16, 4
+    xs = rng.integers(-(2 ** 20), 2 ** 20, (n, m_sub, dsub)).astype(
+        np.int64
+    )
+    cbq = rng.integers(-(2 ** 20), 2 ** 20, (m_sub, ncodes, dsub)).astype(
+        np.int64
+    )
+    ref = ((xs[:, :, None, :] - cbq[None, :, :, :]) ** 2).sum(axis=3)
+    assert np.array_equal(_pq_sqdists(xs, cbq), ref)
