@@ -96,6 +96,13 @@ def _normalized(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+# collect-all cutover for _sketch_topk: relations at or below this
+# row count are small enough to collect and sort on the driver
+# (identical selection); larger ones take the distributed k-th-rank
+# path that the sf100 sized-quantizer sketch required
+_SKETCH_COLLECT_ALL_MAX = 1 << 17
+
+
 def _sketch_topk(rel: DataFrame, id_name: str, k: int) -> list:
     """Collect the ``k`` rows of ``rel`` with the smallest
     ``(__h, id)`` — exactly ``rel.orderBy("__h", id).limit(k)
@@ -119,10 +126,19 @@ def _sketch_topk(rel: DataFrame, id_name: str, k: int) -> list:
     )
 
     total = rel.count()
-    if total <= k:
-        # collect-all is itself ≤ k rows; partials sum to total
-        return sorted(rel.collect(),
+    if total <= max(k, _SKETCH_COLLECT_ALL_MAX):
+        # collect-all + driver sort + slice selects the IDENTICAL k
+        # rows (same (__h, id) order) in ONE job instead of the
+        # boundary-histogram's 2-3 aggregation passes — the right
+        # trade only while the relation is collect-sized (≤ 2^17
+        # narrow rows ≈ tens of MB, far under maxResultSize); the
+        # 250k-row sf100 sized-quantizer sketch that motivated the
+        # distributed selection stays on the distributed path
+        # (r15 optimization round, guide §1.2: ~10 fits per bench
+        # pass each paid the aggregation-job latencies).
+        rows = sorted(rel.collect(),
                       key=lambda r: (r["__h"], r[id_name]))
+        return rows[:k]
     t_star, c_lt = _kth_rank_value(
         rel.select(F.col("__h").alias(_PR)), k, MODULUS
     )
