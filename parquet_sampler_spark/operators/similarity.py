@@ -747,13 +747,19 @@ def embedding_neardup_pairs(
         )
     else:
         raise ValueError(f"unknown method {method!r}")
-    # exact verification: recompute the score with the same JVM-side
-    # left-to-right fold as the brute-force path / the DuckDB oracle
+    # exact verification via the Arrow-batched fold — BIT-IDENTICAL
+    # to the JVM HOF fold and the DuckDB oracle's list fold (see
+    # _unit_dot_arrow; pytest-pinned). Catalyst runs HOFs interpreted
+    # (one lambda call per element), which the gates measured as the
+    # dominant warm-probe cost at the sf100 planted tier; the sweep's
+    # verify volume has the same shape, so it takes the same path
+    # (r15 optimization round, guide §4.2).
     b = a.select(F.col("id_a").alias("id_b"), F.col("__va").alias("__vb"))
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cos_sim", _unit_dot("__va", "__vb"))
+        .withColumn("cos_sim", _unit_dot_arrow(F.col("__va"),
+                                               F.col("__vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
